@@ -1,0 +1,62 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_and_spark_spark.registry import collect
+from hadoop_and_spark_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    sf_m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_m.group(1)) if sf_m else -1.0
+    spark = get_spark("bench")
+    queries, _ = collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            df = queries[name](spark, SF_DIR)
+            df.collect()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001 — record failures, keep benching
+            dt = time.perf_counter() - t0
+            print(f"# bench FAILED {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

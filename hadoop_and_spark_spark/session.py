@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+One place to encode the execution-model decisions that matter at
+100 TB but must also behave on local[32]:
+
+- AQE on (runtime join-strategy switch, partition coalescing, skew
+  splitting) — replaces every hand-tuned reducer count in the
+  reference (e.g. ``-reducers N``, RunPersonalizedPageRankBasic's
+  fixed partition counts).
+- Arrow on for the few Pandas-UDF kernels.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle bit-for-bit.
+- Shuffle partitions default small locally (override with
+  SPARK_GRAFT_SHUFFLE); on a real cluster this would be sized to
+  ~128 MB post-shuffle partitions, and AQE coalesces down anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hadoop-and-spark-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS (fallback 32);
+    ``shuffle_partitions`` defaults to $SPARK_GRAFT_SHUFFLE
+    (fallback = cpus, so one wave of reduce tasks locally).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
