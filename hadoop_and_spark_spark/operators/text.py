@@ -1,0 +1,278 @@
+"""Text analytics (reference a0/a1/a2: word count, PerfectX,
+bigram relative frequency, PMI pairs & stripes).
+
+The reference implements these as MapReduce jobs with in-mapper
+combining, custom partitioners, and the order-inversion pattern
+(marginal `(A,*)` keys sorted before `(A,B)` so a stateful reducer
+can divide). All of that machinery collapses into declarative
+DataFrame plans:
+
+- partial aggregation replaces combiners (automatic),
+- window functions (`sum over (partition by a)`) replace
+  order-inversion + custom partitioner,
+- a self-join on doc_id replaces the pairs/stripes shuffle
+  multiplexing.
+
+Scale notes (100 TB corpus):
+- Tokenization is pure built-in expressions → whole-stage codegen,
+  no Python in the hot path.
+- The PMI self-join explodes distinct tokens per doc (≤40 after the
+  reference's token-window truncation) then joins on doc_id: the
+  join is co-partitioned on doc_id (both sides derive from the same
+  exchange) so Catalyst reuses one shuffle; pair cardinality is
+  bounded by 40×39 per doc.
+- Unigram counts are a tiny aggregate (vocabulary-sized) →
+  broadcast-joined into the pair counts, never shuffled with them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import tokenize, tokenize_sql
+
+PERFECT_MARKER = "spark"  # reference marker word is "perfect" (a0/PerfectX.java:61-72)
+PMI_WINDOW = 40  # first-40-tokens truncation, a1/PairsPMI.java:58
+PMI_THRESHOLD = 10  # co-occurrence count threshold, a1/PairsPMI.java:197-203
+
+_TOKS_SQL = tokenize_sql("text")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokenize("text").alias("toks"))
+
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency over the corpus.
+
+    Reference: a0/WordCount.java:53-118 (MR with in-mapper
+    combining). Spark: explode + groupBy; the partial hash aggregate
+    IS the in-mapper combiner.
+    """
+    return (
+        _tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("word")
+    )
+
+
+def perfectx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts of words that immediately follow the marker word.
+
+    Reference: a0/PerfectX.java:61-72 — sequential scan flagging
+    successor tokens. Spark: lag window over (doc, position); no
+    self-join, one shuffle on doc_id.
+    """
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id", F.posexplode("toks").alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("prev", F.lag("word").over(w))
+        .where(F.col("prev") == PERFECT_MARKER)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("word")
+    )
+
+
+def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(b | a) for consecutive token bigrams.
+
+    Reference: a2/ComputeBigramRelativeFrequencyPairs.scala:55-84 —
+    emits (a,b) and marginal (a,*), custom partitioner on `a`,
+    stateful divide in sorted order (order-inversion). Spark: count
+    bigrams, then `sum(cnt) over (partition by a)` — the window
+    aggregate replaces the entire marginal/partitioner/sort dance.
+    """
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id", F.posexplode("toks").alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("next", F.lead("word").over(w))
+        .where(F.col("next").isNotNull())
+        .groupBy(F.col("word").alias("a"), F.col("next").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    wa = Window.partitionBy("a")
+    return (
+        bigrams.withColumn(
+            "rel_freq", F.round(F.col("cnt") / F.sum("cnt").over(wa), 6)
+        )
+        .orderBy("a", "b")
+    )
+
+
+def _doc_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct tokens within the first PMI_WINDOW tokens per doc
+    (reference F7 truncation + A10 within-line dedup)."""
+    return _tokens(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(F.slice("toks", 1, PMI_WINDOW)).alias("toks"),
+    )
+
+
+def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for co-occurring token pairs.
+
+    PMI(a,b) = log10(cnt(a,b) * N / (cnt(a) * cnt(b))), counted at
+    document granularity over the 40-token window, pairs emitted in
+    both directions, threshold on pair count.
+
+    Reference: a1/PairsPMI.java (two chained MR jobs with an HDFS
+    side-file reload in the reducer) and a2/PairsPMI.scala:60-99
+    (collectAsMap + broadcast). Spark-first: one DAG — exploded
+    distinct tokens self-joined on doc_id for pair counts, unigram
+    counts broadcast-joined in, log10 expression. N counts all docs
+    (the Spark reference's `count()` semantics, a2/PairsPMI.scala:60).
+    """
+    toks = _doc_distinct_tokens(spark, sf_dir)
+    n_docs = toks.count()
+    exploded = toks.select("doc_id", F.explode("toks").alias("word"))
+    unigram = exploded.groupBy("word").agg(F.count("*").alias("wcnt"))
+    a = exploded.select("doc_id", F.col("word").alias("a"))
+    b = exploded.select("doc_id", F.col("word").alias("b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= PMI_THRESHOLD)
+    )
+    ua = F.broadcast(unigram.select(F.col("word").alias("a"), F.col("wcnt").alias("cnt_a")))
+    ub = F.broadcast(unigram.select(F.col("word").alias("b"), F.col("wcnt").alias("cnt_b")))
+    return (
+        pairs.join(ua, "a")
+        .join(ub, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.log10(
+                    F.col("cnt") * F.lit(float(n_docs))
+                    / (F.col("cnt_a") * F.col("cnt_b"))
+                ),
+                4,
+            ).alias("pmi"),
+            "cnt",
+        )
+        .orderBy("a", "b")
+    )
+
+
+def pmi_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stripes form of the co-occurrence counts: one row per word
+    with its sorted neighbor:count stripe.
+
+    Reference: a1/StripesPMI.java:107-163 (HMapStFW map-valued
+    stripes merged in the reducer). Spark: a grouped DataFrame IS
+    the stripe; rendered as a canonical string so the DuckDB oracle
+    can hash-compare it (MapType doesn't round-trip through the
+    driver compare).
+    """
+    toks = _doc_distinct_tokens(spark, sf_dir)
+    exploded = toks.select("doc_id", F.explode("toks").alias("word"))
+    a = exploded.select("doc_id", F.col("word").alias("a"))
+    b = exploded.select("doc_id", F.col("word").alias("b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= PMI_THRESHOLD)
+    )
+    stripe = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("b"), F.col("cnt")))),
+            lambda x: F.concat_ws(":", x["b"], x["cnt"].cast("string")),
+        ),
+    )
+    return (
+        pairs.groupBy("a").agg(stripe.alias("stripe")).orderBy("a")
+    )
+
+
+_PMI_PAIRS_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_slice({_TOKS_SQL}, 1, {PMI_WINDOW})) AS toks
+        FROM documents
+    ),
+    exploded AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+    unigram AS (SELECT word, count(*) AS wcnt FROM exploded GROUP BY word),
+    pairs AS (
+        SELECT x.word AS a, y.word AS b, count(*) AS cnt
+        FROM exploded x JOIN exploded y USING (doc_id)
+        WHERE x.word <> y.word
+        GROUP BY x.word, y.word
+        HAVING count(*) >= {PMI_THRESHOLD}
+    )
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "wordcount": f"""
+        WITH toks AS (SELECT {_TOKS_SQL} AS toks FROM documents)
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(toks) AS word FROM toks)
+        GROUP BY word ORDER BY word
+    """,
+    "perfectx": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        pos AS (
+            SELECT doc_id, unnest(toks) AS word,
+                   generate_subscripts(toks, 1) AS pos
+            FROM toks
+        )
+        SELECT b.word AS word, count(*) AS cnt
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.word = '{PERFECT_MARKER}'
+        GROUP BY b.word ORDER BY word
+    """,
+    "bigram_relative_frequency": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        pos AS (
+            SELECT doc_id, unnest(toks) AS word,
+                   generate_subscripts(toks, 1) AS pos
+            FROM toks
+        ),
+        bigrams AS (
+            SELECT x.word AS a, y.word AS b, count(*) AS cnt
+            FROM pos x JOIN pos y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+            GROUP BY x.word, y.word
+        )
+        SELECT a, b, cnt,
+               round(cnt / (sum(cnt) OVER (PARTITION BY a)), 6) AS rel_freq
+        FROM bigrams ORDER BY a, b
+    """,
+    "pmi_pairs": _PMI_PAIRS_CTE
+    + """
+        SELECT a, b,
+               round(log10(cnt * (SELECT count(*) FROM documents)::DOUBLE
+                     / (ua.wcnt * ub.wcnt)), 4) AS pmi,
+               cnt
+        FROM pairs
+        JOIN unigram ua ON ua.word = a
+        JOIN unigram ub ON ub.word = b
+        ORDER BY a, b
+    """,
+    "pmi_stripes": _PMI_PAIRS_CTE
+    + """
+        SELECT a, string_agg(b || ':' || cnt, ',' ORDER BY b, cnt) AS stripe
+        FROM pairs GROUP BY a ORDER BY a
+    """,
+}
+
+QUERIES = {
+    "wordcount": wordcount,
+    "perfectx": perfectx,
+    "bigram_relative_frequency": bigram_relative_frequency,
+    "pmi_pairs": pmi_pairs,
+    "pmi_stripes": pmi_stripes,
+}
