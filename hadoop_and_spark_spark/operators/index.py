@@ -1,0 +1,163 @@
+"""Inverted index + boolean retrieval (reference a3).
+
+Reference shape: BuildInvertedIndexCompressed.java builds a MapFile
+of `term -> [df, (docno-gap, tf)*]` with hand-rolled VInt gap
+encoding, secondary sort on (term, docno), and a custom partitioner;
+BooleanRetrievalCompressed.java seeks the right partition file,
+decodes postings, and evaluates an RPN query with TreeSet
+intersections/unions, then seeks the collection file for each hit.
+
+Spark-first re-expression:
+- The index is one aggregation: explode(tokens) → per-(term, doc)
+  term frequency → per-term document frequency + docno-sorted
+  posting list. Secondary sort becomes `array_sort(collect_list)`;
+  VInt+gap compression is delegated to Parquet encodings
+  (delta/RLE + zstd) when the index is persisted.
+- Retrieval is set algebra over doc-id sets (INTERSECT/UNION), with
+  the RPN evaluation as a tiny driver-side loop over DataFrames —
+  the only procedural part, matching the reference's stack
+  evaluator (a3/BooleanRetrievalCompressed.java:73-96).
+- The collection "seek" (byte offset → line) becomes a join against
+  the documents table — at scale, a broadcast of the (small) result
+  set against a pruned scan.
+
+Scale notes: the per-term posting aggregation shuffles once on the
+term; df + postings come out of the same groupBy (no second pass).
+Posting lists for 100 TB corpora can exceed a single task's memory
+for stop-word-like terms — the written index partitions by
+hash(term) (the reference's 4-reducer split) and Parquet chunks the
+arrays; retrieval never materializes postings on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import tokenize, tokenize_sql
+
+# Fixed RPN query for the driver-checked retrieval entry, mirroring
+# the assignment3.md golden queries ("X Y OR Z AND" = (X ∪ Y) ∩ Z).
+RPN_QUERY = ("spark", "hash", "OR", "table", "AND")
+SNIPPET_LEN = 80  # first-80-chars display, a3/BooleanRetrievalCompressed.java:175-181
+
+_TOKS_SQL = tokenize_sql("text")
+
+
+def term_doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(term, doc) term frequency — the mapper-side histogram of
+    a3/BuildInvertedIndexCompressed.java:66-81 as one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index: term → document frequency + docno-ordered
+    postings (rendered as a canonical string for oracle hashing;
+    the persisted form keeps the ARRAY<STRUCT> column).
+    """
+    postings = term_doc_tf(spark, sf_dir)
+    plist = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))),
+            lambda x: F.concat_ws(":", x["doc_id"].cast("string"), x["tf"].cast("string")),
+        ),
+    )
+    return (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"), plist.alias("postings"))
+        .orderBy("term")
+    )
+
+
+def write_index(spark: SparkSession, sf_dir: str, out_path: str, buckets: int = 4) -> None:
+    """Persist the typed index partitioned like the reference's
+    4-reducer MapFile split (hash(term) → part), postings as
+    ARRAY<STRUCT<doc_id, tf>> so Parquet's delta/RLE encodings play
+    the role of the VInt gap coding."""
+    postings = term_doc_tf(spark, sf_dir)
+    idx = postings.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("postings"),
+    )
+    idx.repartition(buckets, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(out_path)
+
+
+def _doc_set(postings: DataFrame, term: str) -> DataFrame:
+    return postings.where(F.col("term") == term).select("doc_id")
+
+
+def boolean_retrieval(
+    spark: SparkSession, sf_dir: str, rpn: tuple[str, ...] = RPN_QUERY
+) -> DataFrame:
+    """Evaluate an RPN boolean query and return matching docs with
+    their display snippet.
+
+    The stack loop mirrors a3/BooleanRetrievalCompressed.java:73-96;
+    operands push doc-id-set DataFrames, AND/OR pop two and push
+    intersect/union. All set algebra stays distributed — the driver
+    only composes the plan.
+    """
+    postings = term_doc_tf(spark, sf_dir)
+    stack: list[DataFrame] = []
+    for tok in rpn:
+        if tok == "AND":
+            r, l = stack.pop(), stack.pop()
+            stack.append(l.intersect(r))
+        elif tok == "OR":
+            r, l = stack.pop(), stack.pop()
+            stack.append(l.union(r).distinct())
+        else:
+            stack.append(_doc_set(postings, tok))
+    if len(stack) != 1:
+        raise ValueError(f"malformed RPN query: {rpn}")
+    hits = stack[0]
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(hits, "doc_id", "left_semi")
+        .select("doc_id", F.substring("text", 1, SNIPPET_LEN).alias("snippet"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "inverted_index": f"""
+        WITH postings AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+            GROUP BY term, doc_id
+        )
+        SELECT term, count(*) AS df,
+               string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id, tf) AS postings
+        FROM postings GROUP BY term ORDER BY term
+    """,
+    "boolean_retrieval": f"""
+        WITH postings AS (
+            SELECT DISTINCT term, doc_id
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+        )
+        SELECT doc_id, substr(text, 1, {SNIPPET_LEN}) AS snippet
+        FROM documents
+        WHERE doc_id IN (
+            (SELECT doc_id FROM postings WHERE term = '{RPN_QUERY[0]}'
+             UNION
+             SELECT doc_id FROM postings WHERE term = '{RPN_QUERY[1]}')
+            INTERSECT
+            SELECT doc_id FROM postings WHERE term = '{RPN_QUERY[3]}'
+        )
+        ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "inverted_index": inverted_index,
+    "boolean_retrieval": boolean_retrieval,
+}
