@@ -1,0 +1,201 @@
+"""Multi-source personalized PageRank (reference a4).
+
+Reference shape: a 608-line MapReduce job pair
+(RunPersonalizedPageRankBasic.java) cycling `PageRankNode` records —
+a tagged union multiplexing structure + mass messages through one
+shuffle — with log-space mass arithmetic, side-file dangling-mass
+accounting, and a NonSplitable input format to preserve partitioning
+across iterations.
+
+Spark-first re-expression:
+- Graph = DataFrame (nid INT, adj ARRAY<INT>); rank state =
+  ARRAY<DOUBLE>, one slot per source (the reference's
+  ArrayListOfFloatsWritable, a4/PageRankNode.java:53-56). The
+  Complete/Mass/Structure tag disappears: structure stays in the
+  cached graph DataFrame and never re-shuffles.
+- Scatter (G3) = explode(adj) + transform(ranks, r -> r/outdeg).
+- Gather (G4) = posexplode + one grouped aggregate building the
+  fixed-width rank array from per-source conditional sums — pure
+  partial aggregation, no collect_list, so high in-degree nodes
+  can't blow a task.
+- Dangling + jump mass (G5/G6): missing_i = 1 − Σ gathered_i,
+  collected driver-side per iteration (the reference's side-file
+  channel, K6); personalized redistribution sends ALL of it to
+  source i: rank_i(src) = α + (1−α)(gathered_i(src) + missing_i).
+- Normal-space doubles, not log-space — the reference's log-space
+  arithmetic produced NaNs per its own marks feedback
+  (assignment4_marks.md).
+
+Scale notes: the graph is repartitioned once on nid and cached
+(reference G2/PartitionGraph); both the per-iteration groupBy(dst)
+and the structure join hash-partition on the same key so the cached
+side never re-shuffles. localCheckpoint every few iterations
+truncates lineage (the reference got this for free by materializing
+to HDFS every job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+ALPHA = 0.15  # jump factor, a4/RunPersonalizedPageRankBasic.java:364
+PR_SOURCES = (0, 1)
+PR_ITERATIONS = 10
+PR_NUM_NODES = 100  # driver-entry graph derived from lineitem keys
+
+
+def parse_adjacency(lines: DataFrame) -> DataFrame:
+    """Parse the reference's text graph format `nodeid n1 n2 ...`
+    (a4/BuildPersonalizedPageRankRecords.java:86-102) into
+    (nid INT, adj ARRAY<INT>). Nodes with no out-edges are bare
+    `nodeid` lines → empty adj."""
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    return lines.where(F.trim("value") != "").select(
+        F.element_at(toks, 1).cast("int").alias("nid"),
+        F.expr(
+            "transform(slice(split(trim(value), '\\\\s+'), 2, 1000000), x -> cast(x as int))"
+        ).alias("adj"),
+    )
+
+
+def personalized_pagerank(
+    graph: DataFrame,
+    sources: tuple[int, ...] = PR_SOURCES,
+    alpha: float = ALPHA,
+    iterations: int = PR_ITERATIONS,
+    checkpoint_every: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Run multi-source personalized PageRank; returns
+    (nid, ranks ARRAY<DOUBLE>) with one probability per source.
+
+    Mass lost to dangling nodes or edges pointing at nonexistent
+    nodes (the reference allows both, see
+    RunPersonalizedPageRankBasic.java:269-277) is swept back to the
+    corresponding source each iteration, so Σ_v rank_i(v) == 1.
+    """
+    spark = graph.sparkSession
+    k = len(sources)
+    if partitions:
+        graph = graph.repartition(partitions, "nid")
+    graph = graph.select("nid", "adj").cache()
+
+    nodes = graph.select(
+        "nid",
+        "adj",
+        F.array(
+            *[
+                F.when(F.col("nid") == s, F.lit(1.0)).otherwise(0.0)
+                for s in sources
+            ]
+        ).alias("ranks"),
+    )
+
+    for it in range(iterations):
+        outdeg = F.size("adj")
+        flat = (
+            nodes.where(outdeg > 0)
+            .select(
+                F.explode("adj").alias("dst"),
+                F.transform("ranks", lambda r: r / outdeg).alias("contrib"),
+            )
+            .select("dst", F.posexplode("contrib").alias("i", "c"))
+        )
+        gathered = flat.groupBy("dst").agg(
+            *[
+                F.sum(F.when(F.col("i") == j, F.col("c")).otherwise(0.0)).alias(
+                    f"g{j}"
+                )
+                for j in range(k)
+            ]
+        )
+        # Driver-side mass audit (reference side-file channel K6/G5):
+        # only gathered mass that landed on real nodes survives.
+        landed = gathered.join(graph, gathered.dst == graph.nid, "left_semi")
+        totals = landed.agg(
+            *[F.sum(f"g{j}").alias(f"t{j}") for j in range(k)]
+        ).collect()[0]
+        missing = [1.0 - (totals[j] or 0.0) for j in range(k)]
+
+        joined = graph.join(gathered, graph.nid == gathered.dst, "left")
+        nodes = joined.select(
+            "nid",
+            "adj",
+            F.array(
+                *[
+                    (
+                        (1.0 - alpha) * F.coalesce(F.col(f"g{j}"), F.lit(0.0))
+                        + F.when(
+                            F.col("nid") == sources[j],
+                            alpha + (1.0 - alpha) * missing[j],
+                        ).otherwise(0.0)
+                    )
+                    for j in range(k)
+                ]
+            ).alias("ranks"),
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            nodes = nodes.localCheckpoint(eager=True)
+
+    return nodes.select("nid", "ranks")
+
+
+def top_nodes_per_source(ranks: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k nodes per source (reference G8/O4: bounded priority
+    queues in mapper cleanup + single reducer → one window)."""
+    from pyspark.sql import Window
+
+    flat = ranks.select("nid", F.posexplode("ranks").alias("source_idx", "rank"))
+    w = Window.partitionBy("source_idx").orderBy(
+        F.desc("rank"), F.asc("nid")
+    )
+    return (
+        flat.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("source_idx", "nid", F.round("rank", 5).alias("rank"))
+        .orderBy("source_idx", "rn")
+    )
+
+
+def lineitem_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic graph derived from testdata: edge
+    (l_orderkey % N) → (l_partkey % N), distinct; all N nodes exist
+    (isolated ones get empty adjacency)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % PR_NUM_NODES).cast("int").alias("src"),
+            (F.col("l_partkey") % PR_NUM_NODES).cast("int").alias("dst"),
+        )
+        .distinct()
+    )
+    adj = edges.groupBy("src").agg(F.array_sort(F.collect_set("dst")).alias("adj"))
+    nodes = spark.range(PR_NUM_NODES).select(F.col("id").cast("int").alias("nid"))
+    return nodes.join(adj, nodes.nid == adj.src, "left").select(
+        "nid", F.coalesce("adj", F.array().cast("array<int>")).alias("adj")
+    )
+
+
+def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry (rows-only check; iterative, not SQL-expressible —
+    correctness pinned by the toy-graph golden test instead)."""
+    graph = lineitem_graph(spark, sf_dir)
+    ranks = personalized_pagerank(graph)
+    out = ranks.select(
+        "nid",
+        *[
+            F.round(F.element_at("ranks", j + 1), 6).alias(f"rank_s{s}")
+            for j, s in enumerate(PR_SOURCES)
+        ],
+    ).orderBy("nid")
+    return out
+
+
+ORACLE_SQL: dict[str, str] = {}  # iterative — golden-tested, rows-only at driver
+
+QUERIES = {
+    "personalized_pagerank": personalized_pagerank_query,
+}

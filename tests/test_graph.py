@@ -1,0 +1,95 @@
+"""Personalized PageRank golden tests (SURVEY §5.2: golden-value pins
+for non-SQL kernels — fixed point on a hand-checkable toy graph vs an
+independent numpy power iteration)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_and_spark_spark.operators import graph as G
+
+# Toy graph (FIXTURES.md §4): 5 nodes, node 3 dangling (no out-edges),
+# node 4 has an edge to nonexistent node 9 (mass vanishes → swept to
+# source).
+TOY = [
+    (0, [1, 2]),
+    (1, [2]),
+    (2, [0, 3]),
+    (3, []),
+    (4, [0, 9]),
+]
+SOURCES = (0, 4)
+ALPHA = 0.15
+
+
+def numpy_ppr(iters: int) -> np.ndarray:
+    """Independent reference: per-source power iteration with all
+    missing mass (dangling + out-of-graph) returned to the source."""
+    nids = [n for n, _ in TOY]
+    idx = {n: i for i, n in enumerate(nids)}
+    ranks = np.zeros((len(SOURCES), len(nids)))
+    for si, s in enumerate(SOURCES):
+        ranks[si][idx[s]] = 1.0
+    for _ in range(iters):
+        new = np.zeros_like(ranks)
+        for n, adj in TOY:
+            if not adj:
+                continue
+            share = ranks[:, idx[n]] / len(adj)
+            for m in adj:
+                if m in idx:
+                    new[:, idx[m]] += share
+        for si, s in enumerate(SOURCES):
+            missing = 1.0 - new[si].sum()
+            new[si] = (1 - ALPHA) * new[si]
+            new[si][idx[s]] += ALPHA + (1 - ALPHA) * missing
+        ranks = new
+    return ranks
+
+
+@pytest.mark.parametrize("iters", [1, 5, 20])
+def test_ppr_matches_numpy(spark, iters):
+    gdf = spark.createDataFrame(TOY, "nid int, adj array<int>")
+    got = G.personalized_pagerank(
+        gdf, sources=SOURCES, alpha=ALPHA, iterations=iters, checkpoint_every=3
+    )
+    rows = {r.nid: r.ranks for r in got.collect()}
+    want = numpy_ppr(iters)
+    nids = [n for n, _ in TOY]
+    for si in range(len(SOURCES)):
+        for i, n in enumerate(nids):
+            assert rows[n][si] == pytest.approx(want[si][i], abs=1e-12)
+        # probability mass conserved per source
+        assert sum(rows[n][si] for n in nids) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_adjacency_parser(spark):
+    lines = spark.createDataFrame(
+        [("1 2 3",), ("2",), ("  ",), ("3 1",)], ["value"]
+    )
+    rows = {r.nid: r.adj for r in G.parse_adjacency(lines).collect()}
+    assert rows == {1: [2, 3], 2: [], 3: [1]}
+
+
+def test_top_nodes_per_source(spark):
+    gdf = spark.createDataFrame(TOY, "nid int, adj array<int>")
+    ranks = G.personalized_pagerank(gdf, sources=SOURCES, iterations=5)
+    top = G.top_nodes_per_source(ranks, k=3).collect()
+    by_src = {}
+    for r in top:
+        by_src.setdefault(r.source_idx, []).append(r.rank)
+    for si, vals in by_src.items():
+        assert vals == sorted(vals, reverse=True)
+        assert len(vals) == 3
+    # source node dominates its own personalized ranking
+    assert top[0].nid == SOURCES[0]
+
+
+def test_ppr_query_runs(spark, sf_dir):
+    df = G.personalized_pagerank_query(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == G.PR_NUM_NODES
+    s0 = sum(r.rank_s0 for r in rows)
+    assert s0 == pytest.approx(1.0, abs=1e-3)
