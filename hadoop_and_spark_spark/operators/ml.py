@@ -1,0 +1,272 @@
+"""Spam classifier (reference a6): online logistic regression.
+
+Reference shape: TrainSpamClassifier.scala forces the whole dataset
+through one `groupByKey(1)` group and runs a sequential SGD pass in
+a closure (order-sensitive by design); ApplySpamClassifier broadcasts
+the weight map and scores row-at-a-time; the ensemble loads three
+models and combines by average or vote.
+
+Spark-first re-expression:
+- Training is the one genuinely non-relational kernel in the whole
+  reference surface (SURVEY §2.12): a single-partition Arrow-batched
+  ``mapInPandas`` pass that streams batches through a running weight
+  dict — the only place Python touches row data, and it touches each
+  row exactly once.
+- Scoring is relational: explode(features) ⋈ broadcast(model) →
+  grouped sum. No UDF.
+- The driver-checked scoring/ensemble entries use arithmetic
+  ("Knuth-hash") weight models so the DuckDB oracle can reproduce
+  them exactly; scores are summed in INTEGER space (weight = w/500)
+  so the order-insensitive compare is immune to FP summation order.
+
+Scale notes: sequential SGD fundamentally doesn't parallelize —
+at 100 TB you train per-shard models and ensemble them (exactly the
+reference's a6 ensemble design, and our ``train_sharded``). Scoring
+is a broadcast join + partial-agg sum: embarrassingly parallel.
+
+Instances are derived deterministically from the documents table
+(FIXTURES.md §5): label = spam iff the doc contains the marker
+token, features = hashed distinct tokens — linearly separable, so
+trained-model AUC pins near 1.0 in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import tokenize
+
+DELTA = 0.002  # SGD step, a6/TrainSpamClassifier.scala:88
+SPAM_MARKER = "spark"
+N_FEATURES = 1009
+ENSEMBLE_MULTS = (2654435761, 2246822519, 3266489917)
+
+# Feature id from cheap char arithmetic (NOT a quality hash — chosen
+# because Spark SQL and DuckDB can both compute it exactly, which is
+# what makes the scoring oracle possible).
+_FEATURE_EXPR = (
+    "array_distinct(transform(toks, t -> cast((length(t)*961 + ascii(substr(t,1,1))*31"
+    f" + ascii(substr(t, length(t), 1))) % {N_FEATURES} as int)))"
+)
+_FEATURE_SQL = (
+    "list_distinct(list_transform(toks, t -> (length(t)*961 + ascii(t[1])*31"
+    f" + ascii(t[length(t)])) % {N_FEATURES}))"
+)
+
+
+def spam_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(docid, label, features ARRAY<INT>) — the reference's
+    whitespace instance format (a6/TrainSpamClassifier.scala:72-79)
+    derived from documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id").alias("docid"), tokenize("text").alias("toks"))
+        .select(
+            "docid",
+            F.when(F.array_contains("toks", SPAM_MARKER), "spam")
+            .otherwise("ham")
+            .alias("label"),
+            F.expr(_FEATURE_EXPR).alias("features"),
+        )
+    )
+
+
+def train_spam_classifier(
+    instances: DataFrame,
+    delta: float = DELTA,
+    shuffle_seed: int | None = None,
+    epochs: int = 1,
+) -> DataFrame:
+    """Sequential SGD logistic regression → model (feature, weight).
+
+    Mirrors a6/TrainSpamClassifier.scala:52-101: single sequential
+    pass, score = Σ w[f], p = 1/(1+e^-score), w[f] += (y−p)·δ.
+    ``shuffle_seed`` reproduces the a6 Q5 shuffled-training variant
+    (orderBy(rand(seed)), a6/TrainSpamClassifier.scala:63-68);
+    default is docid order for determinism. ``epochs`` > 1 replays
+    the stream (extension beyond the reference's single pass).
+    """
+    import math
+
+    inst = instances.select("docid", "label", "features")
+    inst = (
+        inst.orderBy(F.rand(shuffle_seed))
+        if shuffle_seed is not None
+        else inst.orderBy("docid")
+    )
+
+    def sgd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w: dict[int, float] = {}
+        # Buffer the (single coalesced) partition so multi-epoch
+        # replay never re-reads from Spark; one epoch streams.
+        buffered = list(batches) if epochs > 1 else batches
+        for _ in range(epochs):
+            for pdf in buffered if epochs > 1 else batches:
+                for label, feats in zip(pdf["label"], pdf["features"]):
+                    score = sum(w.get(int(f), 0.0) for f in feats)
+                    p = 1.0 / (1.0 + math.exp(-score))
+                    y = 1.0 if label == "spam" else 0.0
+                    for f in feats:
+                        w[int(f)] = w.get(int(f), 0.0) + (y - p) * delta
+        yield pd.DataFrame(
+            {"feature": list(w.keys()), "weight": list(w.values())}
+        )
+
+    # coalesce(1) preserves the global sort (partitions merge in
+    # order); the entire pass is one Arrow stream through Python.
+    return inst.coalesce(1).mapInPandas(sgd, "feature int, weight double")
+
+
+def score_with_model(instances: DataFrame, model: DataFrame) -> DataFrame:
+    """Relational scoring (a6/ApplySpamClassifier.scala:48-83):
+    explode features, broadcast-join the weight table, sum per doc.
+    Docs whose features all miss the model score 0."""
+    feats = instances.select("docid", "label", F.explode("features").alias("feature"))
+    scored = (
+        feats.join(F.broadcast(model), "feature", "left")
+        .groupBy("docid", "label")
+        .agg(F.sum(F.coalesce("weight", F.lit(0.0))).alias("score"))
+    )
+    return scored.select(
+        "docid",
+        "label",
+        "score",
+        F.when(F.col("score") > 0, "spam").otherwise("ham").alias("prediction"),
+    )
+
+
+def train_sharded(
+    instances: DataFrame, n_shards: int = 3, delta: float = DELTA
+) -> list[DataFrame]:
+    """Per-shard models for the ensemble (reference part-00000/1/2,
+    a6/ApplyEnsembleSpamClassifier.scala:54-70); shard = docid % n."""
+    return [
+        train_spam_classifier(
+            instances.where(F.col("docid") % n_shards == i), delta=delta
+        )
+        for i in range(n_shards)
+    ]
+
+
+# --- driver-checked entries (arithmetic model, integer-exact) ---
+
+
+def _int_weight(col, mult: int):
+    """Integer weight in [-500, 500]: (f*mult) % 1001 - 500."""
+    return (col * F.lit(mult)) % 1001 - 500
+
+
+def spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every doc against the deterministic arithmetic model.
+
+    Integer-space sum (exact) → /500.0 at the end, so Spark and the
+    oracle agree bit-for-bit regardless of aggregation order.
+    """
+    inst = spam_instances(spark, sf_dir)
+    feats = inst.select("docid", "label", F.explode("features").alias("f"))
+    return (
+        feats.groupBy("docid", "label")
+        .agg(F.sum(_int_weight(F.col("f"), ENSEMBLE_MULTS[0])).alias("s"))
+        .select(
+            "docid",
+            "label",
+            F.round(F.col("s") / 500.0, 4).alias("score"),
+            F.when(F.col("s") > 0, "spam").otherwise("ham").alias("prediction"),
+        )
+        .orderBy("docid")
+    )
+
+
+def spam_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three arithmetic models combined by average and by ±1 vote
+    (a6/ApplyEnsembleSpamClassifier.scala:71-108)."""
+    inst = spam_instances(spark, sf_dir)
+    feats = inst.select("docid", "label", F.explode("features").alias("f"))
+    sums = feats.groupBy("docid", "label").agg(
+        *[
+            F.sum(_int_weight(F.col("f"), m)).alias(f"s{i}")
+            for i, m in enumerate(ENSEMBLE_MULTS)
+        ]
+    )
+    vote = sum(
+        F.when(F.col(f"s{i}") > 0, 1).otherwise(-1)
+        for i in range(len(ENSEMBLE_MULTS))
+    )
+    avg = (F.col("s0") + F.col("s1") + F.col("s2")) / (500.0 * len(ENSEMBLE_MULTS))
+    return sums.select(
+        "docid",
+        "label",
+        F.round(avg, 4).alias("avg_score"),
+        vote.alias("vote"),
+        F.when(avg > 0, "spam").otherwise("ham").alias("pred_avg"),
+        F.when(vote > 0, "spam").otherwise("ham").alias("pred_vote"),
+    ).orderBy("docid")
+
+
+def spam_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-model driver entry (rows-only: order-sensitive SGD is
+    not SQL-expressible; quality pinned by the AUC test instead)."""
+    model = train_spam_classifier(spam_instances(spark, sf_dir))
+    return model.select("feature", F.round("weight", 6).alias("weight")).orderBy(
+        "feature"
+    )
+
+
+_INST_CTE = f"""
+    WITH inst AS (
+        SELECT doc_id AS docid,
+               CASE WHEN list_contains(toks, '{SPAM_MARKER}') THEN 'spam'
+                    ELSE 'ham' END AS label,
+               {_FEATURE_SQL} AS features
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+            FROM documents
+        )
+    ),
+    feats AS (SELECT docid, label, unnest(features) AS f FROM inst)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "spam_score": _INST_CTE
+    + f"""
+        SELECT docid, label,
+               round(sum((f * {ENSEMBLE_MULTS[0]}) % 1001 - 500) / 500.0, 4) AS score,
+               CASE WHEN sum((f * {ENSEMBLE_MULTS[0]}) % 1001 - 500) > 0
+                    THEN 'spam' ELSE 'ham' END AS prediction
+        FROM feats GROUP BY docid, label ORDER BY docid
+    """,
+    "spam_ensemble": _INST_CTE
+    + f"""
+        , sums AS (
+            SELECT docid, label,
+                   sum((f * {ENSEMBLE_MULTS[0]}) % 1001 - 500) AS s0,
+                   sum((f * {ENSEMBLE_MULTS[1]}) % 1001 - 500) AS s1,
+                   sum((f * {ENSEMBLE_MULTS[2]}) % 1001 - 500) AS s2
+            FROM feats GROUP BY docid, label
+        )
+        SELECT docid, label,
+               round((s0 + s1 + s2) / 1500.0, 4) AS avg_score,
+               (CASE WHEN s0 > 0 THEN 1 ELSE -1 END
+                + CASE WHEN s1 > 0 THEN 1 ELSE -1 END
+                + CASE WHEN s2 > 0 THEN 1 ELSE -1 END) AS vote,
+               CASE WHEN (s0 + s1 + s2) > 0 THEN 'spam' ELSE 'ham' END AS pred_avg,
+               CASE WHEN (CASE WHEN s0 > 0 THEN 1 ELSE -1 END
+                          + CASE WHEN s1 > 0 THEN 1 ELSE -1 END
+                          + CASE WHEN s2 > 0 THEN 1 ELSE -1 END) > 0
+                    THEN 'spam' ELSE 'ham' END AS pred_vote
+        FROM sums ORDER BY docid
+    """,
+}
+
+QUERIES = {
+    "spam_score": spam_score,
+    "spam_ensemble": spam_ensemble,
+    "spam_train": spam_train_query,
+}

@@ -1,0 +1,97 @@
+"""Spam classifier tests: oracle compare for scoring, golden AUC pin
+for the order-sensitive SGD kernel (SURVEY §5.2 item 2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_and_spark_spark.operators import ml
+from hadoop_and_spark_spark.oracle import compare
+
+
+@pytest.mark.parametrize("name", ["spam_score", "spam_ensemble"])
+def test_ml_vs_oracle(spark, sf_dir, name):
+    ok, msg = compare(spark, sf_dir, ml.QUERIES[name], ml.ORACLE_SQL[name])
+    assert ok, f"{name}: {msg}"
+
+
+def auc(scored) -> float:
+    """1 - ROCA counterpart of spam_eval.sh/compute_spam_metrics.c:
+    plain rank-sum AUC, no sklearn."""
+    pairs = sorted((r.score, r.label) for r in scored)
+    n_pos = sum(1 for _, l in pairs if l == "spam")
+    n_neg = len(pairs) - n_pos
+    rank_sum = sum(i + 1 for i, (_, l) in enumerate(pairs) if l == "spam")
+    return (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+
+def test_sgd_toy_separable_auc1(spark):
+    """FIXTURES.md §5 golden pin: a linearly separable toy set must
+    reach AUC ≈ 1 after one sequential pass regardless of order."""
+    rows = []
+    for i in range(200):
+        spam = i % 2 == 0
+        feats = [1, 3] if spam else [2, 3]
+        rows.append((i, "spam" if spam else "ham", feats))
+    inst = spark.createDataFrame(
+        rows, "docid long, label string, features array<int>"
+    )
+    model = ml.train_spam_classifier(inst)
+    scored = ml.score_with_model(inst, model).collect()
+    assert auc(scored) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_sgd_trains_corpus(spark, sf_dir):
+    """Corpus-derived instances: the marker feature separates, but
+    score correlates with doc length (reference semantics — sum of
+    per-feature weights), so pin a realistic bar and check epochs
+    improve it."""
+    inst = ml.spam_instances(spark, sf_dir).cache()
+    one = auc(ml.score_with_model(inst, ml.train_spam_classifier(inst)).collect())
+    multi = auc(
+        ml.score_with_model(
+            inst, ml.train_spam_classifier(inst, epochs=5)
+        ).collect()
+    )
+    assert one > 0.8
+    assert multi > one
+
+
+def test_sgd_deterministic(spark, sf_dir):
+    m1 = {r.feature: r.weight for r in ml.spam_train_query(spark, sf_dir).collect()}
+    m2 = {r.feature: r.weight for r in ml.spam_train_query(spark, sf_dir).collect()}
+    assert m1 == m2 and len(m1) > 0
+
+
+def test_shuffled_training_changes_model(spark, sf_dir):
+    """a6 Q5: shuffled training order produces a different (but still
+    useful) model — order sensitivity is real."""
+    inst = ml.spam_instances(spark, sf_dir).cache()
+    base = {r.feature: r.weight for r in ml.train_spam_classifier(inst).collect()}
+    shuf = {
+        r.feature: r.weight
+        for r in ml.train_spam_classifier(inst, shuffle_seed=42).collect()
+    }
+    assert base != shuf
+    scored = ml.score_with_model(inst, ml.train_spam_classifier(inst, shuffle_seed=42))
+    assert auc(scored.collect()) > 0.8
+
+
+def test_ensemble_sharded_models(spark, sf_dir):
+    inst = ml.spam_instances(spark, sf_dir).cache()
+    models = ml.train_sharded(inst, n_shards=3)
+    assert len(models) == 3
+    # average-combine the three shard models relationally
+    scores = None
+    for i, m in enumerate(models):
+        s = ml.score_with_model(inst, m).select(
+            "docid", "label", F.col("score").alias(f"score{i}")
+        )
+        scores = s if scores is None else scores.join(s, ["docid", "label"])
+    combined = scores.select(
+        "docid",
+        "label",
+        ((F.col("score0") + F.col("score1") + F.col("score2")) / 3).alias("score"),
+    )
+    assert auc(combined.collect()) > 0.8
