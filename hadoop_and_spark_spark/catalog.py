@@ -46,11 +46,48 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the parquet; with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as int64
+        # nanos — convert to a real timestamp (microsecond).
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a file-source stream (ts normalized the same
+    way as the batch load).
+
+    The file stream source requires a directory; the testdata ships
+    a single parquet file, so it is staged via symlink into a temp
+    dir (testdata itself is read-only).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(src).schema
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -20,6 +20,7 @@ from .catalog import TABLES, table_path
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    con.execute("SET timezone = 'UTC'")
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"

@@ -1,0 +1,179 @@
+"""Windowed event analytics (reference a7, batch-checkable forms).
+
+The reference runs DStream jobs — `reduceByKeyAndWindow` with an
+inverse function, manual-clock micro-batches — whose *semantics* are
+plain event-time tumbling windows. Each query here is expressed
+once over the batch `events` table (DuckDB-checkable, the driver
+gate) and once as a Structured Streaming pipeline
+(`streaming_windowed_counts`) used by the streaming tests; both
+share the same aggregation expression, so the batch oracle checks
+the streaming logic too.
+
+Mapping (SURVEY §2.9):
+- T2 EventCount: tumbling 1-hour count over everything.
+- T3 RegionEventCount: keyed tumbling 10-minute counts after a
+  classification projection (events stand in for the taxi feed;
+  the geo variant lives in sources/taxi.py).
+- T5 TrendingArrivals: batch re-expression via lag() — alert when
+  cur >= 2*prev and cur >= 10 (a7/TrendingArrivals.scala:53); the
+  stateful streaming twin is streaming/trending.py.
+- T4 (inverse-function window optimization) is internal to the
+  Structured Streaming state store — nothing to write.
+
+Scale notes: tumbling-window groupBy is a single shuffle keyed
+(key, window); with a watermark the state store evicts closed
+windows, so unbounded streams run in bounded memory. Late data is
+handled by `withWatermark` (absent in the reference — its manual
+clock made lateness impossible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+TREND_FACTOR = 2  # cur >= 2*prev, a7/TrendingArrivals.scala:53
+TREND_MIN = 10  # and cur >= 10
+
+_WINDOW_FMT = "yyyy-MM-dd HH:mm"
+
+
+def _classify(col):
+    """Stand-in for the taxi bbox dispatch: map event_type to a
+    coarse region so the keyed-window query has the reference shape."""
+    return (
+        F.when(col.isin("purchase", "signup"), "conversion")
+        .when(col.isin("click", "view"), "engagement")
+        .otherwise("other")
+    )
+
+
+def event_count_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: tumbling 1-hour event counts (EventCount.scala:66-70)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), _WINDOW_FMT).alias("window_start"),
+            "cnt",
+        )
+        .orderBy("window_start")
+    )
+
+
+def region_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: keyed tumbling 10-minute counts after classification
+    (RegionEventCount.scala:77-114)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(_classify(F.col("event_type")).alias("region"), "ts")
+        .groupBy("region", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "region",
+            F.date_format(F.col("w.start"), _WINDOW_FMT).alias("window_start"),
+            "cnt",
+        )
+        .orderBy("region", "window_start")
+    )
+
+
+def trending_arrivals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch twin: per-type hourly counts, alert when a window at
+    least doubles the previous existing window and reaches the floor
+    (TrendingArrivals.scala:47-68 semantics on event time; the
+    reference's 10-minute window is widened to 1 hour because the
+    events table averages <1 event per type per 10 minutes — the
+    alert rule constants are unchanged)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "event_type", F.window("ts", "1 hour").alias("w")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select("event_type", F.col("w.start").alias("ws"), "cnt")
+    )
+    lagw = Window.partitionBy("event_type").orderBy("ws")
+    return (
+        counts.withColumn("prev", F.lag("cnt").over(lagw))
+        .where(
+            (F.col("cnt") >= TREND_MIN)
+            & (F.col("prev").isNotNull())
+            & (F.col("cnt") >= TREND_FACTOR * F.col("prev"))
+        )
+        .select(
+            "event_type",
+            F.date_format("ws", _WINDOW_FMT).alias("window_start"),
+            "cnt",
+            "prev",
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+def streaming_windowed_counts(
+    events_stream: DataFrame,
+    key_col: str | None = "event_type",
+    window_len: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """The same keyed tumbling-window count as a streaming plan
+    (IncrementalExecution handles the inverse-function optimization
+    the reference hand-specified, T4)."""
+    ev = events_stream.withWatermark("ts", watermark)
+    keys = [F.col(key_col)] if key_col else []
+    return (
+        ev.groupBy(*keys, F.window("ts", window_len).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            *([F.col(key_col)] if key_col else []),
+            F.col("w.start").alias("window_start"),
+            "cnt",
+        )
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "event_count_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+               count(*) AS cnt
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "region_event_count": """
+        SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                    WHEN event_type IN ('click', 'view') THEN 'engagement'
+                    ELSE 'other' END AS region,
+               strftime(time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP),
+                        '%Y-%m-%d %H:%M') AS window_start,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "trending_arrivals_batch": f"""
+        WITH counts AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS ws,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, ws, cnt,
+                   lag(cnt) OVER (PARTITION BY event_type ORDER BY ws) AS prev
+            FROM counts
+        )
+        SELECT event_type, strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+               cnt, prev
+        FROM lagged
+        WHERE cnt >= {TREND_MIN} AND prev IS NOT NULL
+          AND cnt >= {TREND_FACTOR} * prev
+        ORDER BY event_type, window_start
+    """,
+}
+
+QUERIES = {
+    "event_count_hourly": event_count_hourly,
+    "region_event_count": region_event_count,
+    "trending_arrivals_batch": trending_arrivals_batch,
+}

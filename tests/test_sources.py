@@ -1,0 +1,76 @@
+"""Source/format parity tests: pipe-delimited .tbl and taxi CSV
+readers against the reference's own fixture files (read-only)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hadoop_and_spark_spark.sources.taxi import (
+    CITIGROUP,
+    GOLDMAN,
+    classify_region,
+    read_taxi_csv,
+)
+from hadoop_and_spark_spark.sources.tbl import read_tbl
+
+TXT_DIR = "/root/reference/TPC-H-0.1-TXT"
+TAXI_DIR = "/root/reference/taxi-data"
+
+
+@pytest.mark.skipif(not os.path.isdir(TXT_DIR), reason="reference fixtures absent")
+def test_read_tbl_nation(spark):
+    df = read_tbl(spark, f"{TXT_DIR}/nation.tbl", "nation")
+    rows = df.orderBy("n_nationkey").collect()
+    assert len(rows) == 25
+    assert rows[0].n_nationkey == 0 and rows[0].n_name == "ALGERIA"
+    assert rows[0].n_regionkey == 0
+    # trailing '|' must not leak a phantom column
+    assert "_trailing" not in df.columns
+
+
+@pytest.mark.skipif(not os.path.isdir(TXT_DIR), reason="reference fixtures absent")
+def test_read_tbl_typed_pruned(spark):
+    """Projection through the reader must prune to the named columns
+    and produce real numeric types (no ordinal access)."""
+    df = read_tbl(spark, f"{TXT_DIR}/supplier.tbl", "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    r = df.orderBy("s_suppkey").first()
+    assert isinstance(r.s_suppkey, int)
+    assert isinstance(r.s_acctbal, float)
+
+
+@pytest.mark.skipif(not os.path.isdir(TAXI_DIR), reason="taxi fixtures absent")
+def test_taxi_read_and_classify(spark):
+    df = read_taxi_csv(spark, f"{TAXI_DIR}/part-2015-12-01-00*.csv")
+    out = classify_region(df)
+    rows = out.limit(500).collect()
+    assert {r.color for r in rows} <= {"yellow", "green"}
+    assert all(r.region in ("goldman", "citigroup", "other") for r in rows)
+    # color-dependent coordinate dispatch produces plausible NYC
+    # coords for the vast majority (real data has 0.0 = missing GPS)
+    coords = [r for r in rows if r.dropoff_lon is not None]
+    plausible = [r for r in coords if -75 < r.dropoff_lon < -72]
+    assert coords and len(plausible) / len(coords) > 0.9
+
+
+def test_bbox_edges(spark):
+    """Strict-inequality bounds (RegionEventCount.scala:93-107): a
+    point exactly on the boundary is NOT inside."""
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.sources.taxi import in_bbox
+
+    df = spark.createDataFrame(
+        [
+            (GOLDMAN[0], GOLDMAN[2]),  # exact corner → outside
+            ((GOLDMAN[0] + GOLDMAN[1]) / 2, (GOLDMAN[2] + GOLDMAN[3]) / 2),
+        ],
+        ["lon", "lat"],
+    )
+    got = df.select(
+        in_bbox(F.col("lon"), F.col("lat"), GOLDMAN).alias("inside")
+    ).collect()
+    assert [r.inside for r in got] == [False, True]

@@ -1,0 +1,120 @@
+"""Streaming tests: batch-window oracles, Structured Streaming
+equivalence (availableNow + memory sink), multi-batch stateful trend
+detection via file replay (the reference's manual-clock harness
+re-expressed, SURVEY §5.2 item 4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_and_spark_spark.catalog import load_table
+from hadoop_and_spark_spark.oracle import compare
+from hadoop_and_spark_spark.sources.mock_stream import (
+    read_replay_stream,
+    write_replay_files,
+)
+from hadoop_and_spark_spark.streaming import windows as W
+
+
+@pytest.mark.parametrize("name", sorted(W.QUERIES))
+def test_windows_vs_oracle(spark, sf_dir, name):
+    ok, msg = compare(spark, sf_dir, W.QUERIES[name], W.ORACLE_SQL[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """availableNow streaming windowed counts == batch aggregation."""
+    from hadoop_and_spark_spark.catalog import load_events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    stream = load_events_stream(spark, sf_dir)
+    out = W.streaming_windowed_counts(stream, key_col="event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.window_start, r.cnt)
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    want = {
+        (r.event_type, r.ws, r.cnt)
+        for r in ev.groupBy(
+            "event_type", F.window("ts", "10 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select("event_type", F.col("w.start").alias("ws"), "cnt")
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_trending_stateful_multi_batch(spark, tmp_path):
+    """Scripted burst: batch counts per key 4 → 20 → 21 must alert
+    exactly at the 20 batch (20 >= 2*4 and >= 10), mirroring
+    TrendingArrivals.scala:53 semantics across micro-batches."""
+    from hadoop_and_spark_spark.streaming.trending import trending_stream
+
+    # three replay files = three micro-batches for key 'k'
+    rows = []
+    counts = [4, 20, 21]
+    t0 = 1_700_000_000
+    for b, n in enumerate(counts):
+        for i in range(n):
+            rows.append((t0 + b * 60 + i % 50, "k"))
+    df = spark.createDataFrame(rows, "epoch long, event_type string").select(
+        F.timestamp_seconds("epoch").alias("ts"), "event_type"
+    )
+    replay_dir = str(tmp_path / "replay")
+    batches = [
+        df.where(
+            (F.unix_timestamp("ts") >= t0 + b * 60)
+            & (F.unix_timestamp("ts") <= t0 + b * 60 + 59)
+        )
+        for b in range(len(counts))
+    ]
+    from hadoop_and_spark_spark.sources.mock_stream import write_scripted_batches
+
+    write_scripted_batches(batches, replay_dir)
+
+    stream = read_replay_stream(spark, replay_dir, df.schema)
+    out = trending_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trends")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r.cnt, r.prev, r.trending)
+        for r in spark.sql("select * from trends order by prev").collect()
+    ]
+    assert got == [(4, 0, False), (20, 4, True), (21, 20, False)]
+
+
+def test_replay_files_time_ordered(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    out = str(tmp_path / "rp")
+    n = write_replay_files(ev, "ts", out, n_files=4)
+    assert n == 4
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    prev_max = None
+    for f in files:
+        pdf = spark.read.parquet(f).agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        if prev_max is not None:
+            assert pdf.lo >= prev_max
+        prev_max = pdf.hi
