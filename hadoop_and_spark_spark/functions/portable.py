@@ -1,0 +1,134 @@
+"""Portable (Spark ⇄ DuckDB) deterministic hashing primitives.
+
+The hash-based dedup/similarity operators (MinHash, SimHash,
+hyperplane LSH) need the *same* hash values on both sides of the
+differential-test harness, or the oracle can never hash-match. Spark's
+``hash``/``xxhash64`` and DuckDB's ``hash`` are different functions, so
+instead every hash here is defined as plain 64-bit integer arithmetic
+over character codes — expressible identically as a Spark ``Column``
+tree (JVM-side, codegen'd, no Python UDF) and as a DuckDB SQL string.
+
+Primitives:
+- ``poly_hash`` / ``poly_hash_sql``: left-fold h = (h*31 + ascii(c)) % P
+  over the characters of a string (the classic Java ``String.hashCode``
+  shape, mod a prime so products never overflow int64).
+- ``affine_perms``: K fixed pseudo-random (a, b) pairs from a splitmix-
+  style LCG evaluated *in Python at import time* — the constants are
+  embedded as literals in both engines' expressions, so there is no
+  runtime randomness anywhere (Date.now/random-free by construction).
+- ``hyperplanes``: deterministic pseudo-random projection vectors for
+  sign-LSH over embeddings, same trick.
+
+Every fold is a *left* fold in a defined element order in both engines
+(`aggregate` in Spark, ``list_reduce`` with a prepended zero in DuckDB),
+so double-precision results are bit-identical, not merely close.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Prime modulus: acc < P ⇒ acc*31 + 255 < 3.2e10 ≪ 2^63, no overflow.
+HASH_P = 1_000_000_007
+
+_LCG_MULT = 6364136223846793005
+_LCG_INC = 1442695040888963407
+_LCG_MOD = 1 << 63
+
+
+def _lcg_stream(seed: int):
+    x = seed
+    while True:
+        x = (x * _LCG_MULT + _LCG_INC) % _LCG_MOD
+        yield x
+
+
+def affine_perms(k: int, seed: int = 1) -> list[tuple[int, int]]:
+    """K fixed (a, b) pairs for g(h) = (a*h + b) % HASH_P.
+
+    a ∈ [1, P-1], b ∈ [0, P-1]; a*h < P² ≈ 1e18 < 2^63, overflow-safe.
+    """
+    gen = _lcg_stream(seed)
+    out = []
+    for _ in range(k):
+        a = next(gen) % (HASH_P - 1) + 1
+        b = next(gen) % HASH_P
+        out.append((a, b))
+    return out
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane normals in [-0.5, 0.5)^dim
+    for sign-LSH (random-projection cosine sketch)."""
+    gen = _lcg_stream(seed)
+    return [
+        [(next(gen) % 1_000_003) / 1_000_003.0 - 0.5 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def let_col(value: Column, body) -> Column:
+    """let-binding for Column expressions: evaluate ``value`` ONCE per
+    row, bind it as a higher-order-function lambda variable, and build
+    ``body`` over the variable.
+
+    Why: Catalyst's CollapseProject merges adjacent projections by
+    textual substitution, so a column referenced N times in the next
+    projection is *re-evaluated* N times at runtime (higher-order
+    functions are interpreted — no common-subexpression elimination).
+    For sketch pipelines (base hashes → 64-slot signature → 16 band
+    keys) that collapse is multiplicative and catastrophic. Wrapping
+    the value in a single-element array and accessing it through
+    ``transform``'s NamedLambdaVariable forces exactly-once evaluation
+    regardless of how projections get collapsed.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
+def poly_hash(col: Column | str) -> Column:
+    """h = foldl (acc*31 + ascii(c)) % HASH_P over characters (Spark)."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % HASH_P,
+    )
+
+
+def poly_hash_sql(expr: str) -> str:
+    """Identical fold rendered for DuckDB (prepended 0 = initial acc)."""
+    return (
+        f"list_reduce([0::BIGINT] || list_transform(string_split({expr}, ''), "
+        f"ch -> ascii(ch)::BIGINT), (acc, x) -> (acc * 31 + x) % {HASH_P})"
+    )
+
+
+def affine_apply(h: Column, a: int, b: int) -> Column:
+    return (F.lit(a) * h + F.lit(b)) % HASH_P
+
+
+def affine_apply_sql(h_expr: str, a: int, b: int) -> str:
+    return f"(({a}::BIGINT * {h_expr} + {b}::BIGINT) % {HASH_P})"
+
+
+def dot_fold(xs: Column, ys: Column) -> Column:
+    """Deterministic left-fold dot product in double precision (Spark).
+
+    Identical element order and IEEE ops to ``dot_fold_sql`` ⇒
+    bit-identical results across engines.
+    """
+    prods = F.zip_with(xs, ys, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_fold_sql(xs_expr: str, ys_expr: str, dim: int) -> str:
+    return (
+        f"list_reduce([0.0::DOUBLE] || list_transform(range(1, {dim + 1}), "
+        f"i -> {xs_expr}[i]::DOUBLE * {ys_expr}[i]::DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def float_list_sql(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) + "::DOUBLE" for v in vals) + "]"

@@ -1,0 +1,85 @@
+"""Differential + property tests for the dedup operator family."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_and_spark_spark.operators import dedup
+from hadoop_and_spark_spark.oracle import compare
+
+
+@pytest.mark.parametrize("name", sorted(dedup.QUERIES))
+def test_dedup_vs_oracle(spark, sf_dir, name):
+    ok, msg = compare(spark, sf_dir, dedup.QUERIES[name], dedup.ORACLE_SQL[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_minhash_matches_exhaustive(spark, sf_dir):
+    """Verified-LSH must recover the exhaustive Jaccard pair set on
+    this corpus (planted dups sit at ≈0.97, far above the miss zone)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0, "fixture should contain planted near-dups"
+
+
+def test_portable_hash_parity(spark):
+    """poly_hash / affine / dot_fold must be bit-identical across
+    engines — the invariant every LSH oracle depends on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.functions.portable import (
+        dot_fold,
+        dot_fold_sql,
+        float_list_sql,
+        poly_hash,
+        poly_hash_sql,
+    )
+
+    words = ["", "a", "hello world", "Mixed CASE 42!", "räksmörgås"]
+    srows = (
+        spark.createDataFrame([(w,) for w in words], ["w"])
+        .select("w", poly_hash("w").alias("h"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in srows:
+        lit = "'" + r.w.replace("'", "''") + "'"
+        (oh,) = con.execute(f"select {poly_hash_sql(lit)}").fetchone()
+        assert oh == r.h, r.w
+
+    xs, ys = [0.1, -2.5, 3.25, 0.125], [1.5, 2.0, -0.5, 4.0]
+    sv = (
+        spark.createDataFrame([(xs, ys)], ["x", "y"])
+        .select(dot_fold(F.col("x"), F.col("y")).alias("d"))
+        .collect()[0]
+        .d
+    )
+    (dv,) = con.execute(
+        f"select {dot_fold_sql(float_list_sql(xs), float_list_sql(ys), 4)}"
+    ).fetchone()
+    assert sv == dv
+
+
+def test_simhash_banding_is_lossless(spark, sf_dir):
+    """4 bands × 16 bits guarantees every pair with Hamming ≤ 3 shares
+    a band (pigeonhole) — so results are independent of banding. The
+    oracle already brute-forces; here we pin the threshold invariant."""
+    rows = dedup.dedup_simhash(spark, sf_dir).collect()
+    assert all(r.hamming <= dedup.HAMMING_MAX for r in rows)
+    assert dedup.SIMHASH_BANDS > dedup.HAMMING_MAX
+
+
+def test_exact_dedup_covers_all_docs(spark, sf_dir):
+    from hadoop_and_spark_spark.catalog import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    groups = dedup.dedup_exact(spark, sf_dir).collect()
+    assert sum(r.n_copies for r in groups) == n_docs
