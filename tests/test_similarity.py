@@ -1,0 +1,48 @@
+"""Differential + property tests for similarity search."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_and_spark_spark.operators import similarity
+from hadoop_and_spark_spark.oracle import compare
+
+
+@pytest.mark.parametrize("name", sorted(similarity.QUERIES))
+def test_similarity_vs_oracle(spark, sf_dir, name):
+    ok, msg = compare(
+        spark, sf_dir, similarity.QUERIES[name], similarity.ORACLE_SQL[name]
+    )
+    assert ok, f"{name}: {msg}"
+
+
+def test_ivf_is_dominated_by_bruteforce(spark, sf_dir):
+    """ANN invariant: for each query and rank, the IVF hit's cosine
+    can never exceed the exact top-k hit at the same rank (IVF scores
+    a subset of what brute force scores)."""
+    bf = {
+        (r.query_id, r.rank): r.cosine
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.cosine
+        for r in similarity.knn_ivf(spark, sf_dir).collect()
+    }
+    assert ivf, "ivf returned no rows"
+    for key, cos in ivf.items():
+        assert cos <= bf[key] + 1e-9, key
+
+
+def test_ivf_recall_reasonable(spark, sf_dir):
+    """With NPROBE=4 of 16 lists the probed share of the corpus is
+    ~25%; recall@k should beat that handily on clustered data."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_ivf(spark, sf_dir).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"recall {recall:.2f}"
