@@ -132,3 +132,19 @@ def dot_fold_sql(xs_expr: str, ys_expr: str, dim: int) -> str:
 
 def float_list_sql(vals: list[float]) -> str:
     return "[" + ", ".join(repr(v) + "::DOUBLE" for v in vals) + "]"
+
+
+def round6(c: Column) -> Column:
+    """Half-up rounding to 6 decimals via floor arithmetic.
+
+    Engine round() builtins disagree by 1 ulp on exact .xxxxxx5 ties
+    (Spark rounds the decimal rendering, DuckDB the binary double).
+    floor(x*1e6 + 0.5)/1e6 is plain IEEE arithmetic — bit-identical
+    across engines on identical inputs. For non-negative values only
+    (all our ratios/cosines/scores).
+    """
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+def round6_sql(expr: str) -> str:
+    return f"(floor(({expr}) * 1000000 + 0.5) / 1000000)"

@@ -66,6 +66,8 @@ from ..functions.portable import (
     hyperplanes,
     let_col,
     poly_hash,
+    round6,
+    round6_sql,
     poly_hash_sql,
 )
 
@@ -138,7 +140,7 @@ def _verified_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
         .join(b, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(inter.cast("double") / union.cast("double"), 6),
+            round6(inter.cast("double") / union.cast("double")),
         )
         .where(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
@@ -148,15 +150,15 @@ def _verified_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
 
 _VERIFY_SQL = f"""
     SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE,
-                 6) AS jaccard
+           (floor((len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE)
+                 * 1000000 + 0.5) / 1000000) AS jaccard
     FROM cand c
     JOIN sh a ON a.doc_id = c.doc_a
     JOIN sh b ON b.doc_id = c.doc_b
-    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE,
-                6) >= {JACCARD_T}
+    WHERE (floor((len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE)
+                * 1000000 + 0.5) / 1000000) >= {JACCARD_T}
     ORDER BY doc_a, doc_b
 """
 
@@ -212,10 +214,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            round6(
                 F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-                6,
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
             ),
         )
         .where(F.col("jaccard") >= JACCARD_T)
@@ -493,7 +494,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
-        .withColumn("cosine", F.round(cosine, 6))
+        .withColumn("cosine", round6(cosine))
         .where(F.col("cosine") >= COSINE_T)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
@@ -527,13 +528,13 @@ ORACLE_SQL: dict[str, str] = {
     # Independent brute-force implementation (vs Spark's posting join).
     "dedup_ngram_jaccard": _SH_CTE + f"""
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE,
-                     6) AS jaccard
+               (floor((len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE)
+                     * 1000000 + 0.5) / 1000000) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE,
-                    6) >= {JACCARD_T}
+        WHERE (floor((len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE)
+                    * 1000000 + 0.5) / 1000000) >= {JACCARD_T}
         ORDER BY doc_a, doc_b
     """,
     "dedup_minhash_lsh": _SH_CTE.rstrip() + f""",
@@ -580,13 +581,13 @@ ORACLE_SQL: dict[str, str] = {
             WHERE x.vec_id < y.vec_id
         )
         SELECT c.vec_a, c.vec_b,
-               round({dot_fold_sql('a.embedding', 'b.embedding', EMB_DIM)}
-                     / (a.nrm * b.nrm), 6) AS cosine
+               (floor(({dot_fold_sql('a.embedding', 'b.embedding', EMB_DIM)}
+                     / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000) AS cosine
         FROM cand c
         JOIN base a ON a.vec_id = c.vec_a
         JOIN base b ON b.vec_id = c.vec_b
-        WHERE round({dot_fold_sql('a.embedding', 'b.embedding', EMB_DIM)}
-                    / (a.nrm * b.nrm), 6) >= {COSINE_T}
+        WHERE (floor(({dot_fold_sql('a.embedding', 'b.embedding', EMB_DIM)}
+                    / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000) >= {COSINE_T}
         ORDER BY vec_a, vec_b
     """,
 }

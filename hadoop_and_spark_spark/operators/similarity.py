@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import dot_fold, dot_fold_sql
+from ..functions.portable import dot_fold, dot_fold_sql, round6, round6_sql
 
 EMB_DIM = 64
 K_NN = 10
@@ -89,7 +89,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= K_NN)
-        .select("query_id", "rank", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", round6(F.col("cos_raw")).alias("cosine"))
         .orderBy("query_id", "rank")
     )
 
@@ -155,7 +155,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= K_NN)
-        .select("query_id", "rank", "neighbor_id", F.round("cos_raw", 6).alias("cosine"))
+        .select("query_id", "rank", "neighbor_id", round6(F.col("cos_raw")).alias("cosine"))
         .orderBy("query_id", "rank")
     )
 
@@ -188,7 +188,7 @@ ORACLE_SQL: dict[str, str] = {
                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
             FROM scored
         )
-        SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cosine
+        SELECT query_id, rank, neighbor_id, (floor(cos_raw * 1000000 + 0.5) / 1000000) AS cosine
         FROM ranked WHERE rank <= {K_NN}
         ORDER BY query_id, rank
     """,
@@ -224,7 +224,7 @@ ORACLE_SQL: dict[str, str] = {
                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
             FROM scored
         )
-        SELECT query_id, rank, neighbor_id, round(cos_raw, 6) AS cosine
+        SELECT query_id, rank, neighbor_id, (floor(cos_raw * 1000000 + 0.5) / 1000000) AS cosine
         FROM ranked WHERE rank <= {K_NN}
         ORDER BY query_id, rank
     """,

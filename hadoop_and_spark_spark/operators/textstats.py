@@ -1,0 +1,240 @@
+"""Text-analysis operators over ``documents`` (SURVEY §7 M7).
+
+The per-document scoring passes a large-scale training-data pipeline
+runs before filtering/sampling:
+
+- ``langid_heuristic``  — n-gram/stopword-hit language ID over a small
+  per-language lexicon; argmax with deterministic alphabetical
+  tie-break, 'und' when nothing hits. (The testdata's ``lang`` column
+  is random metadata, not derivable from the synthetic text — it is
+  carried through as ``lang_meta`` for inspection, never used.)
+- ``doc_quality``       — length / distinct-ratio / stopword-ratio /
+  alnum-ratio features and a composite quality score.
+- ``token_stats``       — whitespace token count vs a BPE-ish regex
+  token count ([a-z]+ | digit runs | single punctuation), plus
+  chars-per-token.
+- ``winnow_fingerprint``— winnowing document fingerprints (Schleimer
+  et al., SIGMOD'03): rolling poly-hash over char 8-grams, min-hash
+  per sliding window of 4, distinct sorted mins as the fingerprint.
+
+All four are pure built-in-function projections — no UDFs, no
+shuffles except the final orderBy — so they run at scan speed and
+whole-stage codegen keeps them JVM-side. Hashing reuses
+``functions.portable`` so the DuckDB oracle reproduces values
+bit-identically.
+
+Reference parity: tokenizer semantics from bespin Tokenizer
+(a0/WordCount.java:19); everything else is new surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import tokenize, tokenize_sql
+from ..functions.portable import let_col, poly_hash, poly_hash_sql, round6, round6_sql
+
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "zu", "den", "von", "ist"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "los", "en", "es"),
+    "fr": ("le", "la", "les", "de", "et", "des", "un", "est"),
+    "zh": ("de5", "le5", "shi4", "bu4"),  # romanized placeholders
+}
+_LANGS = sorted(STOPWORDS)  # deterministic tie-break order
+
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+FP_K = 8  # char k-gram size
+FP_W = 4  # winnowing window
+
+_TOKS_SQL = tokenize_sql("text")
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _hits_sql(toks_expr: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks_expr}, t -> list_contains([{lst}], t)))"
+
+
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: count per-language lexicon hits over
+    the tokens, pick the max (alphabetical tie-break, 'und' if 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    hit_cols = [_hits(toks, STOPWORDS[lang]).alias(f"h_{lang}") for lang in _LANGS]
+    scored = docs.select("doc_id", F.col("lang").alias("lang_meta"), *hit_cols)
+    mx = F.greatest(*[F.col(f"h_{lang}") for lang in _LANGS])
+    pred = F.when(mx == 0, "und")
+    for lang in _LANGS:
+        pred = pred.when(F.col(f"h_{lang}") == mx, lang)
+    return scored.select(
+        "doc_id",
+        "lang_meta",
+        pred.alias("lang_pred"),
+        mx.alias("hits"),
+    ).orderBy("doc_id")
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    n_tok = F.size(toks).cast("double")
+    n_dist = F.size(F.array_distinct(toks)).cast("double")
+    sw = _hits(toks, STOPWORDS["en"]).cast("double")
+    n_chars = F.length("text").cast("double")
+    alnum = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).cast(
+        "double"
+    )
+    base = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        round6(n_dist / F.greatest(n_tok, F.lit(1.0))).alias("distinct_ratio"),
+        round6(sw / F.greatest(n_tok, F.lit(1.0))).alias("stopword_ratio"),
+        round6(alnum / F.greatest(n_chars, F.lit(1.0))).alias("alnum_ratio"),
+    )
+    score = round6(
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * F.col("distinct_ratio")
+        + 0.2 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+        + 0.1 * F.col("alnum_ratio")
+    )
+    return base.withColumn("quality", score).orderBy("doc_id")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts and chars-per-token."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        round6(
+            F.length("text").cast("double")
+            / F.greatest(ws.cast("double"), F.lit(1.0))
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint: poly-hash every char FP_K-gram, take the
+    min of each FP_W-wide sliding window, dedupe+sort the mins.
+
+    let-bound pipeline (gram hashes → window mins) so CollapseProject
+    cannot re-inline the hash array into every window (see let_col).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - (FP_K - 1), F.lit(1))),
+        lambda i: poly_hash(F.substr(F.col("text"), i, F.lit(FP_K))),
+    )
+    fp = let_col(
+        grams,
+        lambda hs: let_col(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(hs) - (FP_W - 1), F.lit(1))),
+                lambda i: F.array_min(F.slice(hs, i, FP_W)),
+            ),
+            lambda wins: F.array_sort(F.array_distinct(wins)),
+        ),
+    )
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .select(
+            "doc_id",
+            F.size("fp").alias("n_fp"),
+            F.concat_ws(",", F.transform("fp", lambda x: x.cast("string"))).alias(
+                "fingerprint"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _langid_sql() -> str:
+    hits = ", ".join(
+        f"{_hits_sql(_TOKS_SQL, STOPWORDS[lang])} AS h_{lang}" for lang in _LANGS
+    )
+    mx = "greatest(" + ", ".join(f"h_{lang}" for lang in _LANGS) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' "
+    case += " ".join(
+        f"WHEN h_{lang} = {mx} THEN '{lang}'" for lang in _LANGS
+    )
+    case += " END"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang AS lang_meta, {hits} FROM documents
+        )
+        SELECT doc_id, lang_meta, {case} AS lang_pred, {mx} AS hits
+        FROM scored ORDER BY doc_id
+    """
+
+
+_EN_SW_HITS = _hits_sql(_TOKS_SQL, STOPWORDS["en"])
+
+ORACLE_SQL: dict[str, str] = {
+    "langid_heuristic": _langid_sql(),
+    "doc_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   length(text)::DOUBLE AS n_chars,
+                   len({_TOKS_SQL})::DOUBLE AS n_tokens,
+                   {round6_sql(f"len(list_distinct({_TOKS_SQL}))::DOUBLE"
+                               f" / greatest(len({_TOKS_SQL})::DOUBLE, 1.0)")} AS distinct_ratio,
+                   {round6_sql(f"{_EN_SW_HITS}::DOUBLE"
+                               f" / greatest(len({_TOKS_SQL})::DOUBLE, 1.0)")} AS stopword_ratio,
+                   {round6_sql("length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE"
+                               " / greatest(length(text)::DOUBLE, 1.0)")} AS alnum_ratio
+            FROM documents
+        )
+        SELECT *, {round6_sql("0.4 * least(n_tokens / 100.0, 1.0)"
+                              " + 0.3 * distinct_ratio"
+                              " + 0.2 * least(stopword_ratio * 5.0, 1.0)"
+                              " + 0.1 * alnum_ratio")} AS quality
+        FROM base ORDER BY doc_id
+    """,
+    "token_stats": f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws_tokens,
+               len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS bpe_tokens,
+               {round6_sql("length(text)::DOUBLE"
+                           " / greatest(len(list_filter(string_split(text, ' '),"
+                           " t -> t <> ''))::DOUBLE, 1.0)")} AS chars_per_token
+        FROM documents ORDER BY doc_id
+    """,
+    "winnow_fingerprint": f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(length(text) - {FP_K - 2}, 2)),
+                       i -> {poly_hash_sql(f"substr(text, i, {FP_K})")}) AS hs
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       range(1, greatest(len(hs) - {FP_W - 2}, 2)),
+                       i -> list_min(hs[i:i + {FP_W - 1}])))) AS fp
+            FROM hs
+        )
+        SELECT doc_id, len(fp) AS n_fp, array_to_string(fp, ',') AS fingerprint
+        FROM wins ORDER BY doc_id
+    """,
+}
+
+QUERIES = {
+    "langid_heuristic": langid_heuristic,
+    "doc_quality": doc_quality,
+    "token_stats": token_stats,
+    "winnow_fingerprint": winnow_fingerprint,
+}

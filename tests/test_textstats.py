@@ -1,0 +1,50 @@
+"""Differential + property tests for text-analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_and_spark_spark.operators import textstats
+from hadoop_and_spark_spark.oracle import compare
+
+
+@pytest.mark.parametrize("name", sorted(textstats.QUERIES))
+def test_textstats_vs_oracle(spark, sf_dir, name):
+    ok, msg = compare(
+        spark, sf_dir, textstats.QUERIES[name], textstats.ORACLE_SQL[name]
+    )
+    assert ok, f"{name}: {msg}"
+
+
+def test_langid_deterministic_and_total(spark, sf_dir):
+    rows = textstats.langid_heuristic(spark, sf_dir).collect()
+    preds = {r.lang_pred for r in rows}
+    assert preds <= set(textstats._LANGS) | {"und"}
+    assert all(r.hits >= 0 for r in rows)
+
+
+def test_quality_bounded(spark, sf_dir):
+    rows = textstats.doc_quality(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0 + 1e-9, r
+        assert 0.0 <= r.distinct_ratio <= 1.0 + 1e-9, r
+
+
+def test_winnow_fingerprint_detects_near_dups(spark, sf_dir):
+    """Planted near-duplicate docs must share a large fraction of
+    winnowing fingerprints (the property the operator exists for)."""
+    from hadoop_and_spark_spark.operators import dedup
+
+    dup_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    assert dup_pairs
+    fps = {
+        r.doc_id: set(r.fingerprint.split(","))
+        for r in textstats.winnow_fingerprint(spark, sf_dir).collect()
+    }
+    a, b = dup_pairs[0]
+    inter = len(fps[a] & fps[b])
+    union = len(fps[a] | fps[b])
+    assert inter / union >= 0.5, (a, b, inter, union)
