@@ -1,0 +1,218 @@
+"""Multimodal-column plumbing: opaque binary media + typed metadata.
+
+Driver-mandated extension (SURVEY §7 M7): treat image/audio/video as
+opaque ``binary`` columns and run decode / feature-extract /
+frame-sample as Arrow-batched Pandas UDFs (``mapInPandas``).
+
+The container ships no media libraries, so the *decode kernel* is a
+STUB: ``_decode_real`` raises NotImplementedError, and the pipeline
+uses ``_decode_fake`` — a deterministic function of the byte payload
+(documented below) — so the full Spark-side machinery (binary column
+through Arrow, batch iteration, output schema, downstream relational
+ops) is real and oracle-checked end-to-end. Swapping in PIL/ffmpeg is
+a one-function change.
+
+Since the testdata has no media files, media bytes are synthesized as
+``encode(text, 'UTF-8')`` with a media_type assigned by doc_id % 3 —
+again deterministic, so the DuckDB oracle reproduces it with
+``encode()``/``octet_length()``.
+
+Fake-decode contract (n = octet_length(media)):
+- image: width 64+(31n mod 1024), height 64+(17n mod 768), 1 frame
+- audio: duration_ms 10n
+- video: width/height as image, duration_ms 10n, 1+(n mod 30) frames
+- feature = ((2654435761 · n) mod 1000003) / 1000003  (all types)
+
+Scale notes (100 TB of media):
+- ``mapInPandas`` streams Arrow record batches; cap batch bytes via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` when rows carry
+  megabyte blobs so executor memory stays bounded.
+- Decode is embarrassingly parallel — no shuffle anywhere in
+  ``multimodal_decode``; ``multimodal_frames`` adds only an explode
+  (narrow). Partition count follows the parquet splits.
+- Real decoders should be initialized once per worker (module-level
+  lazy init inside the UDF), not per batch.
+
+Reference parity: no multimodal surface exists in the reference; the
+Arrow-batch kernel shape mirrors our SGD trainer (operators/ml.py),
+the only other sanctioned Python-side kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+FEATURE_MOD = 1_000_003
+FEATURE_MULT = 2_654_435_761
+FRAME_STRIDE = 4  # sample every 4th frame
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("feature", T.DoubleType()),
+    ]
+)
+
+_TYPES = ("image", "audio", "video")
+
+
+def _decode_real(media: bytes, media_type: str) -> dict:
+    """Real decoder hook (PIL/soundfile/ffmpeg). Not available in this
+    environment — STUB, clearly marked per the build contract."""
+    raise NotImplementedError(
+        "media decode libraries are not installed; wire PIL/ffmpeg here"
+    )
+
+
+def _decode_fake(n: int, media_type: str) -> tuple[int, int, int, int, float]:
+    """Deterministic stand-in for decode — see module docstring."""
+    width = 64 + (31 * n) % 1024 if media_type in ("image", "video") else 0
+    height = 64 + (17 * n) % 768 if media_type in ("image", "video") else 0
+    duration = 10 * n if media_type in ("audio", "video") else 0
+    if media_type == "video":
+        frames = 1 + n % 30
+    elif media_type == "image":
+        frames = 1
+    else:
+        frames = 0
+    feature = ((FEATURE_MULT * n) % FEATURE_MOD) / float(FEATURE_MOD)
+    return width, height, duration, frames, feature
+
+
+def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """mapInPandas kernel: one Arrow batch in, one metadata batch out.
+
+    Vectorized over the batch; touches the raw bytes only through
+    ``len`` (the fake decode) — a real decoder would iterate
+    ``row.media`` here instead.
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        n = pdf["media"].map(len).astype("int64")
+        mt = pdf["media_type"]
+        is_visual = mt.isin(["image", "video"])
+        is_timed = mt.isin(["audio", "video"])
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "media_type": mt,
+                "n_bytes": n,
+                "width": (64 + (31 * n) % 1024).where(is_visual, 0),
+                "height": (64 + (17 * n) % 768).where(is_visual, 0),
+                "duration_ms": (10 * n).where(is_timed, 0),
+                "n_frames": (1 + n % 30).where(
+                    mt == "video", is_visual.astype("int64")
+                ),
+                "feature": ((FEATURE_MULT * n) % FEATURE_MOD) / float(FEATURE_MOD),
+            }
+        )
+        yield out
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthetic media: binary payload + modality tag."""
+    docs = load_table(spark, sf_dir, "documents")
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in _TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        mt.alias("media_type"),
+    )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode metadata for every media blob via Arrow-batched
+    ``mapInPandas`` (the one genuinely Python-side stage)."""
+    media = _media_table(spark, sf_dir)
+    return media.mapInPandas(_decode_batches, schema=DECODE_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video rows: every FRAME_STRIDE-th frame
+    index with its byte offset — pure relational explode downstream of
+    the decode kernel (JVM-side again)."""
+    meta = multimodal_decode(spark, sf_dir)
+    frames = (
+        meta.where(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "n_frames",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_STRIDE)
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.floor(
+                F.col("frame_idx")
+                * (
+                    F.col("n_bytes").cast("double")
+                    / F.col("n_frames").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("byte_offset"),
+        )
+    )
+    return frames.orderBy("doc_id", "frame_idx")
+
+
+_N = "octet_length(encode(text))::BIGINT"
+_MT = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+ORACLE_SQL: dict[str, str] = {
+    "multimodal_decode": f"""
+        WITH m AS (SELECT doc_id, {_N} AS n, {_MT} AS media_type FROM documents)
+        SELECT doc_id, media_type, n AS n_bytes,
+               CASE WHEN media_type IN ('image','video')
+                    THEN 64 + (31 * n) % 1024 ELSE 0 END AS width,
+               CASE WHEN media_type IN ('image','video')
+                    THEN 64 + (17 * n) % 768 ELSE 0 END AS height,
+               CASE WHEN media_type IN ('audio','video')
+                    THEN 10 * n ELSE 0 END AS duration_ms,
+               CASE media_type WHEN 'video' THEN 1 + n % 30
+                               WHEN 'image' THEN 1 ELSE 0 END AS n_frames,
+               (({FEATURE_MULT}::BIGINT * n) % {FEATURE_MOD})
+                   / {FEATURE_MOD}.0 AS feature
+        FROM m ORDER BY doc_id
+    """,
+    "multimodal_frames": f"""
+        WITH m AS (SELECT doc_id, {_N} AS n FROM documents
+                   WHERE doc_id % 3 = 2),
+        v AS (SELECT doc_id, n, 1 + n % 30 AS n_frames FROM m)
+        SELECT doc_id, unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx,
+               floor(unnest(range(0, n_frames, {FRAME_STRIDE}))
+                     * (n::DOUBLE / n_frames::DOUBLE))::BIGINT AS byte_offset
+        FROM v ORDER BY doc_id, frame_idx
+    """,
+}
+
+QUERIES = {
+    "multimodal_decode": multimodal_decode,
+    "multimodal_frames": multimodal_frames,
+}
