@@ -14,14 +14,15 @@ Spark-first re-expression:
   Complete/Mass/Structure tag disappears: structure stays in the
   cached graph DataFrame and never re-shuffles.
 - Scatter (G3) = explode(adj) + transform(ranks, r -> r/outdeg).
-- Gather (G4) = posexplode + one grouped aggregate building the
-  fixed-width rank array from per-source conditional sums — pure
-  partial aggregation, no collect_list, so high in-degree nodes
-  can't blow a task.
-- Dangling + jump mass (G5/G6): missing_i = 1 − Σ gathered_i,
-  collected driver-side per iteration (the reference's side-file
-  channel, K6); personalized redistribution sends ALL of it to
-  source i: rank_i(src) = α + (1−α)(gathered_i(src) + missing_i).
+- Gather (G4) = one grouped aggregate summing contrib[j] per source
+  over the edge rows — pure partial aggregation, no collect_list and
+  no per-source row blowup, so high in-degree nodes can't blow a
+  task.
+- Dangling + jump mass (G5/G6): missing_i = 1 − Σ gathered_i as a
+  broadcast 1-row aggregate in the data plane (the reference's
+  side-file channel, K6, without the driver round-trip);
+  personalized redistribution sends ALL of it to source i:
+  rank_i(src) = α + (1−α)(gathered_i(src) + missing_i).
 - Normal-space doubles, not log-space — the reference's log-space
   arithmetic produced NaNs per its own marks feedback
   (assignment4_marks.md).
@@ -29,9 +30,10 @@ Spark-first re-expression:
 Scale notes: the graph is repartitioned once on nid and cached
 (reference G2/PartitionGraph); both the per-iteration groupBy(dst)
 and the structure join hash-partition on the same key so the cached
-side never re-shuffles. localCheckpoint every few iterations
-truncates lineage (the reference got this for free by materializing
-to HDFS every job).
+side never re-shuffles. the per-iteration gather is
+eagerly localCheckpoint'ed, which both shares it between the mass
+audit and the rank join and keeps lineage depth constant (the
+reference got this for free by materializing to HDFS every job).
 """
 
 from __future__ import annotations
@@ -66,8 +68,8 @@ def personalized_pagerank(
     sources: tuple[int, ...] = PR_SOURCES,
     alpha: float = ALPHA,
     iterations: int = PR_ITERATIONS,
-    checkpoint_every: int = 4,
     partitions: int | None = None,
+    gather_partitions: int | None = None,
 ) -> DataFrame:
     """Run multi-source personalized PageRank; returns
     (nid, ranks ARRAY<DOUBLE>) with one probability per source.
@@ -96,31 +98,50 @@ def personalized_pagerank(
 
     for it in range(iterations):
         outdeg = F.size("adj")
-        flat = (
-            nodes.where(outdeg > 0)
-            .select(
-                F.explode("adj").alias("dst"),
-                F.transform("ranks", lambda r: r / outdeg).alias("contrib"),
-            )
-            .select("dst", F.posexplode("contrib").alias("i", "c"))
+        # One row per edge carrying the whole per-source contrib
+        # array; the gather sums element j directly (k sums with
+        # map-side partial aggregation) — no posexplode k× row blowup
+        # before the shuffle.
+        flat = nodes.where(outdeg > 0).select(
+            F.explode("adj").alias("dst"),
+            F.transform("ranks", lambda r: r / outdeg).alias("contrib"),
         )
+        # Materialize the gather ONCE per iteration: the mass audit
+        # and the rank join both read it, and the eager
+        # localCheckpoint keeps lineage depth constant across
+        # iterations (nodes ← graph(cached) + gathered(checkpointed)),
+        # so no step ever recomputes prior iterations.
         gathered = flat.groupBy("dst").agg(
             *[
-                F.sum(F.when(F.col("i") == j, F.col("c")).otherwise(0.0)).alias(
-                    f"g{j}"
-                )
+                F.sum(F.element_at("contrib", j + 1)).alias(f"g{j}")
                 for j in range(k)
             ]
         )
-        # Driver-side mass audit (reference side-file channel K6/G5):
-        # only gathered mass that landed on real nodes survives.
+        if gather_partitions:
+            # Small graphs: merge the post-shuffle partitions (narrow
+            # dependency) so each iteration's checkpoint job runs a
+            # handful of tasks instead of spark.sql.shuffle.partitions
+            # of them — pure scheduling overhead at toy scale. Leave
+            # unset at real scale.
+            gathered = gathered.coalesce(gather_partitions)
+        gathered = gathered.localCheckpoint(eager=True)
+        # Mass audit in the data plane (the reference used driver
+        # side-files, K6/G5; an earlier draft used a per-iteration
+        # collect() — a blocking driver round-trip per iteration): the
+        # 1-row total-mass aggregate over mass that landed on real
+        # nodes is broadcast-cross-joined into the rank update, so
+        # each iteration schedules exactly ONE job (the eager
+        # checkpoint) and the audit never leaves the executors.
         landed = gathered.join(graph, gathered.dst == graph.nid, "left_semi")
         totals = landed.agg(
-            *[F.sum(f"g{j}").alias(f"t{j}") for j in range(k)]
-        ).collect()[0]
-        missing = [1.0 - (totals[j] or 0.0) for j in range(k)]
-
-        joined = graph.join(gathered, graph.nid == gathered.dst, "left")
+            *[
+                F.coalesce(F.sum(f"g{j}"), F.lit(0.0)).alias(f"t{j}")
+                for j in range(k)
+            ]
+        )
+        joined = graph.join(gathered, graph.nid == gathered.dst, "left").crossJoin(
+            F.broadcast(totals)
+        )
         nodes = joined.select(
             "nid",
             "adj",
@@ -130,15 +151,13 @@ def personalized_pagerank(
                         (1.0 - alpha) * F.coalesce(F.col(f"g{j}"), F.lit(0.0))
                         + F.when(
                             F.col("nid") == sources[j],
-                            alpha + (1.0 - alpha) * missing[j],
+                            alpha + (1.0 - alpha) * (1.0 - F.col(f"t{j}")),
                         ).otherwise(0.0)
                     )
                     for j in range(k)
                 ]
             ).alias("ranks"),
         )
-        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
-            nodes = nodes.localCheckpoint(eager=True)
 
     return nodes.select("nid", "ranks")
 
@@ -183,7 +202,7 @@ def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry (rows-only check; iterative, not SQL-expressible —
     correctness pinned by the toy-graph golden test instead)."""
     graph = lineitem_graph(spark, sf_dir)
-    ranks = personalized_pagerank(graph)
+    ranks = personalized_pagerank(graph, gather_partitions=4)
     out = ranks.select(
         "nid",
         *[

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
+from ..functions.portable import let_col
 
 PERFECT_MARKER = "spark"  # reference marker word is "perfect" (a0/PerfectX.java:61-72)
 PMI_WINDOW = 40  # first-40-tokens truncation, a1/PairsPMI.java:58
@@ -65,16 +66,26 @@ def perfectx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counts of words that immediately follow the marker word.
 
     Reference: a0/PerfectX.java:61-72 — sequential scan flagging
-    successor tokens. Spark: lag window over (doc, position); no
-    self-join, one shuffle on doc_id.
+    successor tokens. Spark: successors are extracted ARRAY-SIDE
+    (adjacent positions of the token array) and only then exploded —
+    no shuffle of the token stream at all, where a lag-window
+    formulation would exchange+sort every token by doc_id first. The
+    only shuffle left is the final tiny (word, cnt) aggregate.
     """
-    toks = _tokens(spark, sf_dir).select(
-        "doc_id", F.posexplode("toks").alias("pos", "word")
+    succs = let_col(
+        tokenize("text"),
+        lambda toks: F.filter(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.when(a == PERFECT_MARKER, b),
+            ),
+            lambda x: x.isNotNull(),
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        toks.withColumn("prev", F.lag("word").over(w))
-        .where(F.col("prev") == PERFECT_MARKER)
+        docs.select(F.explode(succs).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
         .orderBy("word")
@@ -89,15 +100,25 @@ def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful divide in sorted order (order-inversion). Spark: count
     bigrams, then `sum(cnt) over (partition by a)` — the window
     aggregate replaces the entire marginal/partitioner/sort dance.
+
+    Bigrams are formed ARRAY-SIDE (zip_with over adjacent slices of
+    the token array) instead of a lead-window over posexploded
+    tokens: that removes the exchange+sort of the full token stream
+    by doc_id — at corpus scale the dominant shuffle. The remaining
+    shuffles touch only (a, b, cnt) aggregates (vocabulary-sized).
     """
-    toks = _tokens(spark, sf_dir).select(
-        "doc_id", F.posexplode("toks").alias("pos", "word")
+    pairs = let_col(
+        tokenize("text"),
+        lambda toks: F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    docs = load_table(spark, sf_dir, "documents")
     bigrams = (
-        toks.withColumn("next", F.lead("word").over(w))
-        .where(F.col("next").isNotNull())
-        .groupBy(F.col("word").alias("a"), F.col("next").alias("b"))
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("cnt"))
     )
     wa = Window.partitionBy("a")

@@ -53,7 +53,7 @@ def numpy_ppr(iters: int) -> np.ndarray:
 def test_ppr_matches_numpy(spark, iters):
     gdf = spark.createDataFrame(TOY, "nid int, adj array<int>")
     got = G.personalized_pagerank(
-        gdf, sources=SOURCES, alpha=ALPHA, iterations=iters, checkpoint_every=3
+        gdf, sources=SOURCES, alpha=ALPHA, iterations=iters
     )
     rows = {r.nid: r.ranks for r in got.collect()}
     want = numpy_ppr(iters)
