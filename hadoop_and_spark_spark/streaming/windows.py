@@ -114,6 +114,35 @@ def trending_arrivals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: extract ``props.k`` from the JSON
+    string column and aggregate per event type.
+
+    The reference has no JSON surface (SURVEY §2.8 flags this as the
+    natural extension for the ``events.props`` column); adds
+    get_json_object + count_distinct coverage to the engine. JSON
+    parsing happens once in the scan projection (codegen'd), so at
+    scale this is scan-bound — push any k-filter before the groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", "user_id", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            # decimal, not double: double sums depend on aggregation
+            # order and would flap the cross-engine hash compare
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def streaming_windowed_counts(
     events_stream: DataFrame,
     key_col: str | None = "event_type",
@@ -172,8 +201,20 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["events_json_stats"] = """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+           max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+           sum(value::DECIMAL(18,2)) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES = {
     "event_count_hourly": event_count_hourly,
     "region_event_count": region_event_count,
     "trending_arrivals_batch": trending_arrivals_batch,
+    "events_json_stats": events_json_stats,
 }

@@ -74,3 +74,22 @@ def test_bbox_edges(spark):
         in_bbox(F.col("lon"), F.col("lat"), GOLDMAN).alias("inside")
     ).collect()
     assert [r.inside for r in got] == [False, True]
+
+
+def test_tbl_sink_source_roundtrip(spark, sf_dir, tmp_path):
+    """K1 sink ↔ S1 source duality on our own fixtures: write the
+    parquet `nation` table out as pipe-delimited text, read it back
+    with read_tbl, and get value-identical rows — the reference's
+    {Text, Parquet} format parametrization (assignment5_marks.md)
+    exercised end-to-end."""
+    from hadoop_and_spark_spark.catalog import load_table
+
+    out = str(tmp_path / "nation_tbl")
+    orig = load_table(spark, sf_dir, "nation")
+    orig.coalesce(1).write.csv(out, sep="|", header=False)
+    # testdata nation carries a column subset of full TPC-H (no
+    # n_comment); compare on the columns that exist in the fixture
+    back = read_tbl(spark, out, "nation").select(*orig.columns)
+    a = sorted(tuple(r) for r in orig.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
