@@ -306,7 +306,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda sig: _band_keys(sig, MINHASH_BANDS, MINHASH_ROWS),
         ),
     )
-    banded = sh.select("doc_id", F.explode(bk).alias("bk"))
+    # Materialize the (small) banded table once: the self-join would
+    # otherwise recompute the full signature pipeline for each side.
+    banded = sh.select("doc_id", F.explode(bk).alias("bk")).localCheckpoint(
+        eager=True
+    )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "bk")
@@ -376,12 +380,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes, making this a true differential test.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Materialized once: consumed by both join sides AND both verify
+    # columns — recomputing the 64-bit sketch 4× would dominate.
     bits = docs.select(
         "doc_id",
         let_col(
             F.transform(tokenize("text"), poly_hash), _simhash_bits
         ).alias("bits"),
-    )
+    ).localCheckpoint(eager=True)
     rows = SIMHASH_BITS // SIMHASH_BANDS
     banded = bits.select(
         "doc_id",
@@ -487,7 +493,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb_bits(F.col("embedding")),
         lambda bits: _band_keys(bits, EMB_BANDS, EMB_ROWS),
     )
-    banded = vec.select("vec_id", F.explode(bk).alias("bk"))
+    banded = vec.select("vec_id", F.explode(bk).alias("bk")).localCheckpoint(
+        eager=True
+    )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "bk")
