@@ -28,6 +28,14 @@ def main() -> None:
     spark = get_spark("bench")
     queries, _ = collect()
 
+    # Untimed warm-up: spin up executor codegen, the parquet footer
+    # cache, and the Python worker pool (mapInPandas) so per-query
+    # timings measure the operators, not first-run JVM/process setup.
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: (pdf for pdf in it), "x int"
+    ).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(queries):

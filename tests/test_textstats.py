@@ -30,6 +30,36 @@ def test_quality_bounded(spark, sf_dir):
         assert 0.0 <= r.distinct_ratio <= 1.0 + 1e-9, r
 
 
+def test_winnow_kernel_matches_expression(spark):
+    """The Arrow kernel must be bit-identical to the declarative
+    winnow_fp_expr on adversarial strings: empty, shorter than the
+    gram size, exactly gram-sized, shorter than the window, repeated
+    chars, and non-ASCII (code points, not UTF-8 bytes)."""
+    import pyspark.sql.functions as F
+
+    cases = [
+        "",
+        "a",
+        "abcdefg",          # len == FP_K - 1 → single whole-string gram
+        "abcdefgh",         # len == FP_K → one gram
+        "abcdefghij",       # grams shorter than FP_W → one window min
+        "aaaaaaaaaaaaaaaa",  # all-equal grams → distinct collapses to 1
+        "abcdefghijklmnopqrstuvwxyz" * 3,
+        "café au lait, naïve façade",
+        "你好世界 abc def ghi jkl",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    expr = {
+        r.doc_id: list(r.fp)
+        for r in df.select("doc_id", textstats.winnow_fp_expr().alias("fp")).collect()
+    }
+    for i, t in enumerate(cases):
+        got = textstats._winnow_doc(t).tolist()
+        assert got == expr[i], (repr(t), got, expr[i])
+
+
 def test_winnow_fingerprint_detects_near_dups(spark, sf_dir):
     """Planted near-duplicate docs must share a large fraction of
     winnowing fingerprints (the property the operator exists for)."""
