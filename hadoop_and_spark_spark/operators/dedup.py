@@ -212,7 +212,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     killers) sit at the END of the canonical order and never enter a
     short prefix.
     """
-    sh = _docs_with_shingles(spark, sf_dir)
+    # Materialize shingles once: consumed by the df-count, the prefix
+    # build, and both verify sides — re-running the tokenize+shingle
+    # regex 4× would dominate the runtime.
+    sh = _docs_with_shingles(spark, sf_dir).localCheckpoint(eager=True)
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     prefix = (
@@ -287,6 +290,78 @@ def _band_keys(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+_TOKEN_RE = None  # compiled lazily inside kernels (keeps import cheap)
+
+
+def _py_tokenize(text: str) -> list[str]:
+    """Python rendering of functions.tokenize: lowercase, squash
+    non-[a-z0-9] runs to spaces, split, drop empties. Tokens that
+    survive are pure ASCII [a-z0-9]+, so no Unicode-case divergence
+    between Java and Python survives the filter.
+    """
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        import re
+
+        _TOKEN_RE = re.compile("[^a-z0-9]+")
+    return [t for t in _TOKEN_RE.sub(" ", text.lower()).split(" ") if t]
+
+
+def _hash_strings_np(strs: list[str]) -> "np.ndarray":
+    """Vectorized poly_hash over many ASCII strings: masked left-fold
+    over a padded code-point matrix — the same (acc*31 + c) % HASH_P
+    op sequence per string as functions.portable.poly_hash (integer
+    arithmetic, so exact). poly_hash('') = 0 in both renderings.
+    """
+    import numpy as np
+
+    n = len(strs)
+    if not n:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    mx = int(lens.max())
+    codes = np.zeros((n, mx), dtype=np.int64)
+    for i, s in enumerate(strs):
+        if s:
+            codes[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    acc = np.zeros(n, dtype=np.int64)
+    for j in range(mx):
+        acc = np.where(j < lens, (acc * 31 + codes[:, j]) % HASH_P, acc)
+    return acc
+
+
+def _minhash_banded_kernel(batches):
+    """Arrow kernel: (doc_id, sh) → exploded (doc_id, bk) band keys.
+    Integer-exact replica of poly_hash → _minhash_sig → _band_keys:
+    all shingles in the batch hash in one masked fold, the 64 affine
+    permutations apply as one (S, 64) matrix op (products stay under
+    2^63: both factors < HASH_P ≈ 2^30), per-doc minima by segment.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pa = np.array([a for a, _ in _PERMS], dtype=np.int64)
+    pb = np.array([b for _, b in _PERMS], dtype=np.int64)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        sh_lists = [list(s) for s in pdf["sh"]]
+        hs = _hash_strings_np([s for lst in sh_lists for s in lst])
+        perm = (hs[:, None] * pa[None, :] + pb[None, :]) % HASH_P
+        offs = np.cumsum([0] + [len(lst) for lst in sh_lists])
+        doc_ids, bks = [], []
+        for r, did in enumerate(pdf["doc_id"]):
+            # sh is never empty (the shingle builder emits ≥1 element)
+            sig = perm[offs[r] : offs[r + 1]].min(axis=0)
+            for j in range(MINHASH_BANDS):
+                band = sig[j * MINHASH_ROWS : (j + 1) * MINHASH_ROWS]
+                bks.append(f"{j}-" + "-".join(str(x) for x in band))
+                doc_ids.append(did)
+        yield pd.DataFrame({"doc_id": doc_ids, "bk": bks})
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup: signature → band buckets → candidate
     pairs → exact-Jaccard verification (≥ JACCARD_T).
@@ -294,23 +369,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract: output = pairs that (a) collide in ≥1 of 16 bands and
     (b) verify at exact Jaccard ≥ 0.5. At the planted-dup similarity
     (≈0.97) the per-pair miss probability is (1 − 0.97⁴)¹⁶ ≈ 1e-15.
+
+    The signature pipeline runs as the Arrow kernel above (the
+    interpreted 64-permutation fold was the hot stage; the expression
+    form survives as _minhash_sig/_band_keys for the differential
+    test). Shingles materialize once and serve the kernel plus both
+    verify sides; the banded table materializes once for the
+    self-join.
     """
-    sh = _docs_with_shingles(spark, sf_dir)
-    # let-bind hashes → signature → band keys so each stage is
-    # evaluated exactly once per row (see let_col: CollapseProject
-    # would otherwise re-inline them multiplicatively).
-    bk = let_col(
-        F.transform(F.col("sh"), poly_hash),
-        lambda hs: let_col(
-            _minhash_sig(hs),
-            lambda sig: _band_keys(sig, MINHASH_BANDS, MINHASH_ROWS),
-        ),
-    )
-    # Materialize the (small) banded table once: the self-join would
-    # otherwise recompute the full signature pipeline for each side.
-    banded = sh.select("doc_id", F.explode(bk).alias("bk")).localCheckpoint(
-        eager=True
-    )
+    sh = _docs_with_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    banded = sh.mapInPandas(
+        _minhash_banded_kernel, "doc_id bigint, bk string"
+    ).localCheckpoint(eager=True)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "bk")
@@ -370,6 +440,41 @@ def _simhash_bits(ht: Column) -> Column:
     )
 
 
+def _simhash_banded_kernel(batches):
+    """Arrow kernel: (doc_id, text) → (doc_id, bits, bk) with one row
+    per band. Integer-exact replica of tokenize → poly_hash →
+    _simhash_bits → band keys: token parity contributions as one
+    (S, 64) ±1 matrix, per-doc sums by segment (integer adds, so
+    order-free), sign bits, 16-bit band substrings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pa = np.array([a for a, _ in _SIM_PERMS], dtype=np.int64)
+    pb = np.array([b for _, b in _SIM_PERMS], dtype=np.int64)
+    rows = SIMHASH_BITS // SIMHASH_BANDS
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        tok_lists = [_py_tokenize(t) for t in pdf["text"]]
+        hs = _hash_strings_np([t for lst in tok_lists for t in lst])
+        contrib = np.where(
+            ((hs[:, None] * pa[None, :] + pb[None, :]) % HASH_P) % 2 == 1, 1, -1
+        )
+        offs = np.cumsum([0] + [len(lst) for lst in tok_lists])
+        doc_ids, bit_col, bks = [], [], []
+        for r, did in enumerate(pdf["doc_id"]):
+            seg = contrib[offs[r] : offs[r + 1]]
+            total = seg.sum(axis=0) if len(seg) else np.zeros(SIMHASH_BITS, int)
+            bits = (total > 0).astype(np.int32)
+            bstr = "".join("1" if b else "0" for b in bits)
+            for j in range(SIMHASH_BANDS):
+                doc_ids.append(did)
+                bit_col.append(bits.tolist())
+                bks.append(f"{j}-" + bstr[j * rows : (j + 1) * rows])
+        yield pd.DataFrame({"doc_id": doc_ids, "bits": bit_col, "bk": bks})
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: all pairs within Hamming distance HAMMING_MAX.
 
@@ -380,36 +485,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes, making this a true differential test.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Materialized once: consumed by both join sides AND both verify
-    # columns — recomputing the 64-bit sketch 4× would dominate.
-    bits = docs.select(
-        "doc_id",
-        let_col(
-            F.transform(tokenize("text"), poly_hash), _simhash_bits
-        ).alias("bits"),
-    ).localCheckpoint(eager=True)
-    rows = SIMHASH_BITS // SIMHASH_BANDS
-    banded = bits.select(
-        "doc_id",
-        "bits",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "-",
-                        F.lit(str(j)),
-                        F.concat_ws(
-                            "",
-                            F.transform(
-                                F.slice("bits", j * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                        ),
-                    )
-                    for j in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
+    # Sketch + banding as one Arrow kernel (see _simhash_banded_kernel:
+    # the interpreted 64-permutation parity fold was the hot stage).
+    # Materialized once: consumed by both self-join sides AND both
+    # verify columns.
+    banded = (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            _simhash_banded_kernel, "doc_id bigint, bits array<int>, bk string"
+        )
+        .localCheckpoint(eager=True)
     )
     hamming = F.aggregate(
         F.zip_with(
@@ -473,13 +558,82 @@ def _emb_bits(vec: Column) -> Column:
     )
 
 
+def _emb_banded_kernel(batches):
+    """Arrow kernel: (vec_id, embedding) → exploded (vec_id, bk) LSH
+    band keys. Bit-identical to _emb_bits + _band_keys: the plane dot
+    products run as an explicit left-fold over dimensions (one
+    vectorized multiply-add per dim, same IEEE op sequence as
+    F.aggregate), NOT a matrix multiply, whose pairwise summation
+    order would flip sign bits of near-zero projections.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.asarray(_PLANES, dtype=np.float64)  # (EMB_PLANES, EMB_DIM)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        acc = np.zeros((len(vecs), EMB_PLANES), dtype=np.float64)
+        for j in range(EMB_DIM):
+            acc = acc + vecs[:, j : j + 1] * planes[:, j]
+        bits = (acc > 0).astype(np.int64).astype(str)
+        keys = [
+            [
+                f"{j}-" + "-".join(row[j * EMB_ROWS : (j + 1) * EMB_ROWS])
+                for j in range(EMB_BANDS)
+            ]
+            for row in bits
+        ]
+        yield pd.DataFrame(
+            {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), EMB_BANDS),
+                "bk": [k for row in keys for k in row],
+            }
+        )
+
+
+def _emb_verify_kernel(batches):
+    """Arrow kernel: exact cosine per candidate pair, bit-identical to
+    round6(dot_fold(emb_a, emb_b) / (nrm_a * nrm_b)) — explicit
+    left-fold over dims (same IEEE op sequence as F.aggregate) and the
+    same floor-based half-up rounding as functions.portable.round6.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        ea = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb_a"]])
+        eb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb_b"]])
+        acc = np.zeros(len(ea), dtype=np.float64)
+        for j in range(EMB_DIM):
+            acc = acc + ea[:, j] * eb[:, j]
+        cos = acc / (pdf["nrm_a"].to_numpy() * pdf["nrm_b"].to_numpy())
+        yield pd.DataFrame(
+            {
+                "vec_a": pdf["vec_a"],
+                "vec_b": pdf["vec_b"],
+                "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over ``embeddings``: hyperplane
     sign-LSH (64 planes, 16 bands × 4 bits) for candidates, exact
     cosine ≥ COSINE_T verification.
 
     Contract mirrors dedup_minhash_lsh: banded ∩ verified; the oracle
-    replicates both stages with identical arithmetic.
+    replicates both stages with identical arithmetic. The banding
+    stage runs as the Arrow kernel above — 64 interpreted
+    zip_with/aggregate folds per row cost 4 s at sf0.1 vs ~0.1 s
+    vectorized (the expression form survives as _emb_bits for the
+    differential test). Verification stays JVM-side: it touches only
+    the few candidate pairs.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     # Cast float→double once; every downstream fold reuses the column.
@@ -489,13 +643,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
     base = vec.select("vec_id", "embedding", norm.alias("nrm"))
-    bk = let_col(
-        _emb_bits(F.col("embedding")),
-        lambda bits: _band_keys(bits, EMB_BANDS, EMB_ROWS),
-    )
-    banded = vec.select("vec_id", F.explode(bk).alias("bk")).localCheckpoint(
-        eager=True
-    )
+    banded = vec.mapInPandas(
+        _emb_banded_kernel, "vec_id bigint, bk string"
+    ).localCheckpoint(eager=True)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "bk")
@@ -516,15 +666,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cosine = dot_fold(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
+    # At COSINE_T=0.4 over near-orthogonal embeddings the banding
+    # prunes little (≈1.3M candidates at sf0.1 — the low threshold is
+    # inherently near-quadratic; at production thresholds ≥0.8 the
+    # same bands prune >97%), so the exact-cosine verify is the hot
+    # stage and runs vectorized. The embedding sides broadcast (tiny
+    # vs the candidate set), so candidates never shuffle.
+    paired = cand.join(F.broadcast(a), "vec_a").join(F.broadcast(b), "vec_b")
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .withColumn("cosine", round6(cosine))
+        paired.mapInPandas(
+            _emb_verify_kernel, "vec_a bigint, vec_b bigint, cosine double"
+        )
         .where(F.col("cosine") >= COSINE_T)
-        .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
 

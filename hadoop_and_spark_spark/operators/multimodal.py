@@ -141,17 +141,27 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode metadata for every media blob via Arrow-batched
-    ``mapInPandas`` (the one genuinely Python-side stage)."""
-    media = _media_table(spark, sf_dir)
-    return media.mapInPandas(_decode_batches, schema=DECODE_SCHEMA).orderBy(
-        "doc_id"
-    )
+    ``mapInPandas`` (the one genuinely Python-side stage).
+
+    The doc_id sort happens on the cheap (scan + encode) input, not
+    the kernel output: sorting after mapInPandas would make the
+    range-partition sampling pass run the Python kernel a second
+    time. The kernel is 1-row-in/1-row-out, so it preserves the sort.
+    """
+    media = _media_table(spark, sf_dir).orderBy("doc_id")
+    return media.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video rows: every FRAME_STRIDE-th frame
     index with its byte offset — pure relational explode downstream of
-    the decode kernel (JVM-side again)."""
+    the decode kernel (JVM-side again).
+
+    No final orderBy: the decode input is already doc_id-sorted and
+    explode(sequence(...)) emits frame_idx ascending per row, so the
+    output arrives (doc_id, frame_idx)-ordered without a second sort
+    (which would re-run the Python kernel in its sampling pass).
+    """
     meta = multimodal_decode(spark, sf_dir)
     frames = (
         meta.where(F.col("media_type") == "video")
@@ -179,7 +189,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("byte_offset"),
         )
     )
-    return frames.orderBy("doc_id", "frame_idx")
+    return frames
 
 
 _N = "octet_length(encode(text))::BIGINT"

@@ -14,6 +14,56 @@ def test_dedup_vs_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_sketch_kernels_match_expressions(spark, sf_dir):
+    """The Arrow band kernels must emit exactly the band keys the
+    declarative pipelines emit (kernel speed must not change the
+    candidate space)."""
+    import pyspark.sql.functions as F
+
+    from hadoop_and_spark_spark.functions.portable import let_col, poly_hash
+
+    sh = dedup._docs_with_shingles(spark, sf_dir)
+    expr_bk = let_col(
+        F.transform(F.col("sh"), poly_hash),
+        lambda hs: let_col(
+            dedup._minhash_sig(hs),
+            lambda sig: dedup._band_keys(sig, dedup.MINHASH_BANDS, dedup.MINHASH_ROWS),
+        ),
+    )
+    want = {
+        (r.doc_id, r.bk)
+        for r in sh.select("doc_id", F.explode(expr_bk).alias("bk")).collect()
+    }
+    got = {
+        (r.doc_id, r.bk)
+        for r in sh.mapInPandas(
+            dedup._minhash_banded_kernel, "doc_id bigint, bk string"
+        ).collect()
+    }
+    assert got == want
+
+    docs = sh.sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+    from hadoop_and_spark_spark.functions import tokenize
+
+    bits_expr = docs.select(
+        "doc_id",
+        let_col(F.transform(tokenize("text"), poly_hash), dedup._simhash_bits).alias(
+            "bits"
+        ),
+    )
+    want_bits = {r.doc_id: list(r.bits) for r in bits_expr.collect()}
+    got_rows = (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            dedup._simhash_banded_kernel,
+            "doc_id bigint, bits array<int>, bk string",
+        )
+        .collect()
+    )
+    got_bits = {r.doc_id: list(r.bits) for r in got_rows}
+    assert got_bits == want_bits
+
+
 def test_minhash_matches_exhaustive(spark, sf_dir):
     """Verified-LSH must recover the exhaustive Jaccard pair set on
     this corpus (planted dups sit at ≈0.97, far above the miss zone)."""
