@@ -35,6 +35,11 @@ def main() -> None:
     spark.createDataFrame([(1,)], "x int").mapInPandas(
         lambda it: (pdf for pdf in it), "x int"
     ).count()
+    spark.sql(
+        "SELECT x % 8 AS k, count(*) AS c, "
+        "sum(count(*)) OVER (PARTITION BY x % 8) AS w "
+        "FROM (SELECT id AS x FROM range(1000)) GROUP BY x % 8"
+    ).collect()
 
     timings: dict[str, float] = {}
     total = 0.0

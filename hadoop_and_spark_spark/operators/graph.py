@@ -202,7 +202,11 @@ def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry (rows-only check; iterative, not SQL-expressible —
     correctness pinned by the toy-graph golden test instead)."""
     graph = lineitem_graph(spark, sf_dir)
-    ranks = personalized_pagerank(graph, gather_partitions=4)
+    # partitions=4 aligns the cached graph with gather_partitions so
+    # each per-iteration job schedules a handful of tasks, not
+    # spark.sql.shuffle.partitions of them (toy graph; at real scale
+    # both parameters grow with the cluster).
+    ranks = personalized_pagerank(graph, partitions=4, gather_partitions=4)
     out = ranks.select(
         "nid",
         *[
