@@ -1,0 +1,94 @@
+"""Physical-plan shape regression tests.
+
+Correctness is the oracle's job; these tests pin the SCALE
+properties — the plan shapes that decide whether a query survives a
+100× data blowup:
+
+- filters reach the parquet scan (PushedFilters ⇒ row-group pruning),
+- scans read only referenced columns (ReadSchema ⇒ column pruning),
+- dimension joins broadcast (no shuffle of the fact side),
+- semi-joins stay semi (no fact payload through the exchange),
+- aggregations are partial+final (map-side combine),
+- top-k plans as TakeOrderedAndProject (no global sort).
+
+A refactor that silently turns a broadcast join into a shuffle join
+or de-pushes a filter passes every value test and then falls over on
+a cluster; this file is where that regression surfaces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from hadoop_and_spark_spark.operators import relational as R
+from hadoop_and_spark_spark.operators import text as T
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
+    p = plan(R.q1_shipdate_count(spark, sf_dir))
+    assert "PushedFilters" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1].split("]")[0]
+    # the count only needs the filter column — the scan must not read
+    # the wide lineitem payload
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_q2_semi_join_no_fact_payload(spark, sf_dir):
+    p = plan(R.q2_orders_for_shipped_lineitems(spark, sf_dir))
+    assert "LeftSemi" in p
+    # lineitem side must read only the join key + filter column
+    li_blocks = [b for b in p.split("Scan parquet") if "lineitem.parquet" in b]
+    assert li_blocks
+    schema = li_blocks[0].split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in schema and "l_shipdate" in schema
+    assert "l_extendedprice" not in schema
+
+
+def test_q3_broadcasts_both_dims(spark, sf_dir):
+    p = plan(R.q3_part_supplier_lookup(spark, sf_dir))
+    # formatted mode lists each node in the tree AND a detail section
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    # the orderkey filter reaches the lineitem scan
+    assert "PushedFilters" in p
+
+
+def test_q4_nation_broadcast_and_partial_agg(spark, sf_dir):
+    p = plan(R.q4_orders_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    # partial (map-side) + final aggregation
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q6_single_pass_partial_agg(spark, sf_dir):
+    p = plan(R.q6_pricing_summary(spark, sf_dir), "simple")
+    # map-side combine: partial aggregation below the exchange, final
+    # above — the declarative replacement for the reference's
+    # hand-written combiners (a0/WordCount.java:178)
+    assert p.count("HashAggregate") == 2
+    assert "partial_sum" in p
+    pf = plan(R.q6_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in pf and "l_shipdate" in pf
+
+
+def test_q7_topk_avoids_global_sort(spark, sf_dir):
+    p = plan(R.q7_top_unshipped_revenue(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bigram_single_shuffle_before_window(spark, sf_dir):
+    """Array-side bigram formation must not shuffle the token stream:
+    exactly one exchange for the (a,b) count and one for the window
+    marginal — never an exchange of exploded per-token rows."""
+    p = plan(T.bigram_relative_frequency(spark, sf_dir), "simple")
+    assert p.count("Exchange") <= 3  # agg, window, final sort
