@@ -208,6 +208,49 @@ def spam_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("docid")
 
 
+def spam_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier quality as 1-ROCA% — the reference's evaluation
+    harness (spam_eval.sh:1-4 piping score-sorted output into
+    compute_spam_metrics.c's quantized-ROC area) as one relational
+    query.
+
+    Tie-aware rank-sum AUC without a global rank: group rows by
+    integer score (exact arithmetic — no FP ranking ambiguity), then
+    over the tiny distinct-score table compute, per score s,
+    ham_below(s); AUC = (Σ ns·ham_below + ½·Σ ns·nh) / (n1·n0).
+    The only ordered window runs over distinct scores (bounded
+    cardinality), never over rows — at 100 TB the per-row work is one
+    hash aggregation.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.portable import round6
+
+    inst = spam_instances(spark, sf_dir)
+    feats = inst.select("docid", "label", F.explode("features").alias("f"))
+    scored = feats.groupBy("docid", "label").agg(
+        F.sum(_int_weight(F.col("f"), ENSEMBLE_MULTS[0])).alias("s")
+    )
+    g = scored.groupBy("s").agg(
+        F.sum(F.when(F.col("label") == "spam", 1).otherwise(0)).alias("ns"),
+        F.sum(F.when(F.col("label") == "ham", 1).otherwise(0)).alias("nh"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn("ham_below", F.coalesce(F.sum("nh").over(w), F.lit(0)))
+    totals = c.agg(
+        F.sum("ns").alias("n_spam"),
+        F.sum("nh").alias("n_ham"),
+        F.sum(F.col("ns") * F.col("ham_below")).alias("won"),
+        F.sum(F.col("ns") * F.col("nh")).alias("tied"),
+    )
+    auc = (F.col("won") + 0.5 * F.col("tied")) / (
+        F.col("n_spam").cast("double") * F.col("n_ham").cast("double")
+    )
+    return totals.select(
+        "n_spam", "n_ham", round6(auc).alias("auc")
+    ).withColumn("one_minus_roca_pct", round6((1.0 - F.col("auc")) * 100.0))
+
+
 def spam_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-model driver entry (rows-only: order-sensitive SGD is
     not SQL-expressible; quality pinned by the AUC test instead)."""
@@ -265,8 +308,48 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def _spam_eval_sql() -> str:
+    from ..functions.portable import round6_sql
+
+    auc_raw = "((won + 0.5 * tied) / (n_spam::DOUBLE * n_ham::DOUBLE))"
+    return (
+        _INST_CTE
+        + f"""
+        , scored AS (
+            SELECT docid, label,
+                   sum((f * {ENSEMBLE_MULTS[0]}) % 1001 - 500) AS s
+            FROM feats GROUP BY docid, label
+        ),
+        g AS (
+            SELECT s,
+                   sum(CASE WHEN label = 'spam' THEN 1 ELSE 0 END) AS ns,
+                   sum(CASE WHEN label = 'ham' THEN 1 ELSE 0 END) AS nh
+            FROM scored GROUP BY s
+        ),
+        c AS (
+            SELECT ns, nh,
+                   coalesce(sum(nh) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS ham_below
+            FROM g
+        ),
+        t AS (
+            SELECT sum(ns) AS n_spam, sum(nh) AS n_ham,
+                   sum(ns * ham_below) AS won, sum(ns * nh) AS tied
+            FROM c
+        )
+        SELECT n_spam::BIGINT AS n_spam, n_ham::BIGINT AS n_ham, auc,
+               {round6_sql('(1.0 - auc) * 100.0')} AS one_minus_roca_pct
+        FROM (SELECT n_spam, n_ham, {round6_sql(auc_raw)} AS auc FROM t)
+    """
+    )
+
+
+ORACLE_SQL["spam_eval"] = _spam_eval_sql()
+
 QUERIES = {
     "spam_score": spam_score,
     "spam_ensemble": spam_ensemble,
     "spam_train": spam_train_query,
+    "spam_eval": spam_eval,
 }

@@ -10,10 +10,31 @@ from hadoop_and_spark_spark.operators import ml
 from hadoop_and_spark_spark.oracle import compare
 
 
-@pytest.mark.parametrize("name", ["spam_score", "spam_ensemble"])
+@pytest.mark.parametrize("name", ["spam_score", "spam_ensemble", "spam_eval"])
 def test_ml_vs_oracle(spark, sf_dir, name):
     ok, msg = compare(spark, sf_dir, ml.QUERIES[name], ml.ORACLE_SQL[name])
     assert ok, f"{name}: {msg}"
+
+
+def test_spam_eval_matches_tie_averaged_auc(spark, sf_dir):
+    """The distributed grouped-score AUC must equal the textbook
+    tie-averaged rank-sum AUC computed driver-side."""
+    rows = ml.spam_score(spark, sf_dir).collect()
+    by_score: dict[float, list[str]] = {}
+    for r in rows:
+        by_score.setdefault(r.score, []).append(r.label)
+    n_pos = sum(1 for r in rows if r.label == "spam")
+    n_neg = len(rows) - n_pos
+    rank, rank_sum = 0, 0.0
+    for s in sorted(by_score):
+        grp = by_score[s]
+        avg_rank = rank + (len(grp) + 1) / 2
+        rank_sum += avg_rank * sum(1 for l in grp if l == "spam")
+        rank += len(grp)
+    want = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    got = ml.spam_eval(spark, sf_dir).first()
+    assert got.auc == pytest.approx(want, abs=1e-6)
+    assert got.n_spam == n_pos and got.n_ham == n_neg
 
 
 def auc(scored) -> float:
