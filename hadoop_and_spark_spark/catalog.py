@@ -46,7 +46,16 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    ppath = table_path(sf_dir, name)
+    tpath = os.path.join(sf_dir, f"{name}.tbl")
+    if not os.path.exists(ppath) and os.path.isdir(tpath):
+        # Text-format scale dir (sidecar-schema pipe-delimited CSV):
+        # every registered query runs unchanged from text — the
+        # reference's Text/Parquet test duality as a loader switch.
+        from .sources.tbl import read_text_table
+
+        return read_text_table(spark, tpath)
+    df = spark.read.parquet(ppath)
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the parquet; with
         # spark.sql.legacy.parquet.nanosAsLong it arrives as int64

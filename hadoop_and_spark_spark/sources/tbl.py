@@ -107,3 +107,49 @@ def read_tbl(spark: SparkSession, path: str, table: str) -> DataFrame:
         spark.read.csv(path, sep="|", schema=schema, header=False)
         .drop("_trailing")
     )
+
+
+# --- sidecar-schema text tables (the engine's general text format) ---
+#
+# The reference's .tbl convention carries NO schema — correctness
+# hangs on hand-maintained ordinals. The engine's text format keeps
+# the pipe-delimited data files but writes the exact StructType as a
+# _schema.json sidecar (a metastore entry that travels with the
+# directory), so reads are as typed/prunable as parquet reads and the
+# Text/Parquet duality of the reference's test matrix
+# (assignment5_marks.md: every query x {Text, Parquet}) is a loader
+# switch, not per-query code.
+
+_SIDECAR = "_schema.json"
+# Default CSV timestamp rendering keeps only millis; testdata carries
+# micros — pin the format on both sides of the round trip.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_text_table(df: DataFrame, out_dir: str) -> None:
+    """K1 text sink: pipe-delimited CSV + StructType sidecar."""
+    import os
+
+    (
+        df.write.mode("overwrite")
+        .option("sep", "|")
+        .option("timestampFormat", _TS_FMT)
+        .csv(out_dir)
+    )
+    with open(os.path.join(out_dir, _SIDECAR), "w") as fh:
+        fh.write(df.schema.json())
+
+
+def read_text_table(spark: SparkSession, dir_path: str) -> DataFrame:
+    """S1 text source for sidecar-schema directories."""
+    import json
+    import os
+
+    with open(os.path.join(dir_path, _SIDECAR)) as fh:
+        schema = T.StructType.fromJson(json.load(fh))
+    return (
+        spark.read.schema(schema)
+        .option("sep", "|")
+        .option("timestampFormat", _TS_FMT)
+        .csv(dir_path)
+    )

@@ -76,6 +76,37 @@ def test_bbox_edges(spark):
     assert [r.inside for r in got] == [False, True]
 
 
+def test_queries_from_text_match_parquet(spark, sf_dir, tmp_path):
+    """The reference graded every relational query from BOTH text and
+    parquet storage (assignment5_marks.md's 53-test matrix). Same
+    duality here: materialize the scale dir as sidecar-schema text
+    tables, run registered queries against it unchanged via the
+    catalog's text fallback, and require value-identical results."""
+    import os
+
+    from hadoop_and_spark_spark.catalog import load_table
+    from hadoop_and_spark_spark.operators import relational as R
+    from hadoop_and_spark_spark.operators import text as TX
+    from hadoop_and_spark_spark.sources.tbl import write_text_table
+
+    text_sf = str(tmp_path / "text_sf")
+    os.makedirs(text_sf)
+    # embeddings (array column) stays out: the text format is scalar,
+    # like the reference's
+    for t in ("lineitem", "orders", "customer", "nation", "part",
+              "supplier", "documents"):
+        write_text_table(
+            load_table(spark, sf_dir, t), os.path.join(text_sf, f"{t}.tbl")
+        )
+
+    for fn in (R.q1_shipdate_count, R.q5_nation_volume_by_month,
+               R.q6_pricing_summary, R.q7_top_unshipped_revenue,
+               TX.wordcount):
+        want = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        got = sorted(tuple(r) for r in fn(spark, text_sf).collect())
+        assert got == want, fn.__name__
+
+
 def test_tbl_sink_source_roundtrip(spark, sf_dir, tmp_path):
     """K1 sink ↔ S1 source duality on our own fixtures: write the
     parquet `nation` table out as pipe-delimited text, read it back
