@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
+from ..session import fan_out
 from ..functions.portable import (
     HASH_P,
     affine_perms,
@@ -135,7 +136,9 @@ _SH_CTE = f"""
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out BEFORE the shingle projection: the HOF shingle build is
+    # the expensive stage and must not run on one input split.
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
 
 
@@ -441,11 +444,15 @@ def _simhash_bits(ht: Column) -> Column:
 
 
 def _simhash_banded_kernel(batches):
-    """Arrow kernel: (doc_id, text) → (doc_id, bits, bk) with one row
+    """Arrow kernel: (doc_id, text) → (doc_id, sig, bk) with one row
     per band. Integer-exact replica of tokenize → poly_hash →
-    _simhash_bits → band keys: token parity contributions as one
-    (S, 64) ±1 matrix, per-doc sums by segment (integer adds, so
-    order-free), sign bits, 16-bit band substrings.
+    _simhash_bits: token parity contributions as one (S, 64) ±1
+    matrix, per-doc sums by segment (integer adds, so order-free),
+    sign bits. The 64 sign bits are PACKED into one int64 ``sig``
+    (bit i of `_simhash_bits` at position 63-i, two's complement) so
+    downstream Hamming distance is a single codegen'd
+    ``bit_count(sig_a ^ sig_b)`` instead of an interpreted
+    64-element fold; ``bk`` is ``band_idx * 2^16 + band_bits``.
     """
     import numpy as np
     import pandas as pd
@@ -453,26 +460,46 @@ def _simhash_banded_kernel(batches):
     pa = np.array([a for a, _ in _SIM_PERMS], dtype=np.int64)
     pb = np.array([b for _, b in _SIM_PERMS], dtype=np.int64)
     rows = SIMHASH_BITS // SIMHASH_BANDS
+    band_idx = np.arange(SIMHASH_BANDS, dtype=np.int64)
     for pdf in batches:
         if not len(pdf):
             continue
         tok_lists = [_py_tokenize(t) for t in pdf["text"]]
-        hs = _hash_strings_np([t for lst in tok_lists for t in lst])
-        contrib = np.where(
-            ((hs[:, None] * pa[None, :] + pb[None, :]) % HASH_P) % 2 == 1, 1, -1
+        ndocs = len(pdf)
+        lens = np.array([len(lst) for lst in tok_lists], dtype=np.int64)
+        doc_idx = np.repeat(np.arange(ndocs), lens)
+        # Hash + parity on the UNIQUE vocabulary only (token instances
+        # vastly outnumber distinct tokens); per-doc ±1 sums become
+        # per-bit counts: Σ±1 = 2·(#parity-1 tokens) − doc_len.
+        # Memory stays O(tokens) per bit — no (tokens × 64) temporary.
+        inv, uniq = pd.factorize(np.asarray(
+            [t for lst in tok_lists for t in lst], dtype=object
+        ))
+        hs_u = _hash_strings_np(list(uniq))
+        parity_u = ((hs_u[:, None] * pa[None, :] + pb[None, :]) % HASH_P) % 2 == 1
+        bits = np.zeros((ndocs, SIMHASH_BITS), dtype=np.uint64)
+        for k in range(SIMHASH_BITS):
+            c1 = np.bincount(
+                doc_idx, weights=parity_u[inv, k], minlength=ndocs
+            ).astype(np.int64)
+            bits[:, k] = (2 * c1 - lens) > 0
+        weights = (np.uint64(1) << np.arange(
+            SIMHASH_BITS - 1, -1, -1, dtype=np.uint64
+        ))
+        sig = (bits * weights).sum(axis=1).view(np.int64)
+        # 16-bit band values, MSB-first within each band.
+        band_w = (np.uint64(1) << np.arange(rows - 1, -1, -1, dtype=np.uint64))
+        bands = (
+            (bits.reshape(ndocs, SIMHASH_BANDS, rows) * band_w).sum(axis=2)
+        ).astype(np.int64)
+        bk = (band_idx[None, :] << 16) | bands
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), SIMHASH_BANDS),
+                "sig": np.repeat(sig, SIMHASH_BANDS),
+                "bk": bk.ravel(),
+            }
         )
-        offs = np.cumsum([0] + [len(lst) for lst in tok_lists])
-        doc_ids, bit_col, bks = [], [], []
-        for r, did in enumerate(pdf["doc_id"]):
-            seg = contrib[offs[r] : offs[r + 1]]
-            total = seg.sum(axis=0) if len(seg) else np.zeros(SIMHASH_BITS, int)
-            bits = (total > 0).astype(np.int32)
-            bstr = "".join("1" if b else "0" for b in bits)
-            for j in range(SIMHASH_BANDS):
-                doc_ids.append(did)
-                bit_col.append(bits.tolist())
-                bks.append(f"{j}-" + bstr[j * rows : (j + 1) * rows])
-        yield pd.DataFrame({"doc_id": doc_ids, "bits": bit_col, "bk": bks})
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,22 +514,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Sketch + banding as one Arrow kernel (see _simhash_banded_kernel:
     # the interpreted 64-permutation parity fold was the hot stage).
-    # Materialized once: consumed by both self-join sides AND both
-    # verify columns.
+    # Materialized once: consumed by both self-join sides.
     banded = (
-        docs.select("doc_id", "text")
-        .mapInPandas(
-            _simhash_banded_kernel, "doc_id bigint, bits array<int>, bk string"
-        )
+        fan_out(docs.select("doc_id", "text"))
+        .mapInPandas(_simhash_banded_kernel, "doc_id bigint, sig bigint, bk bigint")
         .localCheckpoint(eager=True)
     )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("bits_a"), F.col("bits_b"), lambda x, y: F.when(x != y, 1).otherwise(0)
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    # Packed-int64 signatures: Hamming = popcount of XOR, whole-stage
+    # codegen JVM-side; the hamming filter runs BEFORE the distinct so
+    # only true near-dup pairs (few) reach the dedup shuffle.
+    hamming = F.bit_count(
+        F.col("x.sig").bitwiseXOR(F.col("y.sig"))
+    ).cast("int")
     return (
         banded.alias("x")
         .join(banded.alias("y"), "bk")
@@ -510,13 +533,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.bits").alias("bits_a"),
-            F.col("y.bits").alias("bits_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -595,31 +615,39 @@ def _emb_banded_kernel(batches):
         )
 
 
-def _emb_verify_kernel(batches):
-    """Arrow kernel: exact cosine per candidate pair, bit-identical to
-    round6(dot_fold(emb_a, emb_b) / (nrm_a * nrm_b)) — explicit
-    left-fold over dims (same IEEE op sequence as F.aggregate) and the
-    same floor-based half-up rounding as functions.portable.round6.
+def _make_emb_verify_kernel(ids_sorted, matrix, norms):
+    """Build an Arrow verify kernel closed over the (small) embedding
+    matrix: candidate batches carry ONLY (vec_a, vec_b) ids — the
+    vectors never cross the Arrow boundary. Exact cosine per pair,
+    bit-identical to round6(dot_fold(emb_a, emb_b) / (nrm_a * nrm_b)):
+    explicit left-fold over dims (same IEEE op sequence as
+    F.aggregate) and the same floor-based half-up rounding as
+    functions.portable.round6.
     """
-    import numpy as np
-    import pandas as pd
 
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        ea = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb_a"]])
-        eb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb_b"]])
-        acc = np.zeros(len(ea), dtype=np.float64)
-        for j in range(EMB_DIM):
-            acc = acc + ea[:, j] * eb[:, j]
-        cos = acc / (pdf["nrm_a"].to_numpy() * pdf["nrm_b"].to_numpy())
-        yield pd.DataFrame(
-            {
-                "vec_a": pdf["vec_a"],
-                "vec_b": pdf["vec_b"],
-                "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
-            }
-        )
+    def _verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = np.searchsorted(ids_sorted, pdf["vec_a"].to_numpy())
+            ib = np.searchsorted(ids_sorted, pdf["vec_b"].to_numpy())
+            ea, eb = matrix[ia], matrix[ib]
+            acc = np.zeros(len(ea), dtype=np.float64)
+            for j in range(EMB_DIM):
+                acc = acc + ea[:, j] * eb[:, j]
+            cos = acc / (norms[ia] * norms[ib])
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"],
+                    "vec_b": pdf["vec_b"],
+                    "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    return _verify
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,17 +663,28 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential test). Verification stays JVM-side: it touches only
     the few candidate pairs.
     """
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
     # Cast float→double once; every downstream fold reuses the column.
     vec = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    norm = F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
-    base = vec.select("vec_id", "embedding", norm.alias("nrm"))
-    banded = vec.mapInPandas(
+    banded = fan_out(vec).mapInPandas(
         _emb_banded_kernel, "vec_id bigint, bk string"
     ).localCheckpoint(eager=True)
+    # At COSINE_T=0.4 over near-orthogonal embeddings the banding
+    # prunes little (≈1.3M candidates at sf0.1 — the low threshold is
+    # inherently near-quadratic; at production thresholds ≥0.8 the
+    # same bands prune >97%), so candidate-side cost dominates. Two
+    # choices follow from that: (1) no distinct before verify — pairs
+    # sharing several bands are re-verified (cheap, stateless) and
+    # deduped AFTER the ≥T filter, when only true near-dups (few)
+    # reach the shuffle; (2) the verify kernel side-loads the
+    # embedding matrix (same smallness contract as a broadcast hash
+    # join's build side), so candidates cross to Python as bare id
+    # pairs — no 64-dim arrays ever shuffle or cross Arrow.
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "bk")
@@ -654,30 +693,23 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
         )
-        .distinct()
     )
-    a = base.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    # At COSINE_T=0.4 over near-orthogonal embeddings the banding
-    # prunes little (≈1.3M candidates at sf0.1 — the low threshold is
-    # inherently near-quadratic; at production thresholds ≥0.8 the
-    # same bands prune >97%), so the exact-cosine verify is the hot
-    # stage and runs vectorized. The embedding sides broadcast (tiny
-    # vs the candidate set), so candidates never shuffle.
-    paired = cand.join(F.broadcast(a), "vec_a").join(F.broadcast(b), "vec_b")
+    pdf = vec.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    matrix = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])[
+        order
+    ]
+    # Norms via the same left-fold op sequence as dot_fold.
+    acc = np.zeros(len(matrix), dtype=np.float64)
+    for j in range(EMB_DIM):
+        acc = acc + matrix[:, j] * matrix[:, j]
+    norms = np.sqrt(acc)
+    verify = _make_emb_verify_kernel(ids[order], matrix, norms)
     return (
-        paired.mapInPandas(
-            _emb_verify_kernel, "vec_a bigint, vec_b bigint, cosine double"
-        )
+        cand.mapInPandas(verify, "vec_a bigint, vec_b bigint, cosine double")
         .where(F.col("cosine") >= COSINE_T)
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )
 

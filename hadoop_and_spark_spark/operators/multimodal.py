@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
+from ..session import fan_out_sorted
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -146,9 +147,12 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The doc_id sort happens on the cheap (scan + encode) input, not
     the kernel output: sorting after mapInPandas would make the
     range-partition sampling pass run the Python kernel a second
-    time. The kernel is 1-row-in/1-row-out, so it preserves the sort.
+    time. fan_out_sorted rather than orderBy, so the decode kernel
+    keeps one task per core instead of the single AQE-coalesced
+    post-sort partition. The kernel is 1-row-in/1-row-out, so it
+    preserves the sort.
     """
-    media = _media_table(spark, sf_dir).orderBy("doc_id")
+    media = fan_out_sorted(_media_table(spark, sf_dir), "doc_id")
     return media.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
 
 

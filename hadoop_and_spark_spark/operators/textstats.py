@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
+from ..session import fan_out_sorted
 from ..functions.portable import (
     HASH_P,
     let_col,
@@ -227,9 +228,11 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.3 s kernel — the one case in this module where the "built-ins
     first" rule loses. The kernel is a pure projection (no shuffle,
     no state), so it scales embarrassingly-parallel with input splits.
-    orderBy sits on the narrow (doc_id, text) scan BEFORE the kernel:
-    sorting after would make the range-partition sampling pass execute
-    the kernel a second time.
+    The sort sits on the narrow (doc_id, text) scan BEFORE the kernel
+    (sorting after would make the range-partition sampling pass
+    execute the kernel a second time), as fan_out_sorted — a plain
+    orderBy over a small scan gets AQE-coalesced to ONE post-shuffle
+    partition, serializing the kernel.
     """
     docs = load_table(spark, sf_dir, "documents")
 
@@ -248,10 +251,8 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return (
-        docs.select("doc_id", "text")
-        .orderBy("doc_id")
-        .mapInPandas(kernel, "doc_id bigint, n_fp int, fingerprint string")
+    return fan_out_sorted(docs.select("doc_id", "text"), "doc_id").mapInPandas(
+        kernel, "doc_id bigint, n_fp int, fingerprint string"
     )
 
 

@@ -19,7 +19,32 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan has fewer partitions than
+    the target. Small local scans (one parquet file) otherwise pin
+    every downstream stage — Arrow kernels especially — to one core;
+    a 100 TB scan already has >> defaultParallelism input splits, so
+    there this is a no-op (no shuffle inserted)."""
+    sc = df.sparkSession.sparkContext
+    target = parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def fan_out_sorted(df: DataFrame, col: str, parts: int | None = None) -> DataFrame:
+    """Globally ordered AND parallel: range-partition on ``col`` into
+    an explicit partition count (exempt from AQE coalescing, which
+    would fold a small sort down to one post-shuffle partition and
+    serialize whatever follows), then sort within partitions. Output
+    ordering equals ``orderBy(col)`` at a fraction of the cost for
+    downstream per-partition work."""
+    sc = df.sparkSession.sparkContext
+    target = parts or sc.defaultParallelism
+    return df.repartitionByRange(target, col).sortWithinPartitions(col)
 
 
 def get_spark(

@@ -51,17 +51,24 @@ def test_sketch_kernels_match_expressions(spark, sf_dir):
             "bits"
         ),
     )
-    want_bits = {r.doc_id: list(r.bits) for r in bits_expr.collect()}
+
+    def pack(bits):  # bit i at position 63-i, two's complement int64
+        u = 0
+        for b in bits:
+            u = (u << 1) | int(b)
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    want_sig = {r.doc_id: pack(r.bits) for r in bits_expr.collect()}
     got_rows = (
         docs.select("doc_id", "text")
         .mapInPandas(
             dedup._simhash_banded_kernel,
-            "doc_id bigint, bits array<int>, bk string",
+            "doc_id bigint, sig bigint, bk bigint",
         )
         .collect()
     )
-    got_bits = {r.doc_id: list(r.bits) for r in got_rows}
-    assert got_bits == want_bits
+    got_sig = {r.doc_id: r.sig for r in got_rows}
+    assert got_sig == want_sig
 
 
 def test_minhash_matches_exhaustive(spark, sf_dir):
