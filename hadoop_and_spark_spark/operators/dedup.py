@@ -142,6 +142,55 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
 
 
+def _hashed_shingles_kernel(batches):
+    """Arrow kernel: (doc_id, text) → (doc_id, sh array<bigint>) —
+    integer-exact replica of transform(_shingles(text), poly_hash).
+    Shingle STRINGS never leave this kernel: every downstream stage
+    (document frequency, prefix filter, candidate join, exact-overlap
+    verify, MinHash permutations) operates on fixed-width int64
+    hashes — narrower shuffles, cheaper joins, and set-intersections
+    on longs instead of ~30-char strings. Each distinct shingle per
+    batch is hashed once (factorize), not once per instance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        sh_lists = []
+        for t in pdf["text"]:
+            toks = _py_tokenize(t)
+            if len(toks) >= SHINGLE_N:
+                grams = [
+                    " ".join(toks[i : i + SHINGLE_N])
+                    for i in range(len(toks) - SHINGLE_N + 1)
+                ]
+            else:
+                # _shingles edge case: sequence(1, greatest(n-2, 1))
+                # emits one window of whatever tokens exist.
+                grams = [" ".join(toks)]
+            sh_lists.append(list(dict.fromkeys(grams)))
+        inv, uniq = pd.factorize(
+            np.asarray([s for lst in sh_lists for s in lst], dtype=object)
+        )
+        hs = _hash_strings_np(list(uniq))[inv]
+        offs = np.cumsum([0] + [len(lst) for lst in sh_lists])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sh": [hs[offs[i] : offs[i + 1]] for i in range(len(sh_lists))],
+            }
+        )
+
+
+def _docs_with_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "text").mapInPandas(
+        _hashed_shingles_kernel, "doc_id bigint, sh array<bigint>"
+    )
+
+
 def _verified_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Join shingle sets onto candidate (doc_a, doc_b) pairs and keep
     those with exact Jaccard ≥ JACCARD_T."""
@@ -215,28 +264,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     killers) sit at the END of the canonical order and never enter a
     short prefix.
     """
-    # Materialize shingles once: consumed by the df-count, the prefix
-    # build, and both verify sides — re-running the tokenize+shingle
-    # regex 4× would dominate the runtime.
-    sh = _docs_with_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    # Materialize HASHED shingles once: consumed by the df-count, the
+    # prefix build, and both verify sides — re-running the
+    # tokenize+shingle+hash kernel 4× would dominate the runtime, and
+    # int64 hashes keep every shuffle/join/intersect below narrow.
+    sh = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    # ONE aggregate buffer (the sorted (df, s) list); prefix length
+    # and projection happen post-agg — the inlined form instantiated
+    # three collect_list states per group.
     prefix = (
         ex.join(dfreq, "s")
         .groupBy("doc_id")
-        .agg(
-            F.slice(
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.explode(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("df", "s"))),
+                    F.slice(
+                        "arr",
+                        1,
+                        F.size("arr")
+                        - F.ceil(F.lit(JACCARD_T) * F.size("arr")).cast("int")
+                        + 1,
+                    ),
                     lambda x: x["s"],
-                ),
-                1,
-                F.size(F.collect_list("s"))
-                - F.ceil(F.lit(JACCARD_T) * F.size(F.collect_list("s"))).cast("int")
-                + 1,
-            ).alias("pref")
+                )
+            ).alias("s"),
         )
-        .select("doc_id", F.explode("pref").alias("s"))
     )
     cand = (
         prefix.alias("x")
@@ -336,11 +392,12 @@ def _hash_strings_np(strs: list[str]) -> "np.ndarray":
 
 
 def _minhash_banded_kernel(batches):
-    """Arrow kernel: (doc_id, sh) → exploded (doc_id, bk) band keys.
-    Integer-exact replica of poly_hash → _minhash_sig → _band_keys:
-    all shingles in the batch hash in one masked fold, the 64 affine
-    permutations apply as one (S, 64) matrix op (products stay under
-    2^63: both factors < HASH_P ≈ 2^30), per-doc minima by segment.
+    """Arrow kernel: (doc_id, sh array<bigint>) → exploded
+    (doc_id, bk) band keys from pre-hashed shingles
+    (_hashed_shingles_kernel). Integer-exact replica of
+    _minhash_sig → _band_keys: the 64 affine permutations apply as
+    one (S, 64) matrix op (products stay under 2^63: both factors
+    < HASH_P ≈ 2^30), per-doc minima by segment.
     """
     import numpy as np
     import pandas as pd
@@ -350,8 +407,8 @@ def _minhash_banded_kernel(batches):
     for pdf in batches:
         if not len(pdf):
             continue
-        sh_lists = [list(s) for s in pdf["sh"]]
-        hs = _hash_strings_np([s for lst in sh_lists for s in lst])
+        sh_lists = [np.asarray(s, dtype=np.int64) for s in pdf["sh"]]
+        hs = np.concatenate(sh_lists)
         perm = (hs[:, None] * pa[None, :] + pb[None, :]) % HASH_P
         offs = np.cumsum([0] + [len(lst) for lst in sh_lists])
         doc_ids, bks = [], []
@@ -380,7 +437,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify sides; the banded table materializes once for the
     self-join.
     """
-    sh = _docs_with_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sh = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     banded = sh.mapInPandas(
         _minhash_banded_kernel, "doc_id bigint, bk string"
     ).localCheckpoint(eager=True)

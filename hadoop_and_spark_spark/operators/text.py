@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
+from ..session import fan_out
 from ..functions.portable import let_col
 
 PERFECT_MARKER = "spark"  # reference marker word is "perfect" (a0/PerfectX.java:61-72)
@@ -42,7 +43,9 @@ _TOKS_SQL = tokenize_sql("text")
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the HOF token projections below must not run on one
+    # input split (small local scans arrive as a single partition)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", tokenize("text").alias("toks"))
 
 
@@ -83,7 +86,9 @@ def perfectx(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x.isNotNull(),
         ),
     )
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the HOF token projections below must not run on one
+    # input split (small local scans arrive as a single partition)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(succs).alias("word"))
         .groupBy("word")
@@ -115,7 +120,9 @@ def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         ),
     )
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the HOF token projections below must not run on one
+    # input split (small local scans arrive as a single partition)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     bigrams = (
         docs.select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))

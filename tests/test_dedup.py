@@ -36,10 +36,12 @@ def test_sketch_kernels_match_expressions(spark, sf_dir):
     }
     got = {
         (r.doc_id, r.bk)
-        for r in sh.mapInPandas(
-            dedup._minhash_banded_kernel, "doc_id bigint, bk string"
-        ).collect()
+        for r in dedup._docs_with_hashed_shingles(spark, sf_dir)
+        .mapInPandas(dedup._minhash_banded_kernel, "doc_id bigint, bk string")
+        .collect()
     }
+    # validates the full kernel chain (string shingles → int64 hashes
+    # → permutations → band keys) against the declarative rendering
     assert got == want
 
     docs = sh.sparkSession.read.parquet(f"{sf_dir}/documents.parquet")

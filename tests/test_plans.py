@@ -89,6 +89,9 @@ def test_q7_topk_avoids_global_sort(spark, sf_dir):
 def test_bigram_single_shuffle_before_window(spark, sf_dir):
     """Array-side bigram formation must not shuffle the token stream:
     exactly one exchange for the (a,b) count and one for the window
-    marginal — never an exchange of exploded per-token rows."""
+    marginal — never an exchange of exploded per-token rows. The
+    fan_out round-robin of raw (doc_id, text) rows is exempt: it
+    shuffles pre-explode scan rows, not the token stream, and only
+    exists for under-split local scans."""
     p = plan(T.bigram_relative_frequency(spark, sf_dir), "simple")
-    assert p.count("Exchange") <= 3  # agg, window, final sort
+    assert p.count("Exchange") - p.count("RoundRobinPartitioning") <= 3
