@@ -193,7 +193,13 @@ def _docs_with_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _verified_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Join shingle sets onto candidate (doc_a, doc_b) pairs and keep
-    those with exact Jaccard ≥ JACCARD_T."""
+    those with exact Jaccard ≥ JACCARD_T.
+
+    fan_out: the candidate set is bytes-tiny but CPU-heavy (an
+    array_intersect per row), and AQE's size-based coalescing would
+    otherwise fold the upstream distinct into one partition and run
+    the whole verify on a single core."""
+    cand = fan_out(cand)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -273,9 +279,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     # ONE aggregate buffer (the sorted (df, s) list); prefix length
     # and projection happen post-agg — the inlined form instantiated
-    # three collect_list states per group.
+    # three collect_list states per group. dfreq is vocabulary-sized
+    # → broadcast, so attaching df to the exploded shingle stream
+    # costs no shuffle of that stream.
     prefix = (
-        ex.join(dfreq, "s")
+        ex.join(F.broadcast(dfreq), "s")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
         .select(
