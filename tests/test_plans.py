@@ -95,3 +95,35 @@ def test_bigram_single_shuffle_before_window(spark, sf_dir):
     exists for under-split local scans."""
     p = plan(T.bigram_relative_frequency(spark, sf_dir), "simple")
     assert p.count("Exchange") - p.count("RoundRobinPartitioning") <= 3
+
+
+def test_fan_out_widens_only_narrow_plans(spark):
+    """fan_out repartitions a 1-split scan to one task per core and
+    leaves already-parallel plans untouched (the no-op contract that
+    makes it safe to call unconditionally in operators: on a real
+    multi-split scan no shuffle is inserted)."""
+    from hadoop_and_spark_spark.session import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == target
+
+    wide = spark.range(1000, numPartitions=target)
+    assert fan_out(wide) is wide  # identity, no plan change at all
+
+
+def test_fan_out_sorted_orders_and_parallelizes(spark):
+    """fan_out_sorted must deliver orderBy(col) output order while
+    keeping an explicit (AQE-exempt) partition count > 1, so a
+    CPU-heavy kernel downstream of a small sort is not serialized."""
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.session import fan_out_sorted
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("k")
+    )
+    out = fan_out_sorted(df, "k")
+    assert out.rdd.getNumPartitions() > 1
+    got = [r.k for r in out.collect()]
+    assert got == sorted(got)
