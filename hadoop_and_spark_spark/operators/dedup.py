@@ -762,9 +762,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = vec.toPandas()
     ids = pdf["vec_id"].to_numpy()
     order = np.argsort(ids)
-    matrix = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])[
-        order
-    ]
+    matrix = (
+        np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])[order]
+        if len(pdf)
+        else np.zeros((0, EMB_DIM), dtype=np.float64)
+    )
     # Norms via the same left-fold op sequence as dot_fold.
     acc = np.zeros(len(matrix), dtype=np.float64)
     for j in range(EMB_DIM):

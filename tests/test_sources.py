@@ -124,3 +124,23 @@ def test_tbl_sink_source_roundtrip(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in orig.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_all_queries_handle_empty_tables(spark, sf_dir, tmp_path):
+    """An engine returns empty results on empty inputs, it doesn't
+    crash: every registered query must execute against a scale dir
+    of zero-row tables (schemas preserved via limit(0))."""
+    import os
+
+    from hadoop_and_spark_spark.catalog import TABLES, load_table
+    from hadoop_and_spark_spark.registry import collect
+
+    ed = str(tmp_path / "sf_empty")
+    os.makedirs(ed)
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).write.parquet(
+            os.path.join(ed, f"{t}.parquet")
+        )
+    queries, _ = collect()
+    for name, fn in queries.items():
+        fn(spark, ed).collect()  # must not raise
