@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import dot_fold, dot_fold_sql, round6, round6_sql
+from ..functions.portable import dot_fold, dot_fold_sql, let_col, round6, round6_sql
+from ..session import fan_out
 
 EMB_DIM = 64
 K_NN = 10
@@ -45,8 +46,10 @@ NPROBE = 4
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings cast to double once, with their norm."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Embeddings cast to double once, with their norm. fan_out: the
+    per-vector fold projections downstream must not run on one input
+    split."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
@@ -109,19 +112,45 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    to_cent = vec.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "emb",
-        "nrm",
-        "cid",
-        _cosine("c_emb", "c_nrm", "emb", "nrm").alias("c_cos"),
+    # Centroid ASSIGNMENT is a pure projection against the collected
+    # centroid model (16 rows — the same driver-side smallness a
+    # k-means model has), NOT a crossJoin + per-vector window: the
+    # join/window form blows every vector up 16× and shuffles the
+    # embeddings by vec_id just to pick a max — the kind of plan that
+    # dies at 10⁹ vectors. Here the corpus never shuffles at all.
+    # The fold keeps the FIRST strict maximum ⇒ lowest cid on ties,
+    # identical to the oracle's (c_cos DESC, cid ASC) row_number.
+    cent_rows = cent.orderBy("cid").collect()
+    if cent_rows:
+        c_embs = F.lit([list(r.c_emb) for r in cent_rows])
+        c_nrms = F.lit([float(r.c_nrm) for r in cent_rows])
+        c_cids = F.lit([int(r.cid) for r in cent_rows])
+    else:  # empty corpus: typed placeholder literals (never evaluated)
+        c_embs = F.lit([[0.0] * EMB_DIM])
+        c_nrms = F.lit([1.0])
+        c_cids = F.lit([-1])
+    cent_cosines = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cent_rows) or 1)),
+        lambda i: dot_fold(F.element_at(c_embs, i), F.col("emb"))
+        / (F.element_at(c_nrms, i) * F.col("nrm")),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
-    assigned = (
-        to_cent.withColumn("arank", F.row_number().over(w_assign))
-        .where(F.col("arank") == 1)
-        .select("vec_id", "emb", "nrm", "cid")
+    # array_position returns the FIRST index holding the max ⇒ lowest
+    # cid on exact ties — identical to the oracle's
+    # (c_cos DESC, cid ASC) row_number. let_col binds the cosine
+    # array once (HOF lambdas re-evaluate referenced subexpressions).
+    best_cid = let_col(
+        cent_cosines,
+        lambda a: F.element_at(
+            c_cids, F.array_position(a, F.array_max(a)).cast("int")
+        ),
     )
+    # Materialized once: the query filter and the probe join would
+    # otherwise each recompute the assignment fold. On a cluster this
+    # is the step that WRITES the inverted file (bucketed by cid);
+    # localCheckpoint is its single-process stand-in.
+    assigned = vec.select(
+        "vec_id", "emb", "nrm", best_cid.alias("cid")
+    ).localCheckpoint(eager=True)
     q = assigned.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -140,8 +169,11 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prank") <= NPROBE)
         .select("query_id", "q_emb", "q_nrm", "cid")
     )
+    # probes = |queries| × NPROBE rows at ANY corpus size → broadcast;
+    # the assigned corpus stays in place (on a cluster the inverted
+    # file would additionally be bucketed by cid for probe pruning).
     scored = (
-        probes.join(assigned, "cid")
+        F.broadcast(probes).join(assigned, "cid")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
