@@ -195,11 +195,15 @@ def _verified_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Join shingle sets onto candidate (doc_a, doc_b) pairs and keep
     those with exact Jaccard ≥ JACCARD_T.
 
-    fan_out: the candidate set is bytes-tiny but CPU-heavy (an
-    array_intersect per row), and AQE's size-based coalescing would
-    otherwise fold the upstream distinct into one partition and run
-    the whole verify on a single core."""
-    cand = fan_out(cand)
+    The candidate set is bytes-tiny but CPU-heavy (an array_intersect
+    per row), and AQE's size-based coalescing would otherwise fold the
+    upstream distinct into one partition and run the whole verify on a
+    single core. Unconditional repartition, NOT fan_out: cand is
+    shuffle-rooted, and fan_out's partition introspection would
+    execute the candidate pipeline eagerly (AQE finalizes — i.e.
+    runs — upstream stages when the plan is converted to an RDD),
+    doubling its cost."""
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

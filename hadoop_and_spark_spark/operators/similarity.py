@@ -12,12 +12,12 @@ an ``array<float>`` embedding column.
   partitioned by nearest centroid (the "inverted file"); a query
   probes only its NPROBE closest centroid partitions. The scale path:
   the scored candidate set shrinks by ~NCENTROIDS/NPROBE, and the
-  centroid assignment is a tiny broadcast join. Centroid "training"
-  is deliberately parameter-free and deterministic — the first
-  NCENTROIDS vectors by vec_id act as seeds (documented contract, so
-  the DuckDB oracle reproduces the identical partition map; a
-  production deployment would plug k-means centroids into the same
-  plan shape).
+  centroid assignment is a shuffle-free projection against the
+  collected centroid model. Centroid "training" is deliberately
+  parameter-free and deterministic — the first NCENTROIDS vectors by
+  vec_id act as seeds (documented contract, so the DuckDB oracle
+  reproduces the identical partition map; a production deployment
+  would plug k-means centroids into the same plan shape).
 
 Determinism/oracle parity: cosines are double-precision left-fold dot
 products (``functions.portable.dot_fold``) — bit-identical in Spark

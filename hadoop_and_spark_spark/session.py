@@ -27,7 +27,13 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     the target. Small local scans (one parquet file) otherwise pin
     every downstream stage — Arrow kernels especially — to one core;
     a 100 TB scan already has >> defaultParallelism input splits, so
-    there this is a no-op (no shuffle inserted)."""
+    there this is a no-op (no shuffle inserted).
+
+    Call ONLY on scan-rooted plans: the partition introspection
+    converts the plan to an RDD, and under AQE that finalizes — i.e.
+    eagerly EXECUTES — any shuffle stages the plan contains, running
+    them again when the real action fires. For a shuffle-rooted frame
+    use a plain ``repartition(n)`` instead."""
     sc = df.sparkSession.sparkContext
     target = parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
