@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
+from ..session import fan_out
 
 # Fixed RPN query for the driver-checked retrieval entry, mirroring
 # the assignment3.md golden queries ("X Y OR Z AND" = (X ∪ Y) ∩ Z).
@@ -48,7 +49,9 @@ _TOKS_SQL = tokenize_sql("text")
 def term_doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(term, doc) term frequency — the mapper-side histogram of
     a3/BuildInvertedIndexCompressed.java:66-81 as one aggregation."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the tokenize+explode map side must not run on one
+    # input split (small local scans arrive as a single partition).
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
         .groupBy("term", "doc_id")
@@ -106,7 +109,14 @@ def boolean_retrieval(
     intersect/union. All set algebra stays distributed — the driver
     only composes the plan.
     """
-    postings = term_doc_tf(spark, sf_dir)
+    # Materialize the postings ONCE: each operand filters on the
+    # computed `term` column, and per-term filters push below the
+    # aggregate into three DIFFERENT subplans — without this, every
+    # operand re-runs the whole tokenize+explode+count. (The persisted
+    # write_index form is the real at-scale answer; this is its
+    # in-session equivalent, seek-by-term → filter on a materialized
+    # table, reference S5.)
+    postings = term_doc_tf(spark, sf_dir).localCheckpoint(eager=True)
     stack: list[DataFrame] = []
     for tok in rpn:
         if tok == "AND":

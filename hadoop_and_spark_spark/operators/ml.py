@@ -93,7 +93,12 @@ def train_spam_classifier(
     """
     import math
 
-    inst = instances.select("docid", "label", "features")
+    # Materialize BEFORE the global sort: orderBy's range-partition
+    # sampling pass executes its child, so an unmaterialized
+    # tokenize+feature projection would run twice.
+    inst = instances.select("docid", "label", "features").localCheckpoint(
+        eager=True
+    )
     inst = (
         inst.orderBy(F.rand(shuffle_seed))
         if shuffle_seed is not None
