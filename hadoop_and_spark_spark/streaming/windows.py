@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..session import fan_out
 
 TREND_FACTOR = 2  # cur >= 2*prev, a7/TrendingArrivals.scala:53
 TREND_MIN = 10  # and cur >= 10
@@ -52,7 +53,7 @@ def _classify(col):
 
 def event_count_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: tumbling 1-hour event counts (EventCount.scala:66-70)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("cnt"))
@@ -67,7 +68,7 @@ def event_count_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def region_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: keyed tumbling 10-minute counts after classification
     (RegionEventCount.scala:77-114)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     return (
         ev.select(_classify(F.col("event_type")).alias("region"), "ts")
         .groupBy("region", F.window("ts", "10 minutes").alias("w"))
@@ -88,7 +89,7 @@ def trending_arrivals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's 10-minute window is widened to 1 hour because the
     events table averages <1 event per type per 10 minutes — the
     alert rule constants are unchanged)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     counts = (
         ev.groupBy(
             "event_type", F.window("ts", "1 hour").alias("w")
@@ -124,7 +125,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsing happens once in the scan projection (codegen'd), so at
     scale this is scan-bound — push any k-filter before the groupBy.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         ev.select("event_type", "user_id", "value", k.alias("k"))
