@@ -55,19 +55,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from .sources.tbl import read_text_table
 
         return read_text_table(spark, tpath)
-    df = spark.read.parquet(ppath)
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the parquet; with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as int64
-        # nanos — convert to a real timestamp (microsecond).
+        # ts is TIMESTAMP(NANOS) in the parquet, which Spark cannot
+        # read natively; nanosAsLong is a runtime-settable SQL conf,
+        # so set it here rather than only in the session builder —
+        # callers (the driver harness) may pass their own session.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(ppath)
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
-    return df
+            # ns → µs with integer division: double division loses
+            # ULP-level precision at ~1.7e18 and can flip a window
+            # boundary by ±1µs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(ppath)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -88,14 +92,19 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     src = table_path(sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(src).schema
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(stage, "events.parquet"))
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks require TIMESTAMP (with local tz); session tz is
+        # UTC so the cast preserves the stored wall clock.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

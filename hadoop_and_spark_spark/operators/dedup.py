@@ -439,7 +439,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs → exact-Jaccard verification (≥ JACCARD_T).
 
     Contract: output = pairs that (a) collide in ≥1 of 16 bands and
-    (b) verify at exact Jaccard ≥ 0.5. At the planted-dup similarity
+    (b) verify at exact Jaccard ≥ JACCARD_T. At the planted-dup similarity
     (≈0.97) the per-pair miss probability is (1 − 0.97⁴)¹⁶ ≈ 1e-15.
 
     The signature pipeline runs as the Arrow kernel above (the
@@ -684,41 +684,6 @@ def _emb_banded_kernel(batches):
         )
 
 
-def _make_emb_verify_kernel(ids_sorted, matrix, norms):
-    """Build an Arrow verify kernel closed over the (small) embedding
-    matrix: candidate batches carry ONLY (vec_a, vec_b) ids — the
-    vectors never cross the Arrow boundary. Exact cosine per pair,
-    bit-identical to round6(dot_fold(emb_a, emb_b) / (nrm_a * nrm_b)):
-    explicit left-fold over dims (same IEEE op sequence as
-    F.aggregate) and the same floor-based half-up rounding as
-    functions.portable.round6.
-    """
-
-    def _verify(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ia = np.searchsorted(ids_sorted, pdf["vec_a"].to_numpy())
-            ib = np.searchsorted(ids_sorted, pdf["vec_b"].to_numpy())
-            ea, eb = matrix[ia], matrix[ib]
-            acc = np.zeros(len(ea), dtype=np.float64)
-            for j in range(EMB_DIM):
-                acc = acc + ea[:, j] * eb[:, j]
-            cos = acc / (norms[ia] * norms[ib])
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"],
-                    "vec_b": pdf["vec_b"],
-                    "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
-                }
-            )
-
-    return _verify
-
-
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over ``embeddings``: hyperplane
     sign-LSH (64 planes, 16 bands × 4 bits) for candidates, exact
@@ -729,16 +694,25 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage runs as the Arrow kernel above — 64 interpreted
     zip_with/aggregate folds per row cost 4 s at sf0.1 vs ~0.1 s
     vectorized (the expression form survives as _emb_bits for the
-    differential test). Verification stays JVM-side: it touches only
-    the few candidate pairs.
-    """
-    import numpy as np
+    differential test).
 
+    Verification is fully JVM-side: distinct candidate (vec_a, vec_b)
+    id pairs join the vector table back twice (the same shape as
+    ``_verified_pairs`` for shingles), and the exact cosine is the
+    portable ``dot_fold`` left-fold — the identical IEEE op sequence
+    as the oracle's ``dot_fold_sql`` — so results stay bit-identical.
+    Nothing ever collects to the driver: at 10⁹ vectors the joins are
+    ordinary shuffle (or AQE-broadcast) hash joins on vec_id, and
+    only the candidate set, not the corpus, flows through them.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     # Cast float→double once; every downstream fold reuses the column.
     vec = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    base = vec.withColumn(
+        "nrm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
     )
     banded = fan_out(vec).mapInPandas(
         _emb_banded_kernel, "vec_id bigint, bk string"
@@ -746,14 +720,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At COSINE_T=0.4 over near-orthogonal embeddings the banding
     # prunes little (≈1.3M candidates at sf0.1 — the low threshold is
     # inherently near-quadratic; at production thresholds ≥0.8 the
-    # same bands prune >97%), so candidate-side cost dominates. Two
-    # choices follow from that: (1) no distinct before verify — pairs
-    # sharing several bands are re-verified (cheap, stateless) and
-    # deduped AFTER the ≥T filter, when only true near-dups (few)
-    # reach the shuffle; (2) the verify kernel side-loads the
-    # embedding matrix (same smallness contract as a broadcast hash
-    # join's build side), so candidates cross to Python as bare id
-    # pairs — no 64-dim arrays ever shuffle or cross Arrow.
+    # same bands prune >97%), so candidate-side cost dominates.
+    # Distinct BEFORE the verify joins: pairs colliding in several
+    # bands would otherwise probe the vector table once per band.
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "bk")
@@ -762,25 +731,27 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
         )
-    )
-    pdf = vec.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    order = np.argsort(ids)
-    matrix = (
-        np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])[order]
-        if len(pdf)
-        else np.zeros((0, EMB_DIM), dtype=np.float64)
-    )
-    # Norms via the same left-fold op sequence as dot_fold.
-    acc = np.zeros(len(matrix), dtype=np.float64)
-    for j in range(EMB_DIM):
-        acc = acc + matrix[:, j] * matrix[:, j]
-    norms = np.sqrt(acc)
-    verify = _make_emb_verify_kernel(ids[order], matrix, norms)
-    return (
-        cand.mapInPandas(verify, "vec_a bigint, vec_b bigint, cosine double")
-        .where(F.col("cosine") >= COSINE_T)
         .distinct()
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = round6(
+        dot_fold(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("nrm_a") * F.col("nrm_b"))
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_T)
         .orderBy("vec_a", "vec_b")
     )
 

@@ -159,9 +159,19 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct tokens self-joined on doc_id for pair counts, unigram
     counts broadcast-joined in, log10 expression. N counts all docs
     (the Spark reference's `count()` semantics, a2/PairsPMI.scala:60).
+
+    N is computed IN-PLAN as a 1-row count(*) aggregate broadcast-
+    cross-joined into the PMI projection (the same pattern as the
+    PageRank mass audit) — not a separate driver action, which would
+    re-scan and re-tokenize the whole corpus before the main DAG.
+    The count(*) side reads only parquet footers (zero columns), so
+    at 100 TB it is metadata-traffic, not a second data pass.
     """
     toks = _doc_distinct_tokens(spark, sf_dir)
-    n_docs = toks.count()
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").cast("double").alias("n_docs"))
+    )
     exploded = toks.select("doc_id", F.explode("toks").alias("word"))
     unigram = exploded.groupBy("word").agg(F.count("*").alias("wcnt"))
     a = exploded.select("doc_id", F.col("word").alias("a"))
@@ -178,12 +188,13 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(ua, "a")
         .join(ub, "b")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "a",
             "b",
             F.round(
                 F.log10(
-                    F.col("cnt") * F.lit(float(n_docs))
+                    F.col("cnt") * F.col("n_docs")
                     / (F.col("cnt_a") * F.col("cnt_b"))
                 ),
                 4,

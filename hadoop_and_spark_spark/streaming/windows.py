@@ -88,30 +88,42 @@ def trending_arrivals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TrendingArrivals.scala:47-68 semantics on event time; the
     reference's 10-minute window is widened to 1 hour because the
     events table averages <1 event per type per 10 minutes — the
-    alert rule constants are unchanged)."""
+    alert rule constants are unchanged).
+
+    First-window semantics follow the reference's initial state 0
+    (TrendingArrivals.scala:53): a key's first window has prev = 0,
+    and the rule is ``cnt >= TREND_FACTOR * max(prev, 1)`` — so an
+    opening burst ≥ TREND_MIN alerts, exactly like the streaming twin
+    (streaming/trending.py::_trend_fn)."""
     ev = fan_out(load_table(spark, sf_dir, "events"))
+    return trending_alerts_core(ev)
+
+
+def trending_alerts_core(
+    ev: DataFrame, key_col: str = "event_type", window_len: str = "1 hour"
+) -> DataFrame:
+    """The trend-alert plan over any (key, ts) DataFrame — shared by
+    the registered batch query and the batch↔stream cross-check test
+    (which replays the same events through both twins)."""
     counts = (
-        ev.groupBy(
-            "event_type", F.window("ts", "1 hour").alias("w")
-        )
+        ev.groupBy(key_col, F.window("ts", window_len).alias("w"))
         .agg(F.count("*").alias("cnt"))
-        .select("event_type", F.col("w.start").alias("ws"), "cnt")
+        .select(key_col, F.col("w.start").alias("ws"), "cnt")
     )
-    lagw = Window.partitionBy("event_type").orderBy("ws")
+    lagw = Window.partitionBy(key_col).orderBy("ws")
     return (
-        counts.withColumn("prev", F.lag("cnt").over(lagw))
+        counts.withColumn("prev", F.coalesce(F.lag("cnt").over(lagw), F.lit(0)))
         .where(
             (F.col("cnt") >= TREND_MIN)
-            & (F.col("prev").isNotNull())
-            & (F.col("cnt") >= TREND_FACTOR * F.col("prev"))
+            & (F.col("cnt") >= TREND_FACTOR * F.greatest("prev", F.lit(1)))
         )
         .select(
-            "event_type",
+            key_col,
             F.date_format("ws", _WINDOW_FMT).alias("window_start"),
             "cnt",
             "prev",
         )
-        .orderBy("event_type", "window_start")
+        .orderBy(key_col, "window_start")
     )
 
 
@@ -190,14 +202,15 @@ ORACLE_SQL: dict[str, str] = {
         ),
         lagged AS (
             SELECT event_type, ws, cnt,
-                   lag(cnt) OVER (PARTITION BY event_type ORDER BY ws) AS prev
+                   coalesce(lag(cnt) OVER (PARTITION BY event_type ORDER BY ws),
+                            0) AS prev
             FROM counts
         )
         SELECT event_type, strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
                cnt, prev
         FROM lagged
-        WHERE cnt >= {TREND_MIN} AND prev IS NOT NULL
-          AND cnt >= {TREND_FACTOR} * prev
+        WHERE cnt >= {TREND_MIN}
+          AND cnt >= {TREND_FACTOR} * greatest(prev, 1)
         ORDER BY event_type, window_start
     """,
 }
