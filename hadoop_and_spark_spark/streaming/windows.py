@@ -149,8 +149,13 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
             # decimal, not double: double sums depend on aggregation
-            # order and would flap the cross-engine hash compare
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            # order and would flap the cross-engine hash compare.
+            # Re-cast the sum: Spark widens sum(decimal(18,2)) to
+            # decimal(28,2), DuckDB to decimal(38,2) — pinning both
+            # back to (18,2) makes the driver's typed hash agree.
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -215,14 +220,18 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# Aggregate result types are pinned to Spark's: DuckDB widens
+# sum(BIGINT) to HUGEINT and sum(DECIMAL(18,2)) to DECIMAL(38,2),
+# which breaks the driver's *typed* value hash even though the
+# values are identical (same pattern as spam_eval's n_spam::BIGINT).
 ORACLE_SQL["events_json_stats"] = """
     SELECT event_type,
            count(*) AS n,
            count(DISTINCT user_id) AS n_users,
-           sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
            min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
            max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
-           sum(value::DECIMAL(18,2)) AS sum_value
+           sum(value::DECIMAL(18,2))::DECIMAL(18,2) AS sum_value
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
