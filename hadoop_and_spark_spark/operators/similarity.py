@@ -40,7 +40,11 @@ from ..session import fan_out
 
 EMB_DIM = 64
 K_NN = 10
-QUERY_MOD = 100  # query set = vec_id % QUERY_MOD == 0
+# Query set = the N_QUERIES lowest vec_ids — a FIXED-size probe table,
+# so the broadcast side is O(N_QUERIES) at any corpus size. (A
+# corpus-proportional set like ``vec_id % 100 == 0`` would grow the
+# broadcast linearly with N and stop fitting at ~10⁹ vectors.)
+N_QUERIES = 64
 NCENTROIDS = 16  # IVF lists; centroid seeds = vec_id < NCENTROIDS
 NPROBE = 4
 
@@ -64,15 +68,15 @@ def _cosine(a_emb: str, a_nrm: str, b_emb: str, b_nrm: str):
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-K_NN for each query vector (vec_id % QUERY_MOD
-    == 0), excluding the query itself.
+    """Exact cosine top-K_NN for each query vector (the N_QUERIES
+    lowest vec_ids), excluding the query itself.
 
     Plan shape: broadcast(queries) ⨯ vectors → cosine → per-query
     row_number window. Only (query_id, vec_id, cosine) rows reach the
     window shuffle — embeddings never leave the scan stage.
     """
     vec = _vectors(spark, sf_dir)
-    q = vec.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = vec.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -151,7 +155,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = vec.select(
         "vec_id", "emb", "nrm", best_cid.alias("cid")
     ).localCheckpoint(eager=True)
-    q = assigned.where(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -208,7 +212,7 @@ _COS_CQ = dot_fold_sql("c.emb", "q.emb", EMB_DIM) + " / (c.nrm * q.nrm)"
 ORACLE_SQL: dict[str, str] = {
     "knn_bruteforce": _VEC_CTE + f"""
         , q AS (SELECT vec_id AS query_id, emb, nrm FROM vec
-                WHERE vec_id % {QUERY_MOD} = 0),
+                WHERE vec_id < {N_QUERIES}),
         scored AS (
             SELECT q.query_id, v.vec_id AS neighbor_id, {_COS_QV} AS cos_raw
             FROM q, vec v
@@ -236,7 +240,7 @@ ORACLE_SQL: dict[str, str] = {
             ) WHERE arank = 1
         ),
         q AS (SELECT vec_id AS query_id, emb, nrm FROM assigned
-              WHERE vec_id % {QUERY_MOD} = 0),
+              WHERE vec_id < {N_QUERIES}),
         probes AS (
             SELECT query_id, emb, nrm, cid FROM (
                 SELECT q.query_id, q.emb, q.nrm, c.cid,
