@@ -14,6 +14,8 @@ right coordinate pair per color — the conditional column dispatch
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -61,3 +63,86 @@ def classify_region(df: DataFrame) -> DataFrame:
         .when(in_bbox(lon, lat, CITIGROUP), "citigroup")
         .otherwise("other"),
     )
+
+
+# Committed deterministic taxi-shaped feed (tests/fixtures/
+# gen_taxi_fixture.py) — the registered geo query runs on it because
+# the driver's parquet tables carry no coordinates. Both the Spark
+# query and the DuckDB oracle read this same absolute path.
+FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "taxi_events.csv"
+)
+
+_WINDOW_FMT = "yyyy-MM-dd HH:mm"
+
+
+def region_event_count_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 through the driver gate: positional CSV scan with
+    color-dependent coordinate dispatch, exclusive bounding-box
+    classification, region filter, tumbling 1-hour event-time counts
+    (a7/RegionEventCount.scala:67-114 — the reference's
+    reduceByKeyAndWindow over 60-minute windows, re-expressed as an
+    event-time window on dropoff_ts).
+
+    ``sf_dir`` is ignored: the feed is the committed fixture (the
+    testdata tables have no geo columns). At scale this is a pure
+    scan→project→filter→single-shuffle-agg plan — the classify is
+    codegen'd `when` arithmetic, rows outside both boxes die before
+    the shuffle, and the window key bounds state to regions × hours.
+    """
+    taxi = read_taxi_csv(spark, FIXTURE)
+    return (
+        classify_region(taxi)
+        .where(F.col("region") != "other")
+        .groupBy("region", F.window("dropoff_ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "region",
+            F.date_format(F.col("w.start"), _WINDOW_FMT).alias("window_start"),
+            "cnt",
+        )
+        .orderBy("region", "window_start")
+    )
+
+
+def _bbox_sql(lon: str, lat: str, bbox: tuple[float, float, float, float]) -> str:
+    lon_min, lon_max, lat_min, lat_max = bbox
+    return (
+        f"({lon} > {lon_min!r} AND {lon} < {lon_max!r} "
+        f"AND {lat} > {lat_min!r} AND {lat} < {lat_max!r})"
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "region_event_count_geo": f"""
+        WITH raw AS (
+            SELECT * FROM read_csv('{FIXTURE}', header=false,
+                                   all_varchar=true)
+        ),
+        taxi AS (
+            SELECT column03::TIMESTAMP AS dropoff_ts,
+                   (CASE WHEN column00 = 'yellow' THEN column10
+                         ELSE column08 END)::DOUBLE AS lon,
+                   (CASE WHEN column00 = 'yellow' THEN column11
+                         ELSE column09 END)::DOUBLE AS lat
+            FROM raw
+        ),
+        classified AS (
+            SELECT dropoff_ts,
+                   CASE WHEN {_bbox_sql('lon', 'lat', GOLDMAN)} THEN 'goldman'
+                        WHEN {_bbox_sql('lon', 'lat', CITIGROUP)} THEN 'citigroup'
+                        ELSE 'other' END AS region
+            FROM taxi
+        )
+        SELECT region,
+               strftime(date_trunc('hour', dropoff_ts), '%Y-%m-%d %H:%M')
+                   AS window_start,
+               count(*) AS cnt
+        FROM classified WHERE region <> 'other'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "region_event_count_geo": region_event_count_geo,
+}

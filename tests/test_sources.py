@@ -76,6 +76,34 @@ def test_bbox_edges(spark):
     assert [r.inside for r in got] == [False, True]
 
 
+def test_region_event_count_geo_matches_oracle(spark, sf_dir):
+    """The registered geo pipeline (F4 → windowed counts) against its
+    DuckDB oracle on the committed fixture — the same compare the
+    driver gate runs."""
+    from hadoop_and_spark_spark.oracle import compare
+    from hadoop_and_spark_spark.sources.taxi import (
+        ORACLE_SQL,
+        region_event_count_geo,
+    )
+
+    ok, msg = compare(
+        spark, sf_dir, region_event_count_geo,
+        ORACLE_SQL["region_event_count_geo"],
+    )
+    assert ok, msg
+
+
+def test_region_event_count_geo_covers_both_regions(spark, sf_dir):
+    """Both bounding boxes produce counts and 'other' rows are
+    filtered out (RegionEventCount.scala:91-107)."""
+    from hadoop_and_spark_spark.sources.taxi import region_event_count_geo
+
+    rows = region_event_count_geo(spark, sf_dir).collect()
+    regions = {r.region for r in rows}
+    assert regions == {"goldman", "citigroup"}
+    assert all(r.cnt > 0 for r in rows)
+
+
 def test_queries_from_text_match_parquet(spark, sf_dir, tmp_path):
     """The reference graded every relational query from BOTH text and
     parquet storage (assignment5_marks.md's 53-test matrix). Same
