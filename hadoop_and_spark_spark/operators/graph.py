@@ -38,7 +38,7 @@ reference got this for free by materializing to HDFS every job).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -70,6 +70,8 @@ def personalized_pagerank(
     iterations: int = PR_ITERATIONS,
     partitions: int | None = None,
     gather_partitions: int | None = None,
+    graph_obs: Observation | None = None,
+    mass_obs: Observation | None = None,
 ) -> DataFrame:
     """Run multi-source personalized PageRank; returns
     (nid, ranks ARRAY<DOUBLE>) with one probability per source.
@@ -78,12 +80,29 @@ def personalized_pagerank(
     nodes (the reference allows both, see
     RunPersonalizedPageRankBasic.java:269-277) is swept back to the
     corresponding source each iteration, so Σ_v rank_i(v) == 1.
+
+    Observable metrics (A14 — the reference's accumulator channel,
+    RunPersonalizedPageRankBasic.java:80-82,129, without any driver
+    round-trip: ``df.observe`` aggregates ride the existing jobs):
+
+    - ``graph_obs``: ``n_nodes`` / ``n_edges`` over the cached graph,
+      filled by the first iteration's job.
+    - ``mass_obs``: ``n_nodes`` plus ``mass_0..mass_{k-1}`` — the
+      total rank mass per source on the RESULT frame, filled by
+      whatever action the caller runs. Conservation says each is 1.0.
     """
     spark = graph.sparkSession
     k = len(sources)
     if partitions:
         graph = graph.repartition(partitions, "nid")
-    graph = graph.select("nid", "adj").cache()
+    graph = graph.select("nid", "adj")
+    if graph_obs is not None:
+        graph = graph.observe(
+            graph_obs,
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.sum(F.size("adj")), F.lit(0)).alias("n_edges"),
+        )
+    graph = graph.cache()
 
     nodes = graph.select(
         "nid",
@@ -159,7 +178,17 @@ def personalized_pagerank(
             ).alias("ranks"),
         )
 
-    return nodes.select("nid", "ranks")
+    out = nodes.select("nid", "ranks")
+    if mass_obs is not None:
+        out = out.observe(
+            mass_obs,
+            F.count(F.lit(1)).alias("n_nodes"),
+            *[
+                F.sum(F.element_at("ranks", j + 1)).alias(f"mass_{j}")
+                for j in range(k)
+            ],
+        )
+    return out
 
 
 def top_nodes_per_source(ranks: DataFrame, k: int = 10) -> DataFrame:

@@ -161,6 +161,18 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_batch_counter(df: DataFrame, name: str = "engine_metrics") -> DataFrame:
+    """A14 streaming twin of the reference's micro-batch accumulator
+    (EventCount.scala:55, the "number of completed RDDs" counter):
+    attach a named observation counting the rows of each micro-batch.
+    Metrics surface per batch in
+    ``StreamingQueryProgress.observedMetrics[name]`` — the metric
+    aggregation rides the batch's own job, no extra action and no
+    driver round-trip, exactly like the batch-side ``Observation``
+    channel in operators/graph.py."""
+    return df.observe(name, F.count(F.lit(1)).alias("n_rows"))
+
+
 def streaming_windowed_counts(
     events_stream: DataFrame,
     key_col: str | None = "event_type",

@@ -93,3 +93,29 @@ def test_ppr_query_runs(spark, sf_dir):
     assert len(rows) == G.PR_NUM_NODES
     s0 = sum(r.rank_s0 for r in rows)
     assert s0 == pytest.approx(1.0, abs=1e-3)
+
+
+def test_ppr_observed_metrics(spark):
+    """A14: the Observation channel reports graph size and per-source
+    mass conservation without any extra job (the reference's
+    accumulator counters, RunPersonalizedPageRankBasic.java:80-82)."""
+    from pyspark.sql import Observation
+
+    gdf = spark.createDataFrame(TOY, "nid int, adj array<int>")
+    graph_obs, mass_obs = Observation(), Observation()
+    out = G.personalized_pagerank(
+        gdf,
+        sources=SOURCES,
+        alpha=ALPHA,
+        iterations=3,
+        graph_obs=graph_obs,
+        mass_obs=mass_obs,
+    )
+    out.collect()
+    g = graph_obs.get
+    assert g["n_nodes"] == len(TOY)
+    assert g["n_edges"] == sum(len(adj) for _, adj in TOY)
+    m = mass_obs.get
+    assert m["n_nodes"] == len(TOY)
+    for j in range(len(SOURCES)):
+        assert m[f"mass_{j}"] == pytest.approx(1.0, abs=1e-9)

@@ -118,3 +118,32 @@ def test_replay_files_time_ordered(spark, sf_dir, tmp_path):
         if prev_max is not None:
             assert pdf.lo >= prev_max
         prev_max = pdf.hi
+
+
+def test_streaming_observed_batch_counter(spark, sf_dir, tmp_path):
+    """A14 streaming: the named observation reports per-micro-batch
+    row counts through StreamingQueryProgress.observedMetrics — the
+    reference's completed-RDD accumulator (EventCount.scala:55)."""
+    from hadoop_and_spark_spark.catalog import load_events_stream
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    with_counter = W.with_batch_counter(
+        load_events_stream(spark, sf_dir), "engine_metrics"
+    )
+    out = W.streaming_windowed_counts(with_counter, key_col="event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("obs_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_obs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    observed = [
+        p["observedMetrics"]["engine_metrics"]["n_rows"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("engine_metrics")
+    ]
+    assert observed, "no observedMetrics surfaced in query progress"
+    assert sum(observed) == n_events
