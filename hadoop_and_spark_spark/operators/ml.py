@@ -227,16 +227,26 @@ def spam_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality), never over rows — at 100 TB the per-row work is one
     hash aggregation.
     """
-    from pyspark.sql import Window
-
-    from ..functions.portable import round6
-
     inst = spam_instances(spark, sf_dir)
     feats = inst.select("docid", "label", F.explode("features").alias("f"))
     scored = feats.groupBy("docid", "label").agg(
         F.sum(_int_weight(F.col("f"), ENSEMBLE_MULTS[0])).alias("s")
     )
-    g = scored.groupBy("s").agg(
+    return grouped_score_auc(scored)
+
+
+def grouped_score_auc(scored: DataFrame, score_col: str = "s") -> DataFrame:
+    """Tie-aware rank-sum AUC over (label, score) rows — the
+    relational core shared by spam_eval (arithmetic model) and
+    spam_eval_trained (real SGD ensemble). Groups by exact score
+    value, so callers with FP scores should round first to keep tie
+    groups stable. Output: (n_spam, n_ham, auc, one_minus_roca_pct).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.portable import round6
+
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
         F.sum(F.when(F.col("label") == "spam", 1).otherwise(0)).alias("ns"),
         F.sum(F.when(F.col("label") == "ham", 1).otherwise(0)).alias("nh"),
     )
@@ -254,6 +264,40 @@ def spam_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.select(
         "n_spam", "n_ham", round6(auc).alias("auc")
     ).withColumn("one_minus_roca_pct", round6((1.0 - F.col("auc")) * 100.0))
+
+
+def spam_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-ROCA% of the REAL sharded-SGD ensemble (rows-only driver
+    entry: SGD training is order-sensitive and not SQL-expressible;
+    quality is pinned by the golden AUC test instead).
+
+    The a6 pipeline end-to-end (TrainSpamClassifier → part-00000/1/2
+    → ApplyEnsembleSpamClassifier --method average → spam_eval.sh):
+    train one model per docid-shard, combine by averaging — scoring
+    is linear, so the averaged ensemble equals scoring against ONE
+    merged model with weight = Σ_i w_i/n (a feature-keyed grouped
+    sum, no per-model scoring passes) — then the shared relational
+    AUC. Scores are rounded to 6 dp before the tie grouping so FP
+    summation order can't split a tie group.
+    """
+    n = len(ENSEMBLE_MULTS)
+    inst = spam_instances(spark, sf_dir)
+    merged = (
+        _union_all(train_sharded(inst, n_shards=n))
+        .groupBy("feature")
+        .agg((F.sum("weight") / n).alias("weight"))
+    )
+    scored = score_with_model(inst, merged).select(
+        "label", F.round("score", 6).alias("s")
+    )
+    return grouped_score_auc(scored)
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def spam_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,4 +401,5 @@ QUERIES = {
     "spam_ensemble": spam_ensemble,
     "spam_train": spam_train_query,
     "spam_eval": spam_eval,
+    "spam_eval_trained": spam_eval_trained,
 }

@@ -37,6 +37,42 @@ def test_spam_eval_matches_tie_averaged_auc(spark, sf_dir):
     assert got.n_spam == n_pos and got.n_ham == n_neg
 
 
+def test_spam_eval_trained_golden(spark, sf_dir):
+    """The registered trained-ensemble eval (rows-only at the driver)
+    is pinned here instead: its grouped-score AUC must equal the
+    textbook tie-averaged rank-sum AUC of the same merged-model
+    scores, and the linearly-separable corpus must train past the
+    quality gate."""
+    n = len(ml.ENSEMBLE_MULTS)
+    inst = ml.spam_instances(spark, sf_dir)
+    merged = (
+        ml._union_all(ml.train_sharded(inst, n_shards=n))
+        .groupBy("feature")
+        .agg((F.sum("weight") / n).alias("weight"))
+    )
+    rows = (
+        ml.score_with_model(inst, merged)
+        .select("label", F.round("score", 6).alias("score"))
+        .collect()
+    )
+    by_score: dict[float, list[str]] = {}
+    for r in rows:
+        by_score.setdefault(r.score, []).append(r.label)
+    n_pos = sum(1 for r in rows if r.label == "spam")
+    n_neg = len(rows) - n_pos
+    rank, rank_sum = 0, 0.0
+    for s in sorted(by_score):
+        grp = by_score[s]
+        avg_rank = rank + (len(grp) + 1) / 2
+        rank_sum += avg_rank * sum(1 for l in grp if l == "spam")
+        rank += len(grp)
+    want = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    got = ml.spam_eval_trained(spark, sf_dir).first()
+    assert got.auc == pytest.approx(want, abs=1e-6)
+    assert got.n_spam == n_pos and got.n_ham == n_neg
+    assert got.auc > 0.8  # sharded SGD on the separable corpus
+
+
 def auc(scored) -> float:
     """1 - ROCA counterpart of spam_eval.sh/compute_spam_metrics.c:
     plain rank-sum AUC, no sklearn."""
