@@ -98,25 +98,12 @@ def _doc_set(postings: DataFrame, term: str) -> DataFrame:
     return postings.where(F.col("term") == term).select("doc_id")
 
 
-def boolean_retrieval(
-    spark: SparkSession, sf_dir: str, rpn: tuple[str, ...] = RPN_QUERY
-) -> DataFrame:
-    """Evaluate an RPN boolean query and return matching docs with
-    their display snippet.
-
-    The stack loop mirrors a3/BooleanRetrievalCompressed.java:73-96;
-    operands push doc-id-set DataFrames, AND/OR pop two and push
-    intersect/union. All set algebra stays distributed — the driver
-    only composes the plan.
-    """
-    # Materialize the postings ONCE: each operand filters on the
-    # computed `term` column, and per-term filters push below the
-    # aggregate into three DIFFERENT subplans — without this, every
-    # operand re-runs the whole tokenize+explode+count. (The persisted
-    # write_index form is the real at-scale answer; this is its
-    # in-session equivalent, seek-by-term → filter on a materialized
-    # table, reference S5.)
-    postings = term_doc_tf(spark, sf_dir).localCheckpoint(eager=True)
+def _eval_rpn(postings: DataFrame, rpn: tuple[str, ...]) -> DataFrame:
+    """The RPN stack evaluator over any (term, doc_id) postings frame
+    (a3/BooleanRetrievalCompressed.java:73-96): operands push
+    doc-id-set DataFrames, AND/OR pop two and push intersect/union.
+    All set algebra stays distributed — the driver only composes the
+    plan."""
     stack: list[DataFrame] = []
     for tok in rpn:
         if tok == "AND":
@@ -129,13 +116,68 @@ def boolean_retrieval(
             stack.append(_doc_set(postings, tok))
     if len(stack) != 1:
         raise ValueError(f"malformed RPN query: {rpn}")
-    hits = stack[0]
+    return stack[0]
+
+
+def _fetch_snippets(
+    spark: SparkSession, sf_dir: str, hits: DataFrame
+) -> DataFrame:
+    """S6 collection fetch: semi-join the hit set back to documents
+    (the reference's per-hit collection-file seek,
+    a3/BooleanRetrievalCompressed.java:175-181)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.join(hits, "doc_id", "left_semi")
         .select("doc_id", F.substring("text", 1, SNIPPET_LEN).alias("snippet"))
         .orderBy("doc_id")
     )
+
+
+def boolean_retrieval(
+    spark: SparkSession, sf_dir: str, rpn: tuple[str, ...] = RPN_QUERY
+) -> DataFrame:
+    """Evaluate an RPN boolean query and return matching docs with
+    their display snippet."""
+    # Materialize the postings ONCE: each operand filters on the
+    # computed `term` column, and per-term filters push below the
+    # aggregate into three DIFFERENT subplans — without this, every
+    # operand re-runs the whole tokenize+explode+count. (The persisted
+    # boolean_retrieval_persisted form is the real at-scale answer;
+    # this is its in-session equivalent, seek-by-term → filter on a
+    # materialized table, reference S5.)
+    postings = term_doc_tf(spark, sf_dir).localCheckpoint(eager=True)
+    return _fetch_snippets(spark, sf_dir, _eval_rpn(postings, rpn))
+
+
+def boolean_retrieval_persisted(
+    spark: SparkSession, sf_dir: str, rpn: tuple[str, ...] = RPN_QUERY
+) -> DataFrame:
+    """The a3 pipeline end-to-end through STORAGE: build the index,
+    persist it (K2), read it back, and retrieve (S5) — proving the
+    seek path the reference grades (BuildInvertedIndexCompressed →
+    MapFile on disk → BooleanRetrievalCompressed.java:57-96), not
+    just the in-session recompute.
+
+    The persisted index is hash(term)-partitioned and term-sorted
+    within partitions, so each operand's ``term = 'x'`` filter
+    reaches the parquet scan as a pushed predicate and row-group
+    min/max stats prune everything but the one bucket's matching
+    chunk — the DataFrame-native analogue of the reference's
+    partitioned MapFile seek. Results must be identical to
+    boolean_retrieval (same oracle)."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"hs_index_{abs(hash((os.path.abspath(sf_dir), 'idx')))}",
+    )
+    write_index(spark, sf_dir, out)
+    idx = spark.read.parquet(out)
+    postings = idx.select(
+        "term", F.explode("postings").alias("p")
+    ).select("term", F.col("p.doc_id").alias("doc_id"))
+    return _fetch_snippets(spark, sf_dir, _eval_rpn(postings, rpn))
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -167,7 +209,10 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["boolean_retrieval_persisted"] = ORACLE_SQL["boolean_retrieval"]
+
 QUERIES = {
     "inverted_index": inverted_index,
     "boolean_retrieval": boolean_retrieval,
+    "boolean_retrieval_persisted": boolean_retrieval_persisted,
 }

@@ -48,3 +48,33 @@ def test_rpn_and_or_semantics(spark, sf_dir):
     }
     got = {r.doc_id for r in index.boolean_retrieval(spark, sf_dir).collect()}
     assert got == expected and got
+
+
+def test_persisted_retrieval_matches_in_session(spark, sf_dir):
+    """The storage round-trip (write_index → read → RPN eval) must
+    return exactly the in-session result, and the per-term operand
+    filter must reach the parquet scan as a pushed predicate — the
+    DataFrame-native analogue of the reference's MapFile seek
+    (a3/BooleanRetrievalCompressed.java:57-71)."""
+    a = [tuple(r) for r in index.boolean_retrieval(spark, sf_dir).collect()]
+    b = [
+        tuple(r)
+        for r in index.boolean_retrieval_persisted(spark, sf_dir).collect()
+    ]
+    assert a == b and a
+
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"hs_index_{abs(hash((os.path.abspath(sf_dir), 'idx')))}",
+    )
+    plan = (
+        spark.read.parquet(out)
+        .where("term = 'spark'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,spark)]" in plan
