@@ -127,9 +127,10 @@ def test_queries_from_text_match_parquet(spark, sf_dir, tmp_path):
             load_table(spark, sf_dir, t), os.path.join(text_sf, f"{t}.tbl")
         )
 
-    for fn in (R.q1_shipdate_count, R.q5_nation_volume_by_month,
-               R.q6_pricing_summary, R.q7_top_unshipped_revenue,
-               TX.wordcount):
+    for fn in (R.q1_shipdate_count, R.q2_orders_for_shipped_lineitems,
+               R.q3_part_supplier_lookup, R.q4_orders_by_nation,
+               R.q5_nation_volume_by_month, R.q6_pricing_summary,
+               R.q7_top_unshipped_revenue, TX.wordcount):
         want = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
         got = sorted(tuple(r) for r in fn(spark, text_sf).collect())
         assert got == want, fn.__name__
