@@ -13,8 +13,26 @@ never do).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a runtime SQL conf for the duration of the block, then
+    restore the caller's prior value (or unset). Parquet reads capture
+    the conf at plan time, so restoring after ``spark.read`` does not
+    affect the returned DataFrame's later execution."""
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 TABLES = (
     "region",
@@ -60,11 +78,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # read natively; nanosAsLong is a runtime-settable SQL conf,
         # so set it here rather than only in the session builder —
         # callers (the driver harness) may pass their own session.
+        # Scoped: the caller's prior value is restored after the read,
+        # so a later read of a DIFFERENT nanos-timestamp parquet in
+        # the same session keeps the caller's own semantics.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(ppath)
+        with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            df = spark.read.parquet(ppath)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # ns → µs with integer division: double division loses
             # ULP-level precision at ~1.7e18 and can flip a window
@@ -92,6 +113,10 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     src = table_path(sf_dir, "events")
+    # Deliberately NOT scoped like load_table's read: the streaming
+    # scan executes when the query STARTS, long after this returns, so
+    # the conf must outlive the call. Permanent session mutation is
+    # the documented contract here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(src).schema
     stage = tempfile.mkdtemp(prefix="events_stream_")

@@ -164,8 +164,10 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-joined into the PMI projection (the same pattern as the
     PageRank mass audit) — not a separate driver action, which would
     re-scan and re-tokenize the whole corpus before the main DAG.
-    The count(*) side reads only parquet footers (zero columns), so
-    at 100 TB it is metadata-traffic, not a second data pass.
+    On the parquet path the count(*) side reads only footers (zero
+    columns), so at 100 TB it is metadata-traffic, not a second data
+    pass. (On the text-format fallback path a count(*) is a full CSV
+    scan — the footer-only economy is parquet's.)
     """
     toks = _doc_distinct_tokens(spark, sf_dir)
     n_docs = (

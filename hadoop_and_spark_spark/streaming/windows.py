@@ -99,24 +99,41 @@ def trending_arrivals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trending_alerts_core(ev)
 
 
-def trending_alerts_core(
+def trending_lagged_counts(
     ev: DataFrame, key_col: str = "event_type", window_len: str = "1 hour"
 ) -> DataFrame:
-    """The trend-alert plan over any (key, ts) DataFrame — shared by
-    the registered batch query and the batch↔stream cross-check test
-    (which replays the same events through both twins)."""
+    """Per-key windowed counts with the previous EXISTING window's
+    count and the trend flag — the full state trajectory, unfiltered.
+    This is the exact batch twin of streaming/trending.py::_trend_fn
+    (which is likewise only invoked for batches where the key has
+    rows, so its ``prev`` also means last-window-with-data): the
+    cross-check test replays the same events through both and
+    requires identical (key, cnt, prev, trending) trajectories."""
     counts = (
         ev.groupBy(key_col, F.window("ts", window_len).alias("w"))
         .agg(F.count("*").alias("cnt"))
         .select(key_col, F.col("w.start").alias("ws"), "cnt")
     )
     lagw = Window.partitionBy(key_col).orderBy("ws")
+    return counts.withColumn(
+        "prev", F.coalesce(F.lag("cnt").over(lagw), F.lit(0))
+    ).withColumn(
+        "trending",
+        (F.col("cnt") >= TREND_MIN)
+        & (F.col("cnt") >= TREND_FACTOR * F.greatest("prev", F.lit(1))),
+    )
+
+
+def trending_alerts_core(
+    ev: DataFrame, key_col: str = "event_type", window_len: str = "1 hour"
+) -> DataFrame:
+    """The trend-alert plan over any (key, ts) DataFrame — the
+    alert-rows projection of ``trending_lagged_counts``, shared by the
+    registered batch query and the batch↔stream cross-check test
+    (tests/test_streaming.py::test_batch_stream_trend_trajectories)."""
     return (
-        counts.withColumn("prev", F.coalesce(F.lag("cnt").over(lagw), F.lit(0)))
-        .where(
-            (F.col("cnt") >= TREND_MIN)
-            & (F.col("cnt") >= TREND_FACTOR * F.greatest("prev", F.lit(1)))
-        )
+        trending_lagged_counts(ev, key_col, window_len)
+        .where("trending")
         .select(
             key_col,
             F.date_format("ws", _WINDOW_FMT).alias("window_start"),

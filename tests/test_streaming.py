@@ -147,3 +147,54 @@ def test_streaming_observed_batch_counter(spark, sf_dir, tmp_path):
     ]
     assert observed, "no observedMetrics surfaced in query progress"
     assert sum(observed) == n_events
+
+
+def test_batch_stream_trend_trajectories(spark, sf_dir, tmp_path):
+    """Batch↔stream twin cross-check: replay the same events through
+    trending_lagged_counts (lag over event-time windows) and the
+    stateful streaming twin (one micro-batch per hour) and require
+    identical (key, cnt, prev, trending) state trajectories."""
+    from hadoop_and_spark_spark.streaming.trending import trending_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    lo = ev.agg(F.min("ts").alias("lo")).first().lo
+    t0 = lo.replace(minute=0, second=0, microsecond=0)
+    n_hours = 8
+    hours = [
+        ev.where(
+            (F.col("ts") >= F.lit(t0) + F.expr(f"INTERVAL {h} HOURS"))
+            & (F.col("ts") < F.lit(t0) + F.expr(f"INTERVAL {h + 1} HOURS"))
+        )
+        for h in range(n_hours)
+    ]
+    subset = ev.where(
+        (F.col("ts") >= F.lit(t0))
+        & (F.col("ts") < F.lit(t0) + F.expr(f"INTERVAL {n_hours} HOURS"))
+    )
+
+    from hadoop_and_spark_spark.sources.mock_stream import (
+        read_replay_stream,
+        write_scripted_batches,
+    )
+
+    replay_dir = str(tmp_path / "replay_hours")
+    write_scripted_batches(hours, replay_dir)
+    out = trending_stream(read_replay_stream(spark, replay_dir, subset.schema))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trend_traj")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_traj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.key, r.cnt, r.prev, r.trending)
+        for r in spark.sql("select * from trend_traj").collect()
+    )
+    want = sorted(
+        (r.event_type, r.cnt, r.prev, r.trending)
+        for r in W.trending_lagged_counts(subset).collect()
+    )
+    assert got == want and got
