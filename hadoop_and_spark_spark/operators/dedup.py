@@ -476,6 +476,90 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(cand, sh)
 
 
+# ------------------------------------------------- duplicate clustering
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 30
+) -> DataFrame:
+    """Connected components over an undirected pair list by min-label
+    propagation: every node's label converges to the smallest node id
+    in its component. Returns (node, component).
+
+    Scale shape: the iteration state is one (node, label) table keyed
+    by node — NODES OF THE PAIR GRAPH ONLY, a tiny fraction of the
+    corpus — and each round is one join + one grouped min, both
+    shuffling on node id. Rounds needed = component diameter, and
+    near-dup clusters are shallow (a planted-dup family is a clique —
+    diameter 1), so the loop exits after 2–3 rounds. Convergence is
+    detected with a single scalar count per round (an aggregate
+    action, the same budget as the PageRank mass audit); lineage stays
+    constant via per-round eager localCheckpoint.
+    """
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .withColumn("label", F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("vlabel")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nbr"))
+        )
+        new_labels = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.least("label", F.coalesce("nbr", F.col("label"))).alias("label"),
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the production step after pair generation —
+    group the verified MinHash pairs into connected components so a
+    keep-one-per-cluster policy can act on whole duplicate families,
+    not pairwise edges (A–B and B–C dups must collapse to one
+    canonical doc even when A–C never collided).
+
+    Output: (doc_id, cluster_id, cluster_size) for every doc in ≥1
+    verified pair; cluster_id = min doc_id of the component (the
+    canonical survivor under keep-lowest-id). The DuckDB oracle
+    replicates the full pipeline with a recursive transitive-closure
+    CTE, so the driver hash-checks the clustering too.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    wsize = Window.partitionBy("cluster_id")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count("*").over(wsize))
+        .orderBy("doc_id")
+    )
+
+
 def _minhash_sig_sql() -> str:
     h = poly_hash_sql("s")
     mins = ", ".join(
@@ -873,10 +957,37 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# Transitive closure of the verified-pair graph: reach(u, r) = node r
+# is reachable from node u over undirected pair edges; component id =
+# min reachable node. UNION (not UNION ALL) dedups the frontier so the
+# recursion terminates.
+ORACLE_SQL["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_minhash_lsh"]})
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    ),
+    comp AS (
+        SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp ORDER BY doc_id
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
 }

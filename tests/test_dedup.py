@@ -142,3 +142,39 @@ def test_exact_dedup_covers_all_docs(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     groups = dedup.dedup_exact(spark, sf_dir).collect()
     assert sum(r.n_copies for r in groups) == n_docs
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B and B-C pairs must merge into one component labeled by the
+    minimum id even though A-C never appears, and disjoint pairs stay
+    separate."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every doc in a verified pair appears in exactly one cluster;
+    both endpoints of every pair share a cluster; cluster_id is the
+    cluster minimum."""
+    pair_rows = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    rows = dedup.dedup_clusters(spark, sf_dir).collect()
+    cluster_of = {r.doc_id: r.cluster_id for r in rows}
+    assert len(cluster_of) == len(rows)  # one row per doc
+    docs_in_pairs = {r.doc_a for r in pair_rows} | {r.doc_b for r in pair_rows}
+    assert set(cluster_of) == docs_in_pairs
+    for r in pair_rows:
+        assert cluster_of[r.doc_a] == cluster_of[r.doc_b]
+    from collections import Counter
+
+    sizes = Counter(cluster_of.values())
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.cluster_id == min(
+            d for d, c in cluster_of.items() if c == r.cluster_id
+        )
