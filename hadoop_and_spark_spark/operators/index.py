@@ -180,6 +180,54 @@ def boolean_retrieval_persisted(
     return _fetch_snippets(spark, sf_dir, _eval_rpn(postings, rpn))
 
 
+TFIDF_TERMS = ("spark", "hash", "table")  # ranked-retrieval query
+TFIDF_K = 20
+
+
+def tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval over the inverted index: score(doc) =
+    Σ_{t ∈ query} tf(t,d) · log10(N/df(t)), top-TFIDF_K docs.
+
+    The classic step past the reference's set-algebra retrieval (a3),
+    built from the same postings aggregate. Plan shape: postings
+    filter to the query terms (at scale: an index seek, S5) → per-term
+    df from the filtered postings themselves → N as an in-plan
+    footer-only count(*) broadcast-cross-joined in (the pmi_pairs
+    pattern) → per-doc sum → top-k window. Only (doc_id, score) rows
+    reach the rank shuffle. Scores round to 6 dp BEFORE ranking so
+    ULP-level FP summation differences can't flip a rank across
+    engines; ties break on doc_id.
+    """
+    from ..functions.portable import round6
+
+    postings = term_doc_tf(spark, sf_dir)
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    q = postings.where(F.col("term").isin(*TFIDF_TERMS))
+    df_tbl = q.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        q.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (F.col("tf") * F.log10(F.col("n") / F.col("df"))).alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(round6(F.sum("w")).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_K)
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "inverted_index": f"""
         WITH postings AS (
@@ -211,8 +259,39 @@ ORACLE_SQL: dict[str, str] = {
 
 ORACLE_SQL["boolean_retrieval_persisted"] = ORACLE_SQL["boolean_retrieval"]
 
+
+def _tfidf_sql() -> str:
+    from ..functions.portable import round6_sql
+
+    terms = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
+    return f"""
+        WITH postings AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+            GROUP BY term, doc_id
+        ),
+        q AS (SELECT * FROM postings WHERE term IN ({terms})),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM q GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   {round6_sql('sum(q.tf * log10(n.n / dfreq.df))')} AS score
+            FROM q JOIN dfreq USING (term) CROSS JOIN n
+            GROUP BY doc_id
+        )
+        SELECT rank, doc_id, score FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TFIDF_K} ORDER BY rank
+    """
+
+
+ORACLE_SQL["tfidf_retrieval"] = _tfidf_sql()
+
 QUERIES = {
     "inverted_index": inverted_index,
     "boolean_retrieval": boolean_retrieval,
     "boolean_retrieval_persisted": boolean_retrieval_persisted,
+    "tfidf_retrieval": tfidf_retrieval,
 }

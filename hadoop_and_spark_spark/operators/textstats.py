@@ -39,10 +39,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
-from ..session import fan_out_sorted
+from ..session import fan_out, fan_out_sorted
 from ..functions.portable import (
     HASH_P,
     let_col,
+    poly_hash,
     poly_hash_sql,
     round6,
     round6_sql,
@@ -277,7 +278,55 @@ def _langid_sql() -> str:
 
 _EN_SW_HITS = _hits_sql(_TOKS_SQL, STOPWORDS["en"])
 
+# ------------------------------------------------------ corpus split
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 90  # bucket < 90 → train
+SPLIT_VAL_LT = 95  # 90 ≤ bucket < 95 → val; rest → test
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the sampling step a
+    training-data pipeline runs after filtering/dedup.
+
+    The split key is a CONTENT hash (portable poly-hash of the first
+    64 chars + '#' + length), not the doc id, so assignment survives
+    re-sharding/re-iding of the corpus and stays reproducible across
+    engines; bounding the hashed prefix keeps the per-row fold O(64)
+    instead of O(doc length). Pure codegen projection — no shuffle
+    but the output orderBy; at scale the split is a WHERE clause on
+    this same expression (no materialization needed).
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    key = F.concat(
+        F.substring("text", 1, 64), F.lit("#"), F.length("text").cast("string")
+    )
+    bucket = (poly_hash(key) % SPLIT_BUCKETS).cast("int")
+    return (
+        docs.select("doc_id", bucket.alias("bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < SPLIT_TRAIN_LT, "train")
+            .when(F.col("bucket") < SPLIT_VAL_LT, "val")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPLIT_KEY_SQL = "substr(text, 1, 64) || '#' || length(text)::VARCHAR"
+
 ORACLE_SQL: dict[str, str] = {
+    "corpus_split": f"""
+        SELECT doc_id,
+               ({poly_hash_sql(_SPLIT_KEY_SQL)} % {SPLIT_BUCKETS})::INT AS bucket,
+               CASE WHEN {poly_hash_sql(_SPLIT_KEY_SQL)} % {SPLIT_BUCKETS}
+                         < {SPLIT_TRAIN_LT} THEN 'train'
+                    WHEN {poly_hash_sql(_SPLIT_KEY_SQL)} % {SPLIT_BUCKETS}
+                         < {SPLIT_VAL_LT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id
+    """,
     "langid_heuristic": _langid_sql(),
     "doc_quality": f"""
         WITH base AS (
@@ -333,4 +382,5 @@ QUERIES = {
     "doc_quality": doc_quality,
     "token_stats": token_stats,
     "winnow_fingerprint": winnow_fingerprint,
+    "corpus_split": corpus_split,
 }

@@ -78,3 +78,34 @@ def test_winnow_fingerprint_detects_near_dups(spark, sf_dir):
     inter = len(fps[a] & fps[b])
     union = len(fps[a] | fps[b])
     assert inter / union >= 0.5, (a, b, inter, union)
+
+
+def test_corpus_split_total_and_proportions(spark, sf_dir):
+    """Every doc gets exactly one split; proportions land near the
+    90/5/5 contract (content-hash bucketing is only approximately
+    uniform on a finite corpus)."""
+    rows = textstats.corpus_split(spark, sf_dir).collect()
+    n = len(rows)
+    counts = {}
+    for r in rows:
+        assert (r.bucket < textstats.SPLIT_TRAIN_LT) == (r.split == "train")
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert sum(counts.values()) == n and set(counts) == {"train", "val", "test"}
+    assert 0.8 < counts["train"] / n < 0.97
+
+
+def test_corpus_split_content_stable(spark, sf_dir):
+    """Assignment depends only on content: re-iding the corpus (new
+    doc_ids, same text) must produce the identical text→split map."""
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.catalog import load_table
+
+    base = textstats.corpus_split(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    joined = docs.join(base, "doc_id").select("text", "split")
+    # two docs with identical text must land in the same split
+    per_text = joined.groupBy("text").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert per_text.agg(F.max("k")).first()[0] == 1
