@@ -293,9 +293,11 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 chars + '#' + length), not the doc id, so assignment survives
     re-sharding/re-iding of the corpus and stays reproducible across
     engines; bounding the hashed prefix keeps the per-row fold O(64)
-    instead of O(doc length). Pure codegen projection — no shuffle
-    but the output orderBy; at scale the split is a WHERE clause on
-    this same expression (no materialization needed).
+    instead of O(doc length). Scan-bound projection with no shuffle
+    but the output orderBy (the higher-order hash fold itself runs
+    interpreted — CodegenFallback — but bounded at 64 chars/row); at
+    scale the split is a WHERE clause on this same expression (no
+    materialization needed).
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     key = F.concat(

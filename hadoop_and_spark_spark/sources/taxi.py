@@ -29,11 +29,12 @@ CITIGROUP = (-74.012083, -74.009867, 40.720053, 40.7217236)
 _N_COLS = 20
 
 
-def read_taxi_csv(spark: SparkSession, path: str) -> DataFrame:
-    schema = T.StructType(
-        [T.StructField(f"_c{i}", T.StringType(), True) for i in range(_N_COLS)]
-    )
-    raw = spark.read.csv(path, schema=schema, header=False)
+_TAXI_SCHEMA = T.StructType(
+    [T.StructField(f"_c{i}", T.StringType(), True) for i in range(_N_COLS)]
+)
+
+
+def _taxi_projection(raw: DataFrame) -> DataFrame:
     is_yellow = F.col("_c0") == "yellow"
     return raw.select(
         F.col("_c0").alias("color"),
@@ -46,6 +47,22 @@ def read_taxi_csv(spark: SparkSession, path: str) -> DataFrame:
         .cast("double")
         .alias("dropoff_lat"),
     )
+
+
+def read_taxi_csv(spark: SparkSession, path: str) -> DataFrame:
+    return _taxi_projection(spark.read.csv(path, schema=_TAXI_SCHEMA, header=False))
+
+
+def read_taxi_csv_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """The same positional projection over a file-source STREAM — the
+    reference's actual deployment shape (a7 consumed the taxi feed as
+    a DStream; here the CSV directory is the micro-batch source)."""
+    raw = (
+        spark.readStream.schema(_TAXI_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .csv(dir_path)
+    )
+    return _taxi_projection(raw)
 
 
 def in_bbox(lon: Column, lat: Column, bbox: tuple[float, float, float, float]) -> Column:
@@ -91,6 +108,14 @@ def region_event_count_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle, and the window key bounds state to regions × hours.
     """
     taxi = read_taxi_csv(spark, FIXTURE)
+    return geo_windowed_counts(taxi).orderBy("region", "window_start")
+
+
+def geo_windowed_counts(taxi: DataFrame) -> DataFrame:
+    """classify → filter → keyed tumbling 1-hour counts, shared by
+    the batch query and its streaming twin (the identical aggregation
+    expression runs under IncrementalExecution in the stream — the
+    batch↔stream duality tests pin them equal)."""
     return (
         classify_region(taxi)
         .where(F.col("region") != "other")
@@ -101,7 +126,6 @@ def region_event_count_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.col("w.start"), _WINDOW_FMT).alias("window_start"),
             "cnt",
         )
-        .orderBy("region", "window_start")
     )
 
 

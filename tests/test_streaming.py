@@ -198,3 +198,38 @@ def test_batch_stream_trend_trajectories(spark, sf_dir, tmp_path):
         for r in W.trending_lagged_counts(subset).collect()
     )
     assert got == want and got
+
+
+def test_streaming_geo_matches_batch(spark, tmp_path):
+    """The taxi geo pipeline as a STREAM (CSV file source, one file
+    per micro-batch) must produce exactly the batch query's windowed
+    counts — the reference's actual a7 deployment shape."""
+    import shutil
+
+    from hadoop_and_spark_spark.sources.taxi import (
+        FIXTURE,
+        geo_windowed_counts,
+        read_taxi_csv_stream,
+        region_event_count_geo,
+    )
+
+    stage = tmp_path / "taxi_stream"
+    stage.mkdir()
+    shutil.copy(FIXTURE, stage / "taxi_events.csv")
+    out = geo_windowed_counts(read_taxi_csv_stream(spark, str(stage)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("geo_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_geo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("select * from geo_counts").collect()
+    )
+    want = sorted(
+        tuple(r) for r in region_event_count_geo(spark, "ignored").collect()
+    )
+    assert got == want and got
