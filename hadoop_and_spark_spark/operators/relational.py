@@ -231,6 +231,59 @@ def q7_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical revenue subtotals via ROLLUP — engine surface the
+    reference lacks (SURVEY §2.4 "not present": grouping sets /
+    rollup): per (returnflag, linestatus), per returnflag, and the
+    grand total in ONE aggregation. grouping_id disambiguates subtotal
+    rows from genuine NULL keys.
+
+    Plan shape: Expand (3 grouping sets) feeding a single partial+
+    final hash aggregate — one shuffle for all three levels, vs three
+    separate scans+shuffles for the naive union. At 100 TB the Expand
+    triples the map-side rows but they partial-aggregate in place, so
+    the shuffle still carries only group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(Q6_CUTOFF))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum(disc_price), 2).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def q9_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of l_extendedprice per return
+    flag — aggregate surface the reference lacks (SURVEY §2.4 "not
+    present": median/percentile).
+
+    Exact ``percentile`` sorts each group's values; that is the
+    correctness baseline this query pins. The 100 TB path is the same
+    plan with ``approx_percentile(col, p, accuracy)`` — a bounded-
+    memory KLL-style sketch that partial-aggregates map-side — which
+    this deliberately does NOT use here because its results are not
+    cross-engine reproducible. Rounded to 6 dp on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda p: F.round(  # noqa: E731 — tiny local alias
+        F.percentile("l_extendedprice", F.lit(p)), 6
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct(0.5).alias("p50"),
+            pct(0.9).alias("p90"),
+            pct(0.99).alias("p99"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "q1_shipdate_count": f"""
         SELECT count(*) AS cnt
@@ -308,6 +361,26 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["q8_pricing_rollup"] = f"""
+    SELECT GROUPING(l_returnflag, l_linestatus)::INT AS gid,
+           l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q6_CUTOFF}'
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["q9_price_percentiles"] = """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+           count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
 QUERIES = {
     "q1_shipdate_count": q1_shipdate_count,
     "q2_orders_for_shipped_lineitems": q2_orders_for_shipped_lineitems,
@@ -316,4 +389,6 @@ QUERIES = {
     "q5_nation_volume_by_month": q5_nation_volume_by_month,
     "q6_pricing_summary": q6_pricing_summary,
     "q7_top_unshipped_revenue": q7_top_unshipped_revenue,
+    "q8_pricing_rollup": q8_pricing_rollup,
+    "q9_price_percentiles": q9_price_percentiles,
 }
