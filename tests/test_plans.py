@@ -127,3 +127,37 @@ def test_fan_out_sorted_orders_and_parallelizes(spark):
     assert out.rdd.getNumPartitions() > 1
     got = [r.k for r in out.collect()]
     assert got == sorted(got)
+
+
+def test_q8_rollup_one_expand_one_aggregate_pass(spark, sf_dir):
+    """ROLLUP must plan as one Expand feeding a single partial+final
+    aggregate pair — one shuffle for all three grouping levels, never
+    a union of three scans."""
+    p = plan(R.q8_pricing_rollup(spark, sf_dir), "simple")
+    assert p.count("Expand") == 1
+    assert p.count("Scan parquet") == 1
+    assert p.count("HashAggregate") == 2  # partial + final
+
+
+def test_tfidf_footer_only_count_and_broadcast_df(spark, sf_dir):
+    """The corpus-size N side must scan ZERO columns (parquet footer
+    count) and the per-term df table must broadcast — the postings
+    side never shuffles for either."""
+    from hadoop_and_spark_spark.operators import index as IX
+
+    p = plan(IX.tfidf_retrieval(spark, sf_dir))
+    assert "ReadSchema: struct<>" in p  # footer-only count(*) scan
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_corpus_split_no_shuffle_before_sort(spark, sf_dir):
+    """The split assignment is a pure projection: the only exchanges
+    allowed are fan_out's round-robin of scan rows and the output
+    orderBy's range partitioning."""
+    from hadoop_and_spark_spark.operators import textstats as TS
+
+    p = plan(TS.corpus_split(spark, sf_dir), "simple")
+    n_exchange = p.count("Exchange")
+    n_allowed = p.count("RoundRobinPartitioning") + p.count("rangepartitioning")
+    assert n_exchange <= n_allowed
