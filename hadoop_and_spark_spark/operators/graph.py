@@ -246,8 +246,20 @@ def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def pagerank_top_nodes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8/O4 as a driver surface: the reference's extraction program
+    (a4/ExtractTopPersonalizedPageRankNodes.java:59-153) run against
+    the same testdata graph — top-10 nodes per source from the
+    converged ranks. Rows-only like personalized_pagerank (iterative
+    upstream); the window shape itself is oracle-checked via knn_*."""
+    graph = lineitem_graph(spark, sf_dir)
+    ranks = personalized_pagerank(graph, partitions=4, gather_partitions=4)
+    return top_nodes_per_source(ranks, k=10)
+
+
 ORACLE_SQL: dict[str, str] = {}  # iterative — golden-tested, rows-only at driver
 
 QUERIES = {
     "personalized_pagerank": personalized_pagerank_query,
+    "pagerank_top_nodes": pagerank_top_nodes_query,
 }

@@ -119,3 +119,21 @@ def test_ppr_observed_metrics(spark):
     assert m["n_nodes"] == len(TOY)
     for j in range(len(SOURCES)):
         assert m[f"mass_{j}"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_top_nodes_query_consistent(spark, sf_dir):
+    """The registered extraction query must agree with a driver-side
+    top-10 selection over the UNROUNDED converged ranks (the same
+    sort key the window uses, so ties cannot flip the comparison)."""
+    ranks = G.personalized_pagerank(
+        G.lineitem_graph(spark, sf_dir), partitions=4, gather_partitions=4
+    ).collect()
+    got = [
+        (r.source_idx, r.nid)
+        for r in G.pagerank_top_nodes_query(spark, sf_dir).collect()
+    ]
+    want = []
+    for si in range(len(G.PR_SOURCES)):
+        top = sorted(ranks, key=lambda r: (-r.ranks[si], r.nid))[:10]
+        want += [(si, r.nid) for r in top]
+    assert got == want
