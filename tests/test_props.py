@@ -148,3 +148,47 @@ def test_jaccard_pipelines_vs_bruteforce(spark, tmp_path_factory, token_docs):
         assert j == want_lsh_space[pair]
     must_find = {p for p, j in want_lsh_space.items() if j >= 0.9}
     assert must_find <= set(got_lsh)
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_vs_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a driver-side
+    union-find on arbitrary edge lists (self-loops and duplicate
+    edges included)."""
+    from hadoop_and_spark_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    nodes = {n for e in edges for n in e}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {(n, comp_min[find(n)]) for n in nodes}
+    assert got == want
