@@ -778,7 +778,9 @@ def _emb_banded_kernel(batches):
         )
 
 
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, cosine_t: float = COSINE_T
+) -> DataFrame:
     """Embedding-cosine near-dup over ``embeddings``: hyperplane
     sign-LSH (64 planes, 16 bands × 4 bits) for candidates, exact
     cosine ≥ COSINE_T verification.
@@ -856,7 +858,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(a, "vec_a")
         .join(b, "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .where(F.col("cosine") >= COSINE_T)
+        .where(F.col("cosine") >= cosine_t)
         .orderBy("vec_a", "vec_b")
     )
 

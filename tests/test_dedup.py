@@ -178,3 +178,38 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         assert r.cluster_id == min(
             d for d, c in cluster_of.items() if c == r.cluster_id
         )
+
+
+def test_embedding_dedup_at_production_threshold(spark, tmp_path):
+    """The same LSH+verify pipeline at a production threshold (0.9)
+    on a corpus WITH planted near-dups must recover exactly the
+    planted pairs: the testdata's t=0.4 contract exists only because
+    its embeddings are pure random (no planted pairs); the operator
+    itself is threshold-generic."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(200, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    planted = []
+    for j in range(6):  # near-copy of vector j with tiny noise
+        noisy = base[j] + rng.normal(scale=0.02, size=64)
+        noisy /= np.linalg.norm(noisy)
+        cos = float(base[j] @ noisy)
+        assert cos > 0.97
+        rows.append((200 + j, [float(x) for x in noisy]))
+        planted.append((j, 200 + j))
+    sf = tmp_path / "sf_planted"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<float>"
+    ).write.parquet(str(sf / "embeddings.parquet"))
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.dedup_embedding(
+            spark, str(sf), cosine_t=0.9
+        ).collect()
+    }
+    assert got == set(planted)
