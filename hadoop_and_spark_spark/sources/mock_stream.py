@@ -37,13 +37,24 @@ def write_scripted_batches(dfs: list[DataFrame], out_dir: str) -> int:
     """Write each DataFrame as exactly one parquet file, named in
     sequence — a scripted replay where batch N contains exactly the
     rows of dfs[N] (for stateful-operator tests with exact per-batch
-    counts)."""
+    counts).
+
+    FileStreamSource orders files by MODIFICATION TIME, not name;
+    back-to-back writes can tie on mtime and collapse two scripted
+    batches into one trigger. Stamp strictly increasing mtimes so the
+    replay order (and therefore per-batch watermark advancement) is
+    deterministic."""
+    import time
+
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, "_tmp")
+    base = time.time()
     for b, df in enumerate(dfs):
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.replace(src, os.path.join(out_dir, f"part-{b:04d}.parquet"))
+        dst = os.path.join(out_dir, f"part-{b:04d}.parquet")
+        os.replace(src, dst)
+        os.utime(dst, (base + 10 * b, base + 10 * b))
     shutil.rmtree(tmp)
     return len(dfs)
 

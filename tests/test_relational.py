@@ -28,3 +28,35 @@ def test_entry_smoke(spark):
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    """The engine is usable as literal SQL: register_views + a
+    spark.sql() rendering of the Q6 pricing summary must match the
+    DataFrame query exactly (same Catalyst plan space, a5's
+    SQL-vs-DataFrame duality)."""
+    from hadoop_and_spark_spark.catalog import register_views
+    from hadoop_and_spark_spark.operators.relational import (
+        Q6_CUTOFF,
+        q6_pricing_summary,
+    )
+
+    register_views(spark, sf_dir)
+    got = spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                         AS sum_qty,
+               round(sum(l_extendedprice), 2)                    AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                                 AS sum_charge,
+               round(avg(l_quantity), 4)                         AS avg_qty,
+               round(avg(l_extendedprice), 4)                    AS avg_price,
+               round(avg(l_discount), 4)                         AS avg_disc,
+               count(*)                                          AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{Q6_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """).collect()
+    want = q6_pricing_summary(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

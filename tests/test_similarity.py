@@ -46,3 +46,22 @@ def test_ivf_recall_reasonable(spark, sf_dir):
     }
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """Pin the IVF recall/cost tradeoff: probing NPROBE/NCENTROIDS
+    (= 1/4) of the corpus must recover well over the random-baseline
+    fraction of the exact top-10 (probes are cosine-ranked, so recall
+    beats the 0.25 a random partition choice would give)."""
+    from hadoop_and_spark_spark.operators import similarity as S
+
+    exact: dict[int, set] = {}
+    for r in S.knn_bruteforce(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx: dict[int, set] = {}
+    for r in S.knn_ivf(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) > 0.4

@@ -233,3 +233,55 @@ def test_streaming_geo_matches_batch(spark, tmp_path):
         tuple(r) for r in region_event_count_geo(spark, "ignored").collect()
     )
     assert got == want and got
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data contract (absent in the reference, whose manual
+    clock made lateness impossible): an event older than the
+    watermark must NOT update its closed window once the watermark
+    has passed it. The watermark applies with one micro-batch of lag
+    (it is recomputed from the PREVIOUS batch's max event time), so
+    two advancing batches separate W0 from the late replay; the late
+    event must then be dropped — W0's count stays at its batch-0
+    value with no re-emission."""
+    from hadoop_and_spark_spark.sources.mock_stream import (
+        read_replay_stream,
+        write_scripted_batches,
+    )
+
+    t0 = 1_700_000_000
+    mk = lambda epochs: spark.createDataFrame(  # noqa: E731
+        [(e, "k") for e in epochs], "epoch long, event_type string"
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "event_type")
+    batches = [
+        mk([t0 + i for i in range(5)]),        # 5 events in W0
+        mk([t0 + 7200]),                        # advance event-time high-mark
+        mk([t0 + 7300]),                        # watermark now past W0's end
+        mk([t0 + 10]),                          # LATE: inside W0, beyond wm
+    ]
+    replay_dir = str(tmp_path / "late_replay")
+    write_scripted_batches(batches, replay_dir)
+    out = W.streaming_windowed_counts(
+        read_replay_stream(spark, replay_dir, batches[0].schema),
+        key_col="event_type",
+        window_len="10 minutes",
+        watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import datetime
+
+    w0 = datetime.datetime.fromtimestamp(t0 - t0 % 600, datetime.timezone.utc)
+    rows = [
+        r
+        for r in spark.sql("select * from late_counts").collect()
+        if r.window_start.replace(tzinfo=datetime.timezone.utc) == w0
+    ]
+    assert len(rows) == 1 and rows[0].cnt == 5  # no update from the late event
