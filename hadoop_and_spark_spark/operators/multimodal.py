@@ -127,6 +127,59 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
         yield out
 
 
+FEAT_BUCKETS = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _features_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Feature-extraction kernel: normalized byte-residue histogram
+    (FEAT_BUCKETS dims) per blob. Unlike the decode stub this touches
+    every payload byte — the real data path a learned feature
+    extractor would take; swapping in a CLIP/ResNet forward pass
+    changes only this function's body, not the plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        feats = []
+        for b in pdf["media"]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            hist = np.bincount(
+                arr % FEAT_BUCKETS, minlength=FEAT_BUCKETS
+            ).astype(np.float64)
+            feats.append([float(x) for x in hist / max(len(arr), 1)])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": pdf["media"].map(len).astype("int64"),
+                "features": feats,
+            }
+        )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract over the media blobs: a FEAT_BUCKETS-dim
+    normalized byte-histogram vector per document (array<double>, the
+    embedding-shaped output a training pipeline feeds to similarity /
+    dedup downstream).
+
+    Same Arrow-batched plan shape as multimodal_decode — no shuffle,
+    one Python pass per blob — but the kernel reads the actual bytes,
+    so this pins the full binary→Arrow→numpy→array-column path. The
+    DuckDB oracle recomputes the histogram from hex-pair byte
+    decoding, exactly (integer counts, one double division per
+    bucket)."""
+    media = fan_out_sorted(_media_table(spark, sf_dir), "doc_id")
+    return media.mapInPandas(_features_batches, schema=FEATURES_SCHEMA)
+
+
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → synthetic media: binary payload + modality tag."""
     docs = load_table(spark, sf_dir, "documents")
@@ -226,7 +279,26 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# Byte residue b % 16 is the LOW hex digit of the byte, so the oracle
+# decodes it straight from each byte's second hex char.
+ORACLE_SQL["multimodal_features"] = f"""
+    WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
+    by AS (
+        SELECT doc_id, octet_length(b)::BIGINT AS n,
+               list_transform(range(1, octet_length(b) + 1),
+                   i -> strpos('0123456789ABCDEF',
+                               substr(hex(b), 2 * i, 1)) - 1) AS residues
+        FROM m
+    )
+    SELECT doc_id, n AS n_bytes,
+           list_transform(range(0, {FEAT_BUCKETS}),
+               k -> len(list_filter(residues, r -> r = k))::DOUBLE
+                    / greatest(n, 1)) AS features
+    FROM by ORDER BY doc_id
+"""
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frames": multimodal_frames,
+    "multimodal_features": multimodal_features,
 }

@@ -40,3 +40,15 @@ def test_frames_respect_stride_and_bounds(spark, sf_dir):
     for r in multimodal.multimodal_frames(spark, sf_dir).collect():
         assert r.frame_idx % multimodal.FRAME_STRIDE == 0
         assert 0 <= r.frame_idx < meta[r.doc_id]
+
+
+def test_features_are_normalized_histograms(spark, sf_dir):
+    """Every feature vector sums to 1 (non-empty blob) and has
+    FEAT_BUCKETS non-negative components."""
+    rows = multimodal.multimodal_features(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.features) == multimodal.FEAT_BUCKETS
+        assert all(x >= 0 for x in r.features)
+        if r.n_bytes > 0:
+            assert abs(sum(r.features) - 1.0) < 1e-9

@@ -60,3 +60,32 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
     """).collect()
     want = q6_pricing_summary(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The documented 100 TB path for q9 (approx_percentile's
+    bounded-memory sketch) must land within 2% relative error of the
+    exact interpolated percentiles it replaces."""
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.catalog import load_table
+    from hadoop_and_spark_spark.operators.relational import (
+        q9_price_percentiles,
+    )
+
+    exact = {r.l_returnflag: r for r in q9_price_percentiles(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+        )
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        for col in ("p50", "p99"):
+            e, a = getattr(exact[k], col), getattr(approx[k], col)
+            assert abs(a - e) / e < 0.02, (k, col, e, a)
