@@ -285,3 +285,46 @@ def test_watermark_drops_late_events(spark, tmp_path):
         if r.window_start.replace(tzinfo=datetime.timezone.utc) == w0
     ]
     assert len(rows) == 1 and rows[0].cnt == 5  # no update from the late event
+
+
+def test_streaming_dedup_first_arrival_wins(spark, sf_dir, tmp_path):
+    """Cross-batch exact dedup: replay documents in batches with every
+    text duplicated under a new doc_id in a LATER batch; the stream
+    must keep exactly one row per distinct text, and it must be the
+    first (lowest-batch) arrival."""
+    from hadoop_and_spark_spark.sources.mock_stream import (
+        read_replay_stream,
+        write_scripted_batches,
+    )
+    from hadoop_and_spark_spark.streaming.dedup import streaming_dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    originals = docs.where(F.col("doc_id") < 40)
+    # re-arrivals: same texts, new ids, in later batches
+    dupes = originals.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    batches = [
+        originals.where(F.col("doc_id") < 20),
+        originals.where(F.col("doc_id") >= 20),
+        dupes,
+    ]
+    replay_dir = str(tmp_path / "dedup_replay")
+    write_scripted_batches(batches, replay_dir)
+    out = streaming_dedup_exact(
+        read_replay_stream(spark, replay_dir, originals.schema)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stream_dedup").collect()
+    n_texts = originals.select("text").distinct().count()
+    assert len(rows) == n_texts
+    # first arrival wins: none of the +100000 re-arrivals survive
+    assert all(r.doc_id < 100000 for r in rows)
