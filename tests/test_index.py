@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hadoop_and_spark_spark.operators import index
 from hadoop_and_spark_spark.oracle import compare
@@ -78,3 +79,29 @@ def test_persisted_retrieval_matches_in_session(spark, sf_dir):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(term), EqualTo(term,spark)]" in plan
+
+
+def test_written_index_compresses_vs_raw_text(spark, sf_dir, tmp_path):
+    """K2's compression claim made measurable: the persisted postings
+    index (delta/RLE + zstd parquet encodings standing in for the
+    reference's VInt gap coding, BuildInvertedIndexCompressed.java:
+    107-132) must occupy well under the raw corpus text size."""
+    import os
+
+    from hadoop_and_spark_spark.catalog import load_table
+
+    out = str(tmp_path / "idx_size")
+    index.write_index(spark, sf_dir, out, buckets=4)
+    idx_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    raw_bytes = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum(F.octet_length("text")))
+        .first()[0]
+    )
+    assert idx_bytes > 0 and raw_bytes > 0
+    assert idx_bytes < raw_bytes, (idx_bytes, raw_bytes)
