@@ -166,16 +166,33 @@ def _features_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFra
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extract over the media blobs: a FEAT_BUCKETS-dim
-    normalized byte-histogram vector per document (array<double>, the
-    embedding-shaped output a training pipeline feeds to similarity /
-    dedup downstream).
+    normalized byte-histogram per document, exploded to one
+    (doc_id, n_bytes, bucket, share) row per dimension so the result
+    is driver-checkable (the harness hashes pandas frames and cannot
+    canonicalize list cells — the r3 red row).
 
     Same Arrow-batched plan shape as multimodal_decode — no shuffle,
     one Python pass per blob — but the kernel reads the actual bytes,
     so this pins the full binary→Arrow→numpy→array-column path. The
-    DuckDB oracle recomputes the histogram from hex-pair byte
-    decoding, exactly (integer counts, one double division per
-    bucket)."""
+    array stays internal to the kernel; ``posexplode`` flattens it
+    JVM-side (narrow, no second Python pass). The embedding-shaped
+    array form a downstream similarity/dedup stage would consume is
+    ``multimodal_feature_vectors``. The DuckDB oracle recomputes the
+    histogram from hex-pair byte decoding, exactly (integer counts,
+    one double division per bucket — the same nearest-double on both
+    engines)."""
+    return multimodal_feature_vectors(spark, sf_dir).select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("features").alias("bucket", "share"),
+    )
+
+
+def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array<double> form of the byte-histogram features — the
+    shape similarity/dedup operators consume (not registered with the
+    driver: list cells break its pandas canonicalizer; pinned by
+    tests/test_multimodal.py instead)."""
     media = fan_out_sorted(_media_table(spark, sf_dir), "doc_id")
     return media.mapInPandas(_features_batches, schema=FEATURES_SCHEMA)
 
@@ -280,7 +297,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 # Byte residue b % 16 is the LOW hex digit of the byte, so the oracle
-# decodes it straight from each byte's second hex char.
+# decodes it straight from each byte's second hex char. One row per
+# (doc, bucket) — mirrors the Spark side's posexplode.
 ORACLE_SQL["multimodal_features"] = f"""
     WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
     by AS (
@@ -290,11 +308,11 @@ ORACLE_SQL["multimodal_features"] = f"""
                                substr(hex(b), 2 * i, 1)) - 1) AS residues
         FROM m
     )
-    SELECT doc_id, n AS n_bytes,
-           list_transform(range(0, {FEAT_BUCKETS}),
-               k -> len(list_filter(residues, r -> r = k))::DOUBLE
-                    / greatest(n, 1)) AS features
-    FROM by ORDER BY doc_id
+    SELECT doc_id, n AS n_bytes, k::INT AS bucket,
+           len(list_filter(residues, r -> r = k))::DOUBLE
+               / greatest(n, 1) AS share
+    FROM by, range(0, {FEAT_BUCKETS}) t(k)
+    ORDER BY doc_id, bucket
 """
 
 QUERIES = {

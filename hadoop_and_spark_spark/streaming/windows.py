@@ -165,13 +165,16 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            # decimal, not double: double sums depend on aggregation
-            # order and would flap the cross-engine hash compare.
-            # Re-cast the sum: Spark widens sum(decimal(18,2)) to
-            # decimal(28,2), DuckDB to decimal(38,2) — pinning both
-            # back to (18,2) makes the driver's typed hash agree.
+            # Sum in decimal(18,2) (order-independent, exact), then
+            # convert the final 2-dp value to double: the harness
+            # hashes PANDAS frames, where DuckDB renders DECIMAL as
+            # float64 but Spark keeps object(Decimal) — only a DOUBLE
+            # final column hashes identically on both engines. The
+            # decimal→double conversion of a fixed 2-dp value is the
+            # same nearest-double everywhere, so no precision flap.
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .orderBy("event_type")
@@ -260,7 +263,7 @@ ORACLE_SQL["events_json_stats"] = """
            sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
            min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
            max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
-           sum(value::DECIMAL(18,2))::DECIMAL(18,2) AS sum_value
+           sum(value::DECIMAL(18,2))::DECIMAL(18,2)::DOUBLE AS sum_value
     FROM events GROUP BY event_type ORDER BY event_type
 """
 

@@ -45,10 +45,24 @@ def test_frames_respect_stride_and_bounds(spark, sf_dir):
 def test_features_are_normalized_histograms(spark, sf_dir):
     """Every feature vector sums to 1 (non-empty blob) and has
     FEAT_BUCKETS non-negative components."""
-    rows = multimodal.multimodal_features(spark, sf_dir).collect()
+    rows = multimodal.multimodal_feature_vectors(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert len(r.features) == multimodal.FEAT_BUCKETS
         assert all(x >= 0 for x in r.features)
         if r.n_bytes > 0:
             assert abs(sum(r.features) - 1.0) < 1e-9
+
+
+def test_features_explode_matches_vectors(spark, sf_dir):
+    """The registered (driver-checkable) exploded form is exactly the
+    posexplode of the array form — same values, FEAT_BUCKETS rows per
+    doc."""
+    vecs = {
+        r.doc_id: r.features
+        for r in multimodal.multimodal_feature_vectors(spark, sf_dir).collect()
+    }
+    rows = multimodal.multimodal_features(spark, sf_dir).collect()
+    assert len(rows) == len(vecs) * multimodal.FEAT_BUCKETS
+    for r in rows:
+        assert r.share == vecs[r.doc_id][r.bucket]
