@@ -149,6 +149,19 @@ def boolean_retrieval(
     return _fetch_snippets(spark, sf_dir, _eval_rpn(postings, rpn))
 
 
+def index_path(sf_dir: str) -> str:
+    """Canonical on-disk location for the persisted index of a given
+    corpus. Stable digest, not builtin hash(): hash() is
+    PYTHONHASHSEED-randomized per process, so it would write a fresh
+    never-reused /tmp directory on every driver/bench/test run."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"hs_index_{digest}")
+
+
 def boolean_retrieval_persisted(
     spark: SparkSession, sf_dir: str, rpn: tuple[str, ...] = RPN_QUERY
 ) -> DataFrame:
@@ -165,13 +178,7 @@ def boolean_retrieval_persisted(
     chunk — the DataFrame-native analogue of the reference's
     partitioned MapFile seek. Results must be identical to
     boolean_retrieval (same oracle)."""
-    import os
-    import tempfile
-
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"hs_index_{abs(hash((os.path.abspath(sf_dir), 'idx')))}",
-    )
+    out = index_path(sf_dir)
     write_index(spark, sf_dir, out)
     idx = spark.read.parquet(out)
     postings = idx.select(
@@ -193,8 +200,13 @@ def tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter to the query terms (at scale: an index seek, S5) → per-term
     df from the filtered postings themselves → N as an in-plan
     footer-only count(*) broadcast-cross-joined in (the pmi_pairs
-    pattern) → per-doc sum → top-k window. Only (doc_id, score) rows
-    reach the rank shuffle. Scores round to 6 dp BEFORE ranking so
+    pattern) → per-doc sum → orderBy+limit top-k
+    (TakeOrderedAndProject: per-partition top-K heaps, K rows to the
+    driver-side merge — the q7/O3 shape, a5/Q7.scala:94-96). Rank is
+    attached AFTER the limit, so the row_number window sees at most
+    TFIDF_K rows; the r3 plan ranked first via a global unpartitioned
+    window, funneling every scored doc (O(corpus) for common terms)
+    through one task. Scores round to 6 dp BEFORE ranking so
     ULP-level FP summation differences can't flip a rank across
     engines; ties break on doc_id.
     """
@@ -219,10 +231,12 @@ def tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TFIDF_K)
+    # ≤ TFIDF_K rows from here on: the unpartitioned window is bounded
+    # by the limit, not the corpus.
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TFIDF_K)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "score")
         .orderBy("rank")
     )

@@ -64,13 +64,7 @@ def test_persisted_retrieval_matches_in_session(spark, sf_dir):
     ]
     assert a == b and a
 
-    import os
-    import tempfile
-
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"hs_index_{abs(hash((os.path.abspath(sf_dir), 'idx')))}",
-    )
+    out = index.index_path(sf_dir)
     plan = (
         spark.read.parquet(out)
         .where("term = 'spark'")

@@ -151,6 +151,27 @@ def test_tfidf_footer_only_count_and_broadcast_df(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_tfidf_topk_bounds_the_rank_window(spark, sf_dir):
+    """The top-k must plan as TakeOrderedAndProject (per-partition
+    heaps) and the rank window must sit ABOVE it — i.e. over at most
+    TFIDF_K rows, never over the full scored set. The r3 plan ranked
+    via a global unpartitioned window first, funneling every scored
+    doc through one task."""
+    from hadoop_and_spark_spark.operators import index as IX
+
+    p = plan(IX.tfidf_retrieval(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    # in the formatted tree, the Window node's direct child must be
+    # the TakeOrderedAndProject (rank over the limited rows)
+    lines = [l for l in p.splitlines() if l.strip()]
+    for i, line in enumerate(lines):
+        if "Window (" in line:
+            assert "TakeOrderedAndProject" in lines[i + 1]
+            break
+    else:  # pragma: no cover
+        raise AssertionError("no Window node found in tfidf plan")
+
+
 def test_corpus_split_no_shuffle_before_sort(spark, sf_dir):
     """The split assignment is a pure projection: the only exchanges
     allowed are fan_out's round-robin of scan rows and the output
