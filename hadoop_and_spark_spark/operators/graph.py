@@ -227,15 +227,41 @@ def lineitem_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANKS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def converged_lineitem_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged testdata-graph ranks, computed ONCE per
+    (session, corpus) and shared by both registered queries — the
+    reference's own phase handoff: RunPersonalizedPageRankBasic
+    materializes converged ranks to HDFS and
+    ExtractTopPersonalizedPageRankNodes.java:59-153 reads that stored
+    output instead of re-iterating. Here the handoff is an eagerly
+    localCheckpoint'ed PR_NUM_NODES-row frame memoized per
+    applicationId (a stopped session invalidates checkpoint blocks,
+    so a new session recomputes under a new key).
+
+    partitions=4 aligns the cached graph with gather_partitions so
+    each per-iteration job schedules a handful of tasks, not
+    spark.sql.shuffle.partitions of them (toy graph; at real scale
+    both parameters grow with the cluster)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    ranks = _RANKS_CACHE.get(key)
+    if ranks is None:
+        graph = lineitem_graph(spark, sf_dir)
+        ranks = personalized_pagerank(
+            graph, partitions=4, gather_partitions=4
+        ).localCheckpoint(eager=True)
+        _RANKS_CACHE[key] = ranks
+    return ranks
+
+
 def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry (rows-only check; iterative, not SQL-expressible —
     correctness pinned by the toy-graph golden test instead)."""
-    graph = lineitem_graph(spark, sf_dir)
-    # partitions=4 aligns the cached graph with gather_partitions so
-    # each per-iteration job schedules a handful of tasks, not
-    # spark.sql.shuffle.partitions of them (toy graph; at real scale
-    # both parameters grow with the cluster).
-    ranks = personalized_pagerank(graph, partitions=4, gather_partitions=4)
+    ranks = converged_lineitem_ranks(spark, sf_dir)
     out = ranks.select(
         "nid",
         *[
@@ -249,11 +275,13 @@ def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_top_nodes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G8/O4 as a driver surface: the reference's extraction program
     (a4/ExtractTopPersonalizedPageRankNodes.java:59-153) run against
-    the same testdata graph — top-10 nodes per source from the
-    converged ranks. Rows-only like personalized_pagerank (iterative
+    the same testdata graph — top-10 nodes per source from the SAME
+    converged ranks personalized_pagerank computed (shared via
+    converged_lineitem_ranks, so this costs only the window, exactly
+    like the reference's extractor reading the stored phase-1
+    output). Rows-only like personalized_pagerank (iterative
     upstream); the window shape itself is oracle-checked via knn_*."""
-    graph = lineitem_graph(spark, sf_dir)
-    ranks = personalized_pagerank(graph, partitions=4, gather_partitions=4)
+    ranks = converged_lineitem_ranks(spark, sf_dir)
     return top_nodes_per_source(ranks, k=10)
 
 

@@ -262,12 +262,14 @@ def q9_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag — aggregate surface the reference lacks (SURVEY §2.4 "not
     present": median/percentile).
 
-    Exact ``percentile`` sorts each group's values; that is the
-    correctness baseline this query pins. The 100 TB path is the same
-    plan with ``approx_percentile(col, p, accuracy)`` — a bounded-
-    memory KLL-style sketch that partial-aggregates map-side — which
-    this deliberately does NOT use here because its results are not
-    cross-engine reproducible. Rounded to 6 dp on both sides."""
+    Exact ``percentile`` buffers every group value in one aggregation
+    buffer, so this is the TEST-SCALE differential baseline only; the
+    registered 100 TB plan is ``q9b_price_percentiles_approx`` (a
+    bounded-memory sketch that partial-aggregates map-side). Exact is
+    kept registered because it is the cross-engine-reproducible form
+    (sketches aren't bit-portable), and its oracle row is what proves
+    the approx variant's 2%-tolerance pin is anchored to the truth.
+    Rounded to 6 dp on both sides."""
     li = load_table(spark, sf_dir, "lineitem")
     pct = lambda p: F.round(  # noqa: E731 — tiny local alias
         F.percentile("l_extendedprice", F.lit(p)), 6
@@ -278,6 +280,43 @@ def q9_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             pct(0.5).alias("p50"),
             pct(0.9).alias("p90"),
             pct(0.99).alias("p99"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PCTL_ACCURACY = 10_000  # relative rank error ≤ 1/accuracy
+
+
+def q9b_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile plan you'd run at 100 TB: ``approx_percentile``'s
+    bounded-memory Greenwald-Khanna sketch. Per-group state is
+    O(accuracy · log n) regardless of group size and the sketches
+    partial-aggregate map-side and merge at the exchange — where the
+    exact ``percentile`` in q9 materializes EVERY group value inside a
+    single aggregation buffer (billions of doubles per buffer at 100×
+    lineitem → executor OOM, not just slowness).
+
+    Registered rows-only by necessity: quantile sketches are not
+    bit-reproducible across engines, so there is no hashable DuckDB
+    oracle. Correctness story: the 2%-relative-error pin against the
+    exact (oracle-green) q9 in tests/test_relational.py::
+    test_approx_percentile_tracks_exact, plus the plan pin asserting
+    partial+final aggregation in tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    apct = lambda p: F.round(  # noqa: E731 — tiny local alias
+        F.approx_percentile(
+            "l_extendedprice", F.lit(p), F.lit(PCTL_ACCURACY)
+        ),
+        6,
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            apct(0.5).alias("p50"),
+            apct(0.9).alias("p90"),
+            apct(0.99).alias("p99"),
             F.count("*").alias("cnt"),
         )
         .orderBy("l_returnflag")
@@ -391,4 +430,5 @@ QUERIES = {
     "q7_top_unshipped_revenue": q7_top_unshipped_revenue,
     "q8_pricing_rollup": q8_pricing_rollup,
     "q9_price_percentiles": q9_price_percentiles,
+    "q9b_price_percentiles_approx": q9b_price_percentiles_approx,
 }

@@ -137,3 +137,17 @@ def test_pagerank_top_nodes_query_consistent(spark, sf_dir):
         top = sorted(ranks, key=lambda r: (-r.ranks[si], r.nid))[:10]
         want += [(si, r.nid) for r in top]
     assert got == want
+
+
+def test_converged_ranks_computed_once_per_corpus(spark, sf_dir):
+    """The two registered queries share ONE converged-ranks
+    computation per (session, corpus) — the reference's stored-output
+    handoff (ExtractTopPersonalizedPageRankNodes reads phase-1's HDFS
+    output instead of re-iterating)."""
+    a = G.converged_lineitem_ranks(spark, sf_dir)
+    b = G.converged_lineitem_ranks(spark, sf_dir)
+    assert a is b
+    # and both registered queries go through the memo
+    G.personalized_pagerank_query(spark, sf_dir).collect()
+    G.pagerank_top_nodes_query(spark, sf_dir).collect()
+    assert G.converged_lineitem_ranks(spark, sf_dir) is a

@@ -172,6 +172,19 @@ def test_tfidf_topk_bounds_the_rank_window(spark, sf_dir):
         raise AssertionError("no Window node found in tfidf plan")
 
 
+def test_q9b_sketch_partial_aggregates_map_side(spark, sf_dir):
+    """The registered 100 TB percentile plan must partial-aggregate
+    its quantile sketches map-side (partial + final ObjectHashAggregate
+    around one exchange) — bounded per-group state, unlike exact
+    percentile's all-values-in-one-buffer plan — and the scan must
+    prune to the two referenced columns."""
+    p = plan(R.q9b_price_percentiles_approx(spark, sf_dir), "simple")
+    assert p.count("ObjectHashAggregate") == 2
+    assert "partial_approx_percentile" in p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
+
+
 def test_corpus_split_no_shuffle_before_sort(spark, sf_dir):
     """The split assignment is a pure projection: the only exchanges
     allowed are fan_out's round-robin of scan rows and the output

@@ -10,6 +10,12 @@ from hadoop_and_spark_spark.oracle import compare
 
 @pytest.mark.parametrize("name", sorted(relational.QUERIES))
 def test_relational_vs_oracle(spark, sf_dir, name):
+    if name not in relational.ORACLE_SQL:
+        # rows-only at the driver (q9b: sketches aren't cross-engine
+        # hashable); its correctness pin is
+        # test_approx_percentile_tracks_exact
+        assert relational.QUERIES[name](spark, sf_dir).count() >= 1
+        return
     ok, msg = compare(
         spark, sf_dir, relational.QUERIES[name], relational.ORACLE_SQL[name]
     )
@@ -63,29 +69,24 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
 
 
 def test_approx_percentile_tracks_exact(spark, sf_dir):
-    """The documented 100 TB path for q9 (approx_percentile's
-    bounded-memory sketch) must land within 2% relative error of the
-    exact interpolated percentiles it replaces."""
-    from pyspark.sql import functions as F
-
-    from hadoop_and_spark_spark.catalog import load_table
+    """The registered 100 TB percentile plan (q9b's bounded-memory
+    sketch) must land within 2% relative error of the exact
+    interpolated percentiles (oracle-green q9) it replaces — this pin
+    IS q9b's correctness story (sketches aren't cross-engine
+    hashable, so the driver row is rows-only)."""
     from hadoop_and_spark_spark.operators.relational import (
         q9_price_percentiles,
+        q9b_price_percentiles_approx,
     )
 
     exact = {r.l_returnflag: r for r in q9_price_percentiles(spark, sf_dir).collect()}
-    li = load_table(spark, sf_dir, "lineitem")
     approx = {
         r.l_returnflag: r
-        for r in li.groupBy("l_returnflag")
-        .agg(
-            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
-            F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("p99"),
-        )
-        .collect()
+        for r in q9b_price_percentiles_approx(spark, sf_dir).collect()
     }
     assert set(exact) == set(approx)
     for k in exact:
-        for col in ("p50", "p99"):
+        assert exact[k].cnt == approx[k].cnt
+        for col in ("p50", "p90", "p99"):
             e, a = getattr(exact[k], col), getattr(approx[k], col)
             assert abs(a - e) / e < 0.02, (k, col, e, a)
