@@ -494,6 +494,12 @@ def connected_components(
     detected with a single scalar count per round (an aggregate
     action, the same budget as the PageRank mass audit); lineage stays
     constant via per-round eager localCheckpoint.
+
+    Raises if the loop exhausts ``max_iter`` without converging:
+    partially-propagated labels are silently WRONG (they disagree with
+    the oracle's exact transitive closure), so a component whose
+    diameter exceeds the bound must fail loudly — raise ``max_iter``
+    for general deep graphs.
     """
     edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     edges = (
@@ -531,6 +537,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the bound); labels would be "
+            "partially propagated — raise max_iter"
+        )
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 

@@ -158,6 +158,19 @@ def test_connected_components_transitive_chain(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """Exhausting max_iter must fail loudly, not return partially
+    propagated (wrong) labels: a 6-node path graph cannot converge in
+    one min-label round."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=1)
+
+
 def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     """Every doc in a verified pair appears in exactly one cluster;
     both endpoints of every pair share a cluster; cluster_id is the

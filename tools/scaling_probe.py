@@ -28,6 +28,9 @@ from hadoop_and_spark_spark.session import get_spark
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_DIR = "/tmp/sfprobe10x"
 REPLICAS = 10
+PROBE_GEN = 1  # bump when the replica-generation recipe changes
+# The probe dir materializes ONLY documents.parquet, so every entry
+# here must read just the documents table.
 DEFAULT_QUERIES = (
     "dedup_clusters",
     "tfidf_retrieval",
@@ -38,10 +41,24 @@ DEFAULT_QUERIES = (
 )
 
 
+def _probe_marker() -> str:
+    """Cache key for the probe corpus: base path + base mtime +
+    generator version. A marker mismatch (stale base data, older
+    generator, different SPARK_GRAFT_SF_DIR) forces a rebuild instead
+    of silently feeding stale 10x data into the published table."""
+    base = os.path.join(BASE_SF, "documents.parquet")
+    mtime = int(os.stat(base).st_mtime) if os.path.exists(base) else -1
+    return f"{os.path.abspath(base)}|{mtime}|gen{PROBE_GEN}|reps{REPLICAS}"
+
+
 def build_probe_corpus(spark) -> None:
     out = os.path.join(PROBE_DIR, "documents.parquet")
-    if os.path.exists(out):
-        return
+    marker_path = os.path.join(PROBE_DIR, "MARKER")
+    marker = _probe_marker()
+    if os.path.exists(out) and os.path.exists(marker_path):
+        with open(marker_path) as fh:
+            if fh.read() == marker:
+                return
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
     reps = None
     for r in range(REPLICAS):
@@ -56,6 +73,8 @@ def build_probe_corpus(spark) -> None:
         ).select(*docs.columns)
         reps = part if reps is None else reps.unionByName(part)
     reps.write.mode("overwrite").parquet(out)
+    with open(marker_path, "w") as fh:
+        fh.write(marker)
 
 
 def steady_state(fn, spark, sf_dir: str) -> float:
