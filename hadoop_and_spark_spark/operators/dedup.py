@@ -52,6 +52,8 @@ whose explode→groupBy skeleton ``dedup_ngram_jaccard`` reuses.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -753,41 +755,46 @@ def _emb_bits(vec: Column) -> Column:
     )
 
 
-def _emb_banded_kernel(batches):
-    """Arrow kernel: (vec_id, embedding) → exploded (vec_id, bk) LSH
-    band keys. Bit-identical to _emb_bits + _band_keys: the plane dot
+def _emb_banded_kernel_fn(bands: int = EMB_BANDS, rows: int = EMB_ROWS):
+    """Arrow kernel factory: (vec_id, embedding) → exploded
+    (vec_id, bk) LSH band keys for a given banding geometry.
+    Bit-identical to _emb_bits + _band_keys: the plane dot
     products run as an explicit left-fold over dimensions (one
     vectorized multiply-add per dim, same IEEE op sequence as
     F.aggregate), NOT a matrix multiply, whose pairwise summation
     order would flip sign bits of near-zero projections.
     """
-    import numpy as np
-    import pandas as pd
 
-    planes = np.asarray(_PLANES, dtype=np.float64)  # (EMB_PLANES, EMB_DIM)
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        vecs = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-        )
-        acc = np.zeros((len(vecs), EMB_PLANES), dtype=np.float64)
-        for j in range(EMB_DIM):
-            acc = acc + vecs[:, j : j + 1] * planes[:, j]
-        bits = (acc > 0).astype(np.int64).astype(str)
-        keys = [
-            [
-                f"{j}-" + "-".join(row[j * EMB_ROWS : (j + 1) * EMB_ROWS])
-                for j in range(EMB_BANDS)
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes = np.asarray(_PLANES, dtype=np.float64)  # (EMB_PLANES, EMB_DIM)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            acc = np.zeros((len(vecs), EMB_PLANES), dtype=np.float64)
+            for j in range(EMB_DIM):
+                acc = acc + vecs[:, j : j + 1] * planes[:, j]
+            bits = (acc > 0).astype(np.int64).astype(str)
+            keys = [
+                [
+                    f"{j}-" + "-".join(row[j * rows : (j + 1) * rows])
+                    for j in range(bands)
+                ]
+                for row in bits
             ]
-            for row in bits
-        ]
-        yield pd.DataFrame(
-            {
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), EMB_BANDS),
-                "bk": [k for row in keys for k in row],
-            }
-        )
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                    "bk": [k for row in keys for k in row],
+                }
+            )
+
+    return kernel
 
 
 def dedup_embedding(
@@ -817,6 +824,20 @@ def dedup_embedding(
     only the candidate set, not the corpus, flows through them.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    return _embedding_pairs(
+        emb, cosine_t, EMB_BANDS, EMB_ROWS, cap=EMB_BUCKET_CAP
+    )
+
+
+def _embedding_pairs(
+    emb: DataFrame,
+    cosine_t: float,
+    bands: int,
+    rows: int,
+    cap: int | None,
+) -> DataFrame:
+    """The shared LSH-band → (optional cap) → verify pipeline over any
+    (vec_id, embedding) frame."""
     # Cast float→double once; every downstream fold reuses the column.
     vec = emb.select(
         "vec_id",
@@ -826,25 +847,26 @@ def dedup_embedding(
         "nrm", F.sqrt(dot_fold(F.col("embedding"), F.col("embedding")))
     )
     banded = fan_out(vec).mapInPandas(
-        _emb_banded_kernel, "vec_id bigint, bk string"
+        _emb_banded_kernel_fn(bands, rows), "vec_id bigint, bk string"
     ).localCheckpoint(eager=True)
-    # Cap each band bucket to its EMB_BUCKET_CAP lowest vec_ids before
-    # the self-join (see constant above): every bucket now contributes
-    # at most C(cap,2) pairs, so the candidate stage stays bounded even
-    # at the test-only COSINE_T=0.4 where 4-bit bands barely prune.
-    # The row_number window shuffles on bk — the same key the join
-    # shuffles on, so this adds no new exchange at scale.
-    wbk = Window.partitionBy("bk").orderBy("vec_id")
-    capped = (
-        banded.withColumn("rn", F.row_number().over(wbk))
-        .where(F.col("rn") <= EMB_BUCKET_CAP)
-        .drop("rn")
-    )
+    if cap is not None:
+        # Cap each band bucket to its `cap` lowest vec_ids before the
+        # self-join (see EMB_BUCKET_CAP): every bucket then contributes
+        # at most C(cap,2) pairs, so the candidate stage stays bounded
+        # even at the test-only COSINE_T=0.4 where 4-bit bands barely
+        # prune. The row_number window shuffles on bk — the same key
+        # the join shuffles on, so this adds no new exchange at scale.
+        wbk = Window.partitionBy("bk").orderBy("vec_id")
+        banded = (
+            banded.withColumn("rn", F.row_number().over(wbk))
+            .where(F.col("rn") <= cap)
+            .drop("rn")
+        )
     # Distinct BEFORE the verify joins: pairs colliding in several
     # bands would otherwise probe the vector table once per band.
     cand = (
-        capped.alias("x")
-        .join(capped.alias("y"), "bk")
+        banded.alias("x")
+        .join(banded.alias("y"), "bk")
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_a"),
@@ -872,6 +894,42 @@ def dedup_embedding(
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= cosine_t)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+# Strict (production-threshold) variant over the committed planted-
+# pair fixture: 4 bands × 16 bits instead of 16 × 4. Wide bands are
+# the right geometry when the threshold is high — a random pair
+# collides in a 16-bit band with p ≈ 2^-16 (total ≈ 0.006%, >99.9%
+# of the pair space pruned, so NO bucket cap is needed), while a
+# cosine-0.97 near-dup still shares a band with p ≈ 0.99. The 16×4
+# geometry of dedup_embedding exists only for the test-only t=0.4
+# contract, where wide bands would lose all recall.
+EMB_STRICT_T = 0.95
+EMB_STRICT_BANDS = 4
+EMB_STRICT_ROWS = 16
+EMB_FIXTURE = str(
+    Path(__file__).resolve().parents[2]
+    / "tests"
+    / "fixtures"
+    / "embeddings_planted.parquet"
+)
+
+
+def dedup_embedding_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at a PRODUCTION threshold (cosine ≥ 0.95),
+    uncapped: banding alone bounds the candidate stage.
+
+    ``sf_dir`` is ignored — the input is the committed planted-pair
+    fixture (tests/fixtures/gen_embeddings_fixture.py), because the
+    driver testdata's embeddings are pure random and contain no pairs
+    above ~0.4; the fixture plants 20 near-dups at cosine ≥ 0.97 plus
+    5 mid-similarity (≈0.65) distractors that must be filtered by the
+    verify stage. Same pipeline as dedup_embedding, same oracle
+    arithmetic — only the banding geometry and threshold differ."""
+    emb = spark.read.parquet(EMB_FIXTURE)
+    return _embedding_pairs(
+        emb, EMB_STRICT_T, EMB_STRICT_BANDS, EMB_STRICT_ROWS, cap=None
     )
 
 
@@ -971,6 +1029,37 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# Strict variant: identical arithmetic over the committed fixture
+# file (read by absolute path, like the taxi geo oracle), strict band
+# geometry, no cap CTE.
+ORACLE_SQL["dedup_embedding_strict"] = f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               sqrt({dot_fold_sql('embedding', 'embedding', EMB_DIM)}) AS nrm,
+               {_emb_bits_sql('embedding')} AS bits
+        FROM read_parquet('{EMB_FIXTURE}')
+    ),
+    banded AS (
+        SELECT vec_id,
+               unnest({_emb_band_keys_sql(EMB_STRICT_BANDS, EMB_STRICT_ROWS)}) AS bk
+        FROM base
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM banded x JOIN banded y USING (bk)
+        WHERE x.vec_id < y.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           (floor(({dot_fold_sql('a.embedding', 'b.embedding', EMB_DIM)}
+                 / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000) AS cosine
+    FROM cand c
+    JOIN base a ON a.vec_id = c.vec_a
+    JOIN base b ON b.vec_id = c.vec_b
+    WHERE (floor(({dot_fold_sql('a.embedding', 'b.embedding', EMB_DIM)}
+                / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000) >= {EMB_STRICT_T}
+    ORDER BY vec_a, vec_b
+"""
+
 # Transitive closure of the verified-pair graph: reach(u, r) = node r
 # is reachable from node u over undirected pair edges; component id =
 # min reachable node. UNION (not UNION ALL) dedups the frontier so the
@@ -1003,5 +1092,6 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_strict": dedup_embedding_strict,
     "dedup_clusters": dedup_clusters,
 }

@@ -226,3 +226,45 @@ def test_embedding_dedup_at_production_threshold(spark, tmp_path):
         ).collect()
     }
     assert got == set(planted)
+
+
+def test_strict_embedding_recovers_exactly_planted_pairs(spark):
+    """dedup_embedding_strict over the committed fixture must return
+    exactly the 20 planted (i, 1000+i) pairs at cosine >= 0.97 — no
+    mid-similarity distractor (ids 2000+) and no random pair."""
+    rows = dedup.dedup_embedding_strict(spark, "ignored").collect()
+    got = {(r.vec_a, r.vec_b) for r in rows}
+    assert got == {(i, 1000 + i) for i in range(20)}
+    for r in rows:
+        assert r.cosine >= 0.97
+
+
+def test_strict_banding_prunes_uncapped(spark):
+    """The wide-band geometry must bound the candidate stage by
+    itself: uncapped candidate pairs under 4x16 banding stay below 3%
+    of the all-pairs space (vs ~64% expected collisions under the
+    16x4 geometry, which is why THAT one needs the bucket cap)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(dedup.EMB_FIXTURE)
+    n = emb.count()
+    vec = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    banded = vec.mapInPandas(
+        dedup._emb_banded_kernel_fn(
+            dedup.EMB_STRICT_BANDS, dedup.EMB_STRICT_ROWS
+        ),
+        "vec_id bigint, bk string",
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "bk")
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select("x.vec_id", "y.vec_id")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) // 2
+    assert cand / all_pairs < 0.03, (cand, all_pairs)
