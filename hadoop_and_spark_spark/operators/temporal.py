@@ -1,0 +1,240 @@
+"""Temporal operators: as-of (attribution) join + gap sessionization.
+
+Neither exists in the reference — these are the event-time operators
+a training-data / behavioral pipeline needs (SURVEY §2.12a X20/X21):
+an as-of join attaches "the most recent fact at or before this time"
+(feature backfill, attribution), and sessionization groups an event
+stream into engagement sessions.
+
+Spark-first shapes:
+
+- **As-of join without a join**: Spark has no ASOF JOIN operator, and
+  the naive `JOIN ON key AND r.ts <= l.ts` + "keep latest" explodes
+  into a near-cross-product per key before the filter. Instead the
+  two sides are UNION-tagged into one stream and the match is a
+  running `last(..., ignoreNulls)` window over (key, time) — exactly
+  one shuffle on the key, no join node at all, and the window's
+  running frame streams in sorted order (state = one carried row per
+  key, never the partition). This is the standard distributed as-of
+  re-expression; a merge join would shuffle BOTH sides on the same
+  key anyway, then still need the per-key ordering pass.
+- **Sessionization is Spark-native**: ``F.session_window`` (gap-based
+  merging windows) in ONE groupBy — the same expression runs under
+  Structured Streaming with a watermark (state-store sessions with
+  eviction), which the streaming twin below and its duality test
+  exercise. Session end = last event + gap (Spark's window.end
+  contract), mirrored exactly in the oracle.
+
+Both oracles are exact: DuckDB has a native ASOF JOIN for the first,
+and the lag/cumulative-sum re-derivation of session ids pins the
+second (also serving as an independent re-implementation of the gap
+semantics: merge iff gap <= GAP — Spark extends a session whose end
+is exactly the next event's time, so only a STRICTLY larger gap
+opens a new session; pinned by test_session_gap_boundary).
+
+Scale notes: both shuffle once on user_id; per-user data is window /
+session state, not materialized lists. Skewed users (bots) would
+salt the session groupBy the same way any keyed agg is salted; the
+as-of window is order-streaming so skew costs sort, not memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+ASOF_LEFT_TYPE = "purchase"  # attribution target
+ASOF_RIGHT_TYPE = "click"  # attribution source
+SESSION_GAP = "6 hours"
+_GAP_SQL = "INTERVAL 6 HOUR"
+NO_MATCH = -1  # left rows with no preceding right row (typed, not
+# NULL: nullable int64 round-trips to float64 in pandas on one engine
+# but not always the other — the verify-workflow typed-hash rule)
+
+
+def _us(c) -> Column:
+    """Epoch microseconds of an (NTZ) timestamp column. The catalog
+    reads events.ts as TIMESTAMP_NTZ; the session timezone is pinned
+    UTC, so the cast to TIMESTAMP is the identity instant."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the most recent click of the same
+    user at or before the purchase time (last-touch attribution).
+
+    Plan: clicks deduped to one per (user, ts) [max event_id — the
+    same tie DuckDB's ASOF would otherwise pick arbitrarily], tagged
+    UNION with purchases, one running-last window per user ordered by
+    (ts, click-first), filter back to purchase rows. Single shuffle on
+    user_id; the running frame carries exactly one (click_id, ts)
+    pair of state per user. No-match rows keep NO_MATCH / gap_us
+    NO_MATCH instead of NULL (typed-hash contract).
+
+    Times surface as epoch microseconds (BIGINT on both engines —
+    timestamps themselves render differently in pandas).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == ASOF_RIGHT_TYPE)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    tagged = clicks.select(
+        "user_id",
+        "ts",
+        "click_id",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("click_id"),
+            F.lit(0).alias("is_click"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    # Clicks sort before purchases at equal ts (is_click DESC), so a
+    # click at exactly the purchase time matches — the >= semantics
+    # of ASOF JOIN.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"), "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = tagged.select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(
+            F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_click_ts"),
+    )
+    p_us = _us("ts")
+    c_us = _us("last_click_ts")
+    return (
+        runs.where(F.col("is_click") == 0)
+        .select(
+            F.col("purchase_id"),
+            "user_id",
+            p_us.alias("purchase_us"),
+            F.coalesce("last_click_id", F.lit(NO_MATCH)).alias("click_id"),
+            F.coalesce(c_us, F.lit(NO_MATCH)).alias("click_us"),
+            F.coalesce(p_us - c_us, F.lit(NO_MATCH)).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream: consecutive
+    events of a user with inter-event gaps under SESSION_GAP form one
+    session. One ``session_window`` groupBy — the Spark-native
+    operator whose streaming form keeps per-session state-store state
+    with watermark eviction (see streaming twin + duality test)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev)
+
+
+def sessionize(ev: DataFrame) -> DataFrame:
+    """The shared batch/streaming session aggregation (identical
+    expression under IncrementalExecution — the T5 duality pattern)."""
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal sum (order-independent, exact), one final cast
+            # to double — the events_json_stats typed-hash pattern
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            _us(F.col("w.start")).alias("session_start_us"),
+            _us(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+def streaming_user_sessions(events_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """The same sessionization as a streaming plan: session_window
+    state merges open sessions per user and the watermark closes and
+    evicts them — bounded state on an unbounded stream. Watermarks
+    require TIMESTAMP (not NTZ); the cast is the identity instant
+    under the UTC-pinned session."""
+    ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sessionize(ev.withWatermark("ts", watermark))
+
+
+ORACLE_SQL: dict[str, str] = {
+    # DuckDB's native ASOF JOIN (right side pre-deduped to one row
+    # per (user, ts) — with duplicates ASOF's pick is unspecified).
+    "asof_attribution": f"""
+        WITH clicks AS (
+            SELECT user_id, ts, max(event_id) AS click_id
+            FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}'
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT event_id, user_id, ts
+            FROM events WHERE event_type = '{ASOF_LEFT_TYPE}'
+        )
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               epoch_us(p.ts) AS purchase_us,
+               coalesce(c.click_id, {NO_MATCH}) AS click_id,
+               coalesce(epoch_us(c.ts), {NO_MATCH}) AS click_us,
+               coalesce(epoch_us(p.ts) - epoch_us(c.ts), {NO_MATCH}) AS gap_us
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY purchase_id
+    """,
+    # Independent re-derivation of the session semantics: new session
+    # iff gap >= GAP (Spark merges strictly-inside events only; an
+    # event exactly GAP later falls outside the half-open window).
+    "user_sessions": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > {_GAP_SQL}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts) + {_GAP_SQL}) AS session_end_us,
+               count(*) AS n_events,
+               sum(value::DECIMAL(18,2))::DECIMAL(18,2)::DOUBLE
+                   AS session_value
+        FROM numbered
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us
+    """,
+}
+
+QUERIES = {
+    "asof_attribution": asof_attribution,
+    "user_sessions": user_sessions,
+}

@@ -318,7 +318,71 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLIT_KEY_SQL = "substr(text, 1, 64) || '#' || length(text)::VARCHAR"
 
+# --------------------------------------------------- stratified sample
+
+SAMPLE_BUCKETS = 1000
+# Per-language keep rates in thousandths (downsample dominant
+# languages, keep more of the rare ones — the balancing step before
+# training). Unlisted strata fall back to the default.
+SAMPLE_RATES_K = {"en": 300, "zh": 800, "fr": 800}
+SAMPLE_DEFAULT_K = 500
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a document iff its
+    content-hash bucket falls below the stratum's rate — the corpus
+    rebalancing step (by language here; by source/quality-band in a
+    real pipeline) a training-data build runs after dedup.
+
+    Unlike ``df.sampleBy`` (seeded Bernoulli whose draw depends on
+    partitioning and engine), the keep decision is a pure function of
+    document CONTENT — reproducible across engines (hence the DuckDB
+    oracle), across runs, and across corpus re-sharding; the 'samp#'
+    salt decorrelates sample buckets from corpus_split buckets so
+    sampling doesn't bias the later train/val/test split. Scan-bound
+    projection + filter, no shuffle; at scale this is a WHERE clause
+    fused into whatever reads the corpus."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    key = F.concat(
+        F.lit("samp#"),
+        F.substring("text", 1, 64),
+        F.lit("#"),
+        F.length("text").cast("string"),
+    )
+    bucket = (poly_hash(key) % SAMPLE_BUCKETS).cast("int")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(k))
+            for lang, k in sorted(SAMPLE_RATES_K.items())
+        ],
+        F.lit(SAMPLE_DEFAULT_K),
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate_k"))
+        .where(F.col("bucket") < F.col("rate_k"))
+        .orderBy("doc_id")
+    )
+
+
+_SAMPLE_KEY_SQL = "'samp#' || substr(text, 1, 64) || '#' || length(text)::VARCHAR"
+_RATE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN {k}"
+        for lang, k in sorted(SAMPLE_RATES_K.items())
+    )
+    + f" ELSE {SAMPLE_DEFAULT_K} END"
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "stratified_sample": f"""
+        SELECT doc_id, lang,
+               ({poly_hash_sql(_SAMPLE_KEY_SQL)} % {SAMPLE_BUCKETS})::INT AS bucket,
+               {_RATE_SQL} AS rate_k
+        FROM documents
+        WHERE {poly_hash_sql(_SAMPLE_KEY_SQL)} % {SAMPLE_BUCKETS} < {_RATE_SQL}
+        ORDER BY doc_id
+    """,
     "corpus_split": f"""
         SELECT doc_id,
                ({poly_hash_sql(_SPLIT_KEY_SQL)} % {SPLIT_BUCKETS})::INT AS bucket,
@@ -385,4 +449,5 @@ QUERIES = {
     "token_stats": token_stats,
     "winnow_fingerprint": winnow_fingerprint,
     "corpus_split": corpus_split,
+    "stratified_sample": stratified_sample,
 }

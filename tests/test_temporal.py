@@ -1,0 +1,131 @@
+"""Tests for temporal operators: as-of attribution + sessionization."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_and_spark_spark.operators import temporal
+from hadoop_and_spark_spark.oracle import compare
+
+
+@pytest.mark.parametrize("name", sorted(temporal.QUERIES))
+def test_temporal_vs_oracle(spark, sf_dir, name):
+    ok, msg = compare(
+        spark, sf_dir, temporal.QUERIES[name], temporal.ORACLE_SQL[name]
+    )
+    assert ok, f"{name}: {msg}"
+
+
+def test_asof_semantics_on_toy_frame(spark):
+    """Hand-checkable as-of semantics: latest click at or BEFORE each
+    purchase, per user; equal timestamps match (>=); no preceding
+    click → NO_MATCH sentinel."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, "2024-01-01 10:00:00", 7, "click"),
+        (2, "2024-01-01 11:00:00", 7, "purchase"),  # → click 1
+        (3, "2024-01-01 12:00:00", 7, "click"),
+        (4, "2024-01-01 12:00:00", 7, "purchase"),  # same ts → click 3
+        (5, "2024-01-01 09:00:00", 8, "purchase"),  # no click before
+        (6, "2024-01-01 09:30:00", 8, "click"),
+        (7, "2024-01-01 09:45:00", 8, "purchase"),  # → click 6
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.to_timestamp("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.purchase_id: r.click_id
+            for r in temporal.asof_attribution(spark, d).collect()
+        }
+    assert got == {2: 1, 4: 3, 5: temporal.NO_MATCH, 7: 6}
+
+
+def test_session_gap_boundary(spark):
+    """An event exactly SESSION_GAP after the previous one EXTENDS the
+    session (Spark merges when the next event's time equals the
+    session end), and only a strictly larger gap opens a new one — the
+    boundary the lag-based oracle mirrors with `> gap`."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (2, "2024-01-01 05:59:59", 1),  # < gap → same session
+        (3, "2024-01-01 11:59:59", 1),  # exactly 6h after #2 → merged
+        (4, "2024-01-02 00:00:00", 1),  # > gap after #3 → NEW
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, user_id long").select(
+        "event_id",
+        F.to_timestamp("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        F.lit(1.0).alias("value"),
+    )
+    sessions = temporal.sessionize(ev).collect()
+    assert [s.n_events for s in sessions] == [3, 1]
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
+    """Batch/stream duality: the same sessionize() expression over the
+    events table replayed as a file stream (availableNow) must produce
+    the batch result exactly."""
+    import shutil
+
+    from hadoop_and_spark_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = [tuple(r) for r in temporal.user_sessions(spark, sf_dir).collect()]
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    q = (
+        temporal.streaming_user_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM t_sessions ORDER BY user_id, session_start_us"
+        ).collect()
+    ]
+    assert got == batch
+
+
+def test_asof_plan_single_shuffle_no_join(spark, sf_dir):
+    """The as-of plan must contain NO join node — one exchange on the
+    key feeding a running window (plus the output sort)."""
+    import contextlib
+    import io
+
+    df = temporal.asof_attribution(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert "Join" not in p
+    assert p.count("Window") == 1
+    # exchanges: one hash on user_id for the window/agg + the final
+    # range sort; the pre-window click dedupe shares the user hash
+    n_exchange = p.count("Exchange")
+    assert n_exchange <= 3, p

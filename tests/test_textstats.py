@@ -109,3 +109,35 @@ def test_corpus_split_content_stable(spark, sf_dir):
         F.count_distinct("split").alias("k")
     )
     assert per_text.agg(F.max("k")).first()[0] == 1
+
+
+def test_stratified_sample_tracks_rates(spark, sf_dir):
+    """Per-stratum keep fractions must land near the configured
+    thousandth-rates (content bucketing is only approximately uniform
+    on a finite corpus) and every kept row must satisfy its own
+    bucket < rate predicate."""
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.catalog import load_table
+
+    kept = textstats.stratified_sample(spark, sf_dir).collect()
+    for r in kept:
+        assert r.bucket < r.rate_k
+        want = textstats.SAMPLE_RATES_K.get(r.lang, textstats.SAMPLE_DEFAULT_K)
+        assert r.rate_k == want
+    totals = {
+        r.lang: r.c
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    by_lang = {}
+    for r in kept:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    for lang, total in totals.items():
+        rate = textstats.SAMPLE_RATES_K.get(
+            lang, textstats.SAMPLE_DEFAULT_K
+        ) / textstats.SAMPLE_BUCKETS
+        got = by_lang.get(lang, 0) / total
+        assert abs(got - rate) < 0.22, (lang, got, rate)
