@@ -169,6 +169,63 @@ def sessionize(ev: DataFrame) -> DataFrame:
     )
 
 
+RANGE_W_US = 24 * 3600 * 1_000_000  # 24h lookback window, in micros
+
+
+def range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, binned: for every purchase, COUNT the clicks of the
+    same user in the preceding 24 hours (the sliding-window
+    conversion feature next to asof's last-touch).
+
+    Spark plans a raw inequality join (`ON user AND c.ts BETWEEN ...`)
+    as BroadcastNestedLoopJoin — O(|L|·|R|) per key and a
+    driver-memory bomb when neither side broadcasts. The scale-safe
+    re-expression is the canonical BUCKETIZED range join: bin both
+    sides by window-width buckets of event time, explode each click to
+    (bin, bin+1) — the two bins whose purchases can reach back to it —
+    equi-join on (user_id, bin) (ordinary shuffle hash join), then
+    apply the exact range predicate. Each right row duplicates at
+    most 2×; candidate pairs are bounded by per-(user, bin) activity
+    products instead of per-user products. The plan pin asserts no
+    NestedLoop node survives.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        _us("ts").alias("p_us"),
+    )
+    c = ev.where(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        "user_id", _us("ts").alias("c_us")
+    )
+    p = p.withColumn("bin", (F.col("p_us") / RANGE_W_US).cast("long"))
+    c = c.select(
+        "user_id",
+        "c_us",
+        F.explode(
+            F.array(
+                (F.col("c_us") / RANGE_W_US).cast("long"),
+                (F.col("c_us") / RANGE_W_US).cast("long") + 1,
+            )
+        ).alias("bin"),
+    )
+    in_window = (F.col("c_us") > F.col("p_us") - RANGE_W_US) & (
+        F.col("c_us") <= F.col("p_us")
+    )
+    return (
+        p.join(c, ["user_id", "bin"], "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "p_us",
+            F.when(in_window, F.lit(1)).otherwise(F.lit(0)).alias("hit"),
+        )
+        .groupBy("purchase_id", "user_id", F.col("p_us").alias("purchase_us"))
+        .agg(F.sum("hit").alias("n_clicks_24h"))
+        .orderBy("purchase_id")
+    )
+
+
 def streaming_user_sessions(events_stream: DataFrame, watermark: str = "1 day") -> DataFrame:
     """The same sessionization as a streaming plan: session_window
     state merges open sessions per user and the watermark closes and
@@ -234,7 +291,29 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# Plain inequality join on the oracle side (DuckDB plans IEJoin);
+# epoch-micros arithmetic on both sides so no interval edge cases.
+ORACLE_SQL["range_join_counts"] = f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+        FROM events WHERE event_type = '{ASOF_LEFT_TYPE}'
+    ),
+    c AS (
+        SELECT user_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_us,
+           count(c.c_us) AS n_clicks_24h
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.c_us > p.purchase_us - {RANGE_W_US}
+     AND c.c_us <= p.purchase_us
+    GROUP BY 1, 2, 3
+    ORDER BY purchase_id
+"""
+
 QUERIES = {
     "asof_attribution": asof_attribution,
     "user_sessions": user_sessions,
+    "range_join_counts": range_join_counts,
 }

@@ -112,6 +112,62 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_range_join_boundaries_and_bins(spark):
+    """Window boundaries ((p-24h, p] — exclusive start, inclusive end)
+    and the cross-bin case: a click late in the previous 24h bin must
+    still count for an early-next-bin purchase (that's what the
+    explode-to-two-bins exists for)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: purchase at 2024-01-02 01:00 (bin 19724 of 24h epochs)
+        (1, "2024-01-02 01:00:00", 1, "purchase"),
+        (2, "2024-01-01 23:00:00", 1, "click"),  # prev bin, in window
+        (3, "2024-01-01 01:00:00", 1, "click"),  # exactly 24h → OUT
+        (4, "2024-01-01 01:00:01", 1, "click"),  # just inside
+        (5, "2024-01-02 01:00:00", 1, "click"),  # same instant → IN
+        (6, "2024-01-02 02:00:00", 1, "click"),  # after purchase → OUT
+        # user 2: no clicks at all
+        (7, "2024-01-02 01:00:00", 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.to_timestamp("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.purchase_id: r.n_clicks_24h
+            for r in temporal.range_join_counts(spark, d).collect()
+        }
+    assert got == {1: 3, 7: 0}
+
+
+def test_range_join_plan_is_equi_join(spark, sf_dir):
+    """The binned range join must plan as an equi hash join on
+    (user_id, bin) — never the BroadcastNestedLoopJoin a raw
+    inequality join degenerates to."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        temporal.range_join_counts(spark, sf_dir).explain("simple")
+    p = buf.getvalue()
+    assert "NestedLoop" not in p
+    assert "HashJoin" in p
+
+
 def test_asof_plan_single_shuffle_no_join(spark, sf_dir):
     """The as-of plan must contain NO join node — one exchange on the
     key feeding a running window (plus the output sort)."""
