@@ -28,16 +28,24 @@ from hadoop_and_spark_spark.session import get_spark
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_DIR = "/tmp/sfprobe10x"
 REPLICAS = 10
-PROBE_GEN = 1  # bump when the replica-generation recipe changes
-# The probe dir materializes ONLY documents.parquet, so every entry
-# here must read just the documents table.
+PROBE_GEN = 2  # bump when the replica-generation recipe changes
+# The probe dir materializes ONLY documents.parquet and
+# events.parquet, so every entry here must read just those tables.
+# documents grow as near-dup replica families (dedup realism); events
+# grow by replicating users (user_id offset per replica) so per-user
+# stream structure — sessions, as-of, range windows — is preserved
+# while the corpus 10x-es along the realistic axis (more users).
 DEFAULT_QUERIES = (
     "dedup_clusters",
     "tfidf_retrieval",
     "corpus_split",
+    "stratified_sample",
     "multimodal_features",
     "boolean_retrieval_persisted",
     "spam_eval_trained",
+    "asof_attribution",
+    "user_sessions",
+    "range_join_counts",
 )
 
 
@@ -73,6 +81,22 @@ def build_probe_corpus(spark) -> None:
         ).select(*docs.columns)
         reps = part if reps is None else reps.unionByName(part)
     reps.write.mode("overwrite").parquet(out)
+
+    ev = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    ev_reps = None
+    for r in range(REPLICAS):
+        part = ev.select(
+            (F.col("event_id") + r * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + r * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        ).select(*ev.columns)
+        ev_reps = part if ev_reps is None else ev_reps.unionByName(part)
+    ev_reps.write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "events.parquet")
+    )
     with open(marker_path, "w") as fh:
         fh.write(marker)
 
