@@ -101,29 +101,23 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-K_NN: search only the NPROBE centroid partitions
-    closest to each query.
-
-    Contract (shared with the oracle): centroids are the vectors with
-    vec_id < NCENTROIDS; every vector belongs to its highest-cosine
-    centroid (ties → lower centroid id); a query scores exactly the
-    vectors assigned to its NPROBE highest-cosine centroids.
-    """
-    vec = _vectors(spark, sf_dir)
-    cent = vec.where(F.col("vec_id") < NCENTROIDS).select(
+def _centroids(vec: DataFrame) -> DataFrame:
+    return vec.where(F.col("vec_id") < NCENTROIDS).select(
         F.col("vec_id").alias("cid"),
         F.col("emb").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    # Centroid ASSIGNMENT is a pure projection against the collected
-    # centroid model (16 rows — the same driver-side smallness a
-    # k-means model has), NOT a crossJoin + per-vector window: the
-    # join/window form blows every vector up 16× and shuffles the
-    # embeddings by vec_id just to pick a max — the kind of plan that
-    # dies at 10⁹ vectors. Here the corpus never shuffles at all.
-    # The fold keeps the FIRST strict maximum ⇒ lowest cid on ties,
-    # identical to the oracle's (c_cos DESC, cid ASC) row_number.
+
+
+def _assigned_frame(vec: DataFrame, cent: DataFrame) -> DataFrame:
+    """Centroid ASSIGNMENT as a pure projection against the collected
+    centroid model (16 rows — the same driver-side smallness a
+    k-means model has), NOT a crossJoin + per-vector window: the
+    join/window form blows every vector up 16× and shuffles the
+    embeddings by vec_id just to pick a max — the kind of plan that
+    dies at 10⁹ vectors. Here the corpus never shuffles at all.
+    The fold keeps the FIRST strict maximum ⇒ lowest cid on ties,
+    identical to the oracle's (c_cos DESC, cid ASC) row_number."""
     cent_rows = cent.orderBy("cid").collect()
     if cent_rows:
         c_embs = F.lit([list(r.c_emb) for r in cent_rows])
@@ -139,22 +133,40 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.element_at(c_nrms, i) * F.col("nrm")),
     )
     # array_position returns the FIRST index holding the max ⇒ lowest
-    # cid on exact ties — identical to the oracle's
-    # (c_cos DESC, cid ASC) row_number. let_col binds the cosine
-    # array once (HOF lambdas re-evaluate referenced subexpressions).
+    # cid on exact ties. let_col binds the cosine array once (HOF
+    # lambdas re-evaluate referenced subexpressions).
     best_cid = let_col(
         cent_cosines,
         lambda a: F.element_at(
             c_cids, F.array_position(a, F.array_max(a)).cast("int")
         ),
     )
+    return vec.select("vec_id", "emb", "nrm", best_cid.alias("cid"))
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-K_NN: search only the NPROBE centroid partitions
+    closest to each query.
+
+    Contract (shared with the oracle): centroids are the vectors with
+    vec_id < NCENTROIDS; every vector belongs to its highest-cosine
+    centroid (ties → lower centroid id); a query scores exactly the
+    vectors assigned to its NPROBE highest-cosine centroids.
+    """
+    vec = _vectors(spark, sf_dir)
+    cent = _centroids(vec)
     # Materialized once: the query filter and the probe join would
     # otherwise each recompute the assignment fold. On a cluster this
-    # is the step that WRITES the inverted file (bucketed by cid);
-    # localCheckpoint is its single-process stand-in.
-    assigned = vec.select(
-        "vec_id", "emb", "nrm", best_cid.alias("cid")
-    ).localCheckpoint(eager=True)
+    # is the step that WRITES the inverted file (knn_ivf_persisted is
+    # exactly that); localCheckpoint is its in-session stand-in.
+    assigned = _assigned_frame(vec, cent).localCheckpoint(eager=True)
+    return _ivf_search(cent, assigned)
+
+
+def _ivf_search(cent: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Probe selection + candidate scoring over any (vec_id, emb, nrm,
+    cid) inverted file — shared by the in-session and persisted
+    variants."""
     q = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -194,6 +206,50 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", round6(F.col("cos_raw")).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    """Canonical on-disk location for the persisted inverted file of a
+    given corpus (stable md5 digest — the index.index_path pattern)."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"hs_ivf_{digest}")
+
+
+def write_ivf_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Persist the IVF inverted file PARTITIONED BY centroid id: each
+    cid is a parquet directory partition, so a probe's cid filter
+    prunes whole lists at the storage layer — the on-disk analogue of
+    "search only NPROBE lists"."""
+    vec = _vectors(spark, sf_dir)
+    assigned = _assigned_frame(vec, _centroids(vec))
+    assigned.write.partitionBy("cid").mode("overwrite").parquet(out_path)
+
+
+def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF pipeline end-to-end through STORAGE: build the inverted
+    file, persist it partitioned by cid, read it back, probe and
+    search — the deployment shape of ANN serving (index built once,
+    queries seek into it), completing the K2/S5 storage story for
+    similarity search the way boolean_retrieval_persisted does for
+    boolean retrieval.
+
+    The probe side joins the read-back index on its PARTITION column,
+    so Spark's dynamic partition pruning restricts the scan to the
+    probed cids (at 10⁹ vectors: NPROBE·|queries| directory reads, not
+    a corpus scan). Results must be identical to knn_ivf (same
+    oracle); parquet round-trips doubles exactly, so cosines are
+    bit-identical."""
+    out = ivf_index_path(sf_dir)
+    write_ivf_index(spark, sf_dir, out)
+    idx = spark.read.parquet(out).select(
+        "vec_id", "emb", "nrm", F.col("cid").cast("int").alias("cid")
+    )
+    cent = _centroids(_vectors(spark, sf_dir))
+    return _ivf_search(cent, idx)
 
 
 _VEC_CTE = f"""
@@ -266,7 +322,10 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["knn_ivf_persisted"] = ORACLE_SQL["knn_ivf"]
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
+    "knn_ivf_persisted": knn_ivf_persisted,
 }

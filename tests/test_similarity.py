@@ -65,3 +65,25 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) > 0.4
+
+
+def test_persisted_ivf_matches_in_session_and_prunes(spark, sf_dir):
+    """The storage round-trip (write cid-partitioned inverted file →
+    read → probe) must return exactly the in-session knn_ivf result,
+    and the probe join must reach the index scan as DYNAMIC PARTITION
+    PRUNING — at scale the search reads NPROBE·|queries| list
+    directories, never the whole corpus."""
+    import contextlib
+    import io
+
+    a = [tuple(r) for r in similarity.knn_ivf(spark, sf_dir).collect()]
+    b = [
+        tuple(r)
+        for r in similarity.knn_ivf_persisted(spark, sf_dir).collect()
+    ]
+    assert a == b and a
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity.knn_ivf_persisted(spark, sf_dir).explain("formatted")
+    assert "dynamicpruningexpression" in buf.getvalue().lower()
