@@ -245,9 +245,12 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical."""
     out = ivf_index_path(sf_dir)
     write_ivf_index(spark, sf_dir, out)
-    idx = spark.read.parquet(out).select(
-        "vec_id", "emb", "nrm", F.col("cid").cast("int").alias("cid")
-    )
+    # Explicit schema: an EMPTY corpus writes a partition-less dir
+    # that cannot schema-infer, and it also pins the partition-column
+    # type (directory keys would otherwise infer per-run).
+    idx = spark.read.schema(
+        "vec_id bigint, emb array<double>, nrm double, cid int"
+    ).parquet(out)
     cent = _centroids(_vectors(spark, sf_dir))
     return _ivf_search(cent, idx)
 

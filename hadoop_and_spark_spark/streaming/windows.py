@@ -191,6 +191,36 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_RSD = 0.01  # HyperLogLog++ target relative standard deviation
+
+
+def user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user reach via the HyperLogLog++
+    sketch — the cardinality sibling of q9b's quantile sketch, and
+    the 100 TB form of events_json_stats' exact count_distinct:
+    exact distinct shuffles every (type, user) pair to dedupe; the
+    HLL sketch is a fixed ~kilobytes-per-group register set that
+    partial-aggregates map-side and merges at the exchange, so
+    distinct-counting 10¹⁰ users costs the same state as 10⁴.
+
+    Rows-only at the driver: HLL register contents are not
+    cross-engine reproducible. Correctness story: tolerance pin
+    against the exact (oracle-green) n_users in events_json_stats
+    (tests/test_streaming.py) plus the partial-aggregation plan pin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias(
+                "n_users_approx"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def with_batch_counter(df: DataFrame, name: str = "engine_metrics") -> DataFrame:
     """A14 streaming twin of the reference's micro-batch accumulator
     (EventCount.scala:55, the "number of completed RDDs" counter):
@@ -282,4 +312,5 @@ QUERIES = {
     "region_event_count": region_event_count,
     "trending_arrivals_batch": trending_arrivals_batch,
     "events_json_stats": events_json_stats,
+    "user_reach_approx": user_reach_approx,
 }
