@@ -364,6 +364,127 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- repetition filter
+
+REP_MAX_DUP3 = 0.05  # max duplicate-word-trigram fraction
+REP_MAX_TOP = 0.14  # max share of the single most frequent token
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rules family):
+    flag documents whose text is dominated by repeated n-grams or by
+    a single token — the degenerate-content cut a training-data
+    pipeline applies before dedup/sampling.
+
+    Two signals per document:
+    - ``dup3_ratio``  — fraction of word trigrams that are duplicates
+      (1 − distinct/total), a pure array projection over the token
+      array (no shuffle; docs shorter than 3 tokens fold to one
+      whole-doc gram, ratio 0).
+    - ``top_tok_share`` — count of the most frequent token over total
+      tokens, via explode → per-(doc, token) count → per-doc max/sum.
+      Deliberately NOT the O(distinct·n) all-array form: the exploded
+      path partial-aggregates map-side and its cost is O(n log n) per
+      doc at any vocabulary size.
+    Thresholds sit at the corpus p90 so the keep flag actually splits
+    the synthetic corpus. One shuffle keyed by doc_id (+ the agg), one
+    doc-keyed join; both sides stay (id, scalar)-narrow — the payload
+    never moves.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    proj = docs.select("doc_id", tokenize("text").alias("toks"))
+    grams3 = lambda toks: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    feat = proj.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        let_col(
+            grams3(F.col("toks")),
+            lambda g: round6(
+                1.0
+                - F.size(F.array_distinct(g)).cast("double")
+                / F.size(g).cast("double")
+            ),
+        ).alias("dup3_ratio"),
+    )
+    top = (
+        proj.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(round6(F.max("c").cast("double") / F.sum("c")).alias("top_tok_share"))
+    )
+    return (
+        feat.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup3_ratio",
+            F.coalesce("top_tok_share", F.lit(0.0)).alias("top_tok_share"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup3_ratio") <= REP_MAX_DUP3)
+            & (F.col("top_tok_share") <= REP_MAX_TOP),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------- doc chunking
+
+CHUNK_TOKENS = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # chunk start stride (overlap = CHUNK_TOKENS - STRIDE)
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document's token stream
+    into CHUNK_TOKENS-token chunks whose starts advance by
+    CHUNK_STRIDE (8-token overlap) — the sequence-preparation step
+    between cleaning and tokenizer packing in an LLM data pipeline.
+
+    n_chunks = ceil(max(n − CHUNK, 0) / STRIDE) + 1, so every token is
+    covered, only the final chunk may run short, and a document
+    shorter than one chunk yields exactly one chunk. Plan: pure
+    explode-over-sequence projection — chunk ids are generated
+    per-row, the slice/concat runs after the explode, and nothing
+    shuffles but the output orderBy. The ~CHUNK/STRIDE× output blowup
+    is inherent to overlapped chunking, not a plan artifact; at scale
+    the orderBy drops and this writes straight to the packed-sequence
+    sink."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n = F.size("toks")
+    n_chunks = (
+        F.ceil(F.greatest(n - CHUNK_TOKENS, F.lit(0)) / F.lit(float(CHUNK_STRIDE)))
+        + 1
+    ).cast("int")
+    ex = docs.select("doc_id", tokenize("text").alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE + 1
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start"),
+        let_col(
+            F.slice("toks", start, CHUNK_TOKENS),
+            lambda c: F.struct(
+                F.size(c).alias("n"), F.concat_ws(" ", c).alias("t")
+            ),
+        ).alias("ch"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.col("ch.n").alias("n_chunk_tokens"),
+        F.col("ch.t").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 _SAMPLE_KEY_SQL = "'samp#' || substr(text, 1, 64) || '#' || length(text)::VARCHAR"
 _RATE_SQL = (
     "CASE "
@@ -375,6 +496,61 @@ _RATE_SQL = (
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "repetition_filter": f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        feat AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   list_transform(
+                       range(1, greatest(len(toks) - 1, 2)),
+                       i -> array_to_string(toks[i:i+2], ' ')) AS grams
+            FROM t
+        ),
+        dup AS (
+            SELECT doc_id, n_tokens,
+                   {round6_sql("1.0 - len(list_distinct(grams))::DOUBLE"
+                               " / len(grams)::DOUBLE")} AS dup3_ratio
+            FROM feat
+        ),
+        tops AS (
+            SELECT doc_id,
+                   {round6_sql("max(c)::DOUBLE / sum(c)::DOUBLE")} AS top_tok_share
+            FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY doc_id, tok
+            ) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, dup3_ratio,
+               coalesce(top_tok_share, 0.0) AS top_tok_share,
+               (dup3_ratio <= {REP_MAX_DUP3} AND
+                coalesce(top_tok_share, 0.0) <= {REP_MAX_TOP}) AS keep
+        FROM dup LEFT JOIN tops USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "doc_chunks": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_SQL} AS toks,
+                   len({_TOKS_SQL}) AS n
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, toks,
+                   (ceil(greatest(n - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0))::INT
+                       + 1 AS nk
+            FROM t
+        ),
+        ex AS (
+            SELECT doc_id, toks, unnest(range(0, nk))::INT AS chunk_id FROM k
+        )
+        SELECT doc_id, chunk_id,
+               chunk_id * {CHUNK_STRIDE} + 1 AS start,
+               len(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                        chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS n_chunk_tokens,
+               array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                                    chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                               ' ') AS chunk_text
+        FROM ex ORDER BY doc_id, chunk_id
+    """,
     "stratified_sample": f"""
         SELECT doc_id, lang,
                ({poly_hash_sql(_SAMPLE_KEY_SQL)} % {SAMPLE_BUCKETS})::INT AS bucket,
@@ -450,4 +626,6 @@ QUERIES = {
     "winnow_fingerprint": winnow_fingerprint,
     "corpus_split": corpus_split,
     "stratified_sample": stratified_sample,
+    "repetition_filter": repetition_filter,
+    "doc_chunks": doc_chunks,
 }

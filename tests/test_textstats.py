@@ -141,3 +141,74 @@ def test_stratified_sample_tracks_rates(spark, sf_dir):
         ) / textstats.SAMPLE_BUCKETS
         got = by_lang.get(lang, 0) / total
         assert abs(got - rate) < 0.22, (lang, got, rate)
+
+
+def _mini_docs(spark, tmp_path, texts):
+    """Write a documents.parquet-shaped corpus into a tmp sf_dir."""
+    rows = [
+        (i, t, "en", "unit", len(t)) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_repetition_filter_flags_degenerate_docs(spark, tmp_path):
+    good = "the quick brown fox jumps over a lazy dog near the old river bank today"
+    spammy = "buy now " * 30          # one bigram repeated: dup3 ≈ 1
+    monotone = "spam " * 50           # single token: top share = 1
+    d = _mini_docs(spark, tmp_path, [good, spammy, monotone])
+    rows = {r.doc_id: r for r in textstats.repetition_filter(spark, d).collect()}
+    assert rows[0].keep and rows[0].dup3_ratio < 0.05
+    assert not rows[1].keep and rows[1].dup3_ratio > 0.9
+    assert not rows[2].keep and rows[2].top_tok_share == 1.0
+
+
+def test_doc_chunks_cover_and_overlap(spark, sf_dir):
+    from collections import defaultdict
+
+    from hadoop_and_spark_spark.operators.textstats import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunks,
+        token_stats,
+    )
+
+    chunks = defaultdict(list)
+    for r in doc_chunks(spark, sf_dir).collect():
+        chunks[r.doc_id].append(r)
+    n_tok = {
+        r.doc_id: r.ws_tokens for r in token_stats(spark, sf_dir).collect()
+    }
+    for doc_id, ch in chunks.items():
+        ch.sort(key=lambda r: r.chunk_id)
+        starts = [r.start for r in ch]
+        assert starts == [1 + k * CHUNK_STRIDE for k in range(len(ch))]
+        # every chunk bounded; all but the last full-size when doc is long
+        for r in ch[:-1]:
+            assert r.n_chunk_tokens == CHUNK_TOKENS
+        last = ch[-1]
+        # the final chunk reaches the end of the token stream exactly
+        assert last.start + last.n_chunk_tokens - 1 == max(
+            n_tok[doc_id], 1
+        ) or n_tok[doc_id] < CHUNK_TOKENS
+
+
+def test_doc_chunks_exact_small_doc(spark, tmp_path):
+    from hadoop_and_spark_spark.operators.textstats import doc_chunks
+
+    d = _mini_docs(spark, tmp_path, ["alpha beta gamma", " ".join(f"t{i}" for i in range(80))])
+    rows = sorted(
+        doc_chunks(spark, d).collect(), key=lambda r: (r.doc_id, r.chunk_id)
+    )
+    short = [r for r in rows if r.doc_id == 0]
+    assert len(short) == 1 and short[0].chunk_text == "alpha beta gamma"
+    long = [r for r in rows if r.doc_id == 1]
+    # n=80: ceil((80-32)/24)+1 = 3 chunks, starts 1, 25, 49
+    assert [r.start for r in long] == [1, 25, 49]
+    assert [r.n_chunk_tokens for r in long] == [32, 32, 32]
+    assert long[-1].chunk_text.endswith("t79")
