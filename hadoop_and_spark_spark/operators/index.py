@@ -242,6 +242,69 @@ def tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval — the industry-standard scorer the tf·idf
+    query (X15) is the warm-up for: score(doc) = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), idf = log10(1 +
+    (N − df + ½)/(df + ½)).
+
+    Plan shape mirrors tfidf_retrieval with one addition, the document
+    length norm: dl comes from a semi-join-pruned second pass over
+    documents (only CANDIDATE docs — those containing a query term —
+    are length-counted; at scale dl is index metadata written next to
+    the postings, so the second scan disappears). N and avgdl ride the
+    same footer-count/broadcast-cross-join pattern; avgdl is computed
+    as exact-int token-count sum / count so both engines divide the
+    same two integers (no FP-summation-order drift). Scores round to
+    6 dp before the orderBy+limit top-k (TakeOrderedAndProject), rank
+    attaches after the limit.
+    """
+    from ..functions.portable import round6
+
+    postings = term_doc_tf(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(F.size(tokenize("text")).alias("ntok")).agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("ntok").cast("double") / F.count("*").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    q = postings.where(F.col("term").isin(*TFIDF_TERMS))
+    df_tbl = q.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    dl_tbl = (
+        docs.join(q.select("doc_id").distinct(), "doc_id", "left_semi")
+        .select("doc_id", F.size(tokenize("text")).cast("double").alias("dl"))
+    )
+    idf = F.log10(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        q.join(F.broadcast(df_tbl), "term")
+        .join(dl_tbl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * norm).alias("w"))
+        .groupBy("doc_id")
+        .agg(round6(F.sum("w")).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TFIDF_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "inverted_index": f"""
         WITH postings AS (
@@ -303,9 +366,54 @@ def _tfidf_sql() -> str:
 
 ORACLE_SQL["tfidf_retrieval"] = _tfidf_sql()
 
+
+def _bm25_sql() -> str:
+    from ..functions.portable import round6_sql
+
+    terms = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
+    return f"""
+        WITH postings AS (
+            SELECT term, doc_id, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+            GROUP BY term, doc_id
+        ),
+        q AS (SELECT * FROM postings WHERE term IN ({terms})),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM q GROUP BY term),
+        stats AS (
+            SELECT count(*)::DOUBLE AS n,
+                   sum(len({_TOKS_SQL}))::DOUBLE / count(*)::DOUBLE AS avgdl
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, len({_TOKS_SQL})::DOUBLE AS dl FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM q)
+        ),
+        scored AS (
+            SELECT q.doc_id,
+                   {round6_sql(
+                       "sum(log10(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+                       f" * (q.tf * {BM25_K1 + 1.0}) / (q.tf + {BM25_K1} *"
+                       f" (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl)))"
+                   )} AS score
+            FROM q JOIN dfreq USING (term)
+                   JOIN dl ON q.doc_id = dl.doc_id
+                   CROSS JOIN stats
+            GROUP BY q.doc_id
+        )
+        SELECT rank, doc_id, score FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TFIDF_K} ORDER BY rank
+    """
+
+
+ORACLE_SQL["bm25_retrieval"] = _bm25_sql()
+
 QUERIES = {
     "inverted_index": inverted_index,
     "boolean_retrieval": boolean_retrieval,
     "boolean_retrieval_persisted": boolean_retrieval_persisted,
     "tfidf_retrieval": tfidf_retrieval,
+    "bm25_retrieval": bm25_retrieval,
 }

@@ -99,3 +99,23 @@ def test_written_index_compresses_vs_raw_text(spark, sf_dir, tmp_path):
     )
     assert idx_bytes > 0 and raw_bytes > 0
     assert idx_bytes < raw_bytes, (idx_bytes, raw_bytes)
+
+
+def test_bm25_length_normalization(spark, tmp_path):
+    """Same tf, different doc length: BM25's dl/avgdl norm must rank
+    the short document above the long one (tf·idf would tie them)."""
+    short = "spark spark " + "pad " * 8
+    long = "spark spark " + "pad " * 200
+    rows = [
+        (0, short, "en", "unit", len(short)),
+        (1, long, "en", "unit", len(long)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = index.bm25_retrieval(spark, str(tmp_path)).collect()
+    by_doc = {r.doc_id: r for r in got}
+    assert by_doc[0].score > by_doc[1].score
+    assert by_doc[0].rank == 1
