@@ -323,6 +323,86 @@ def q9b_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUCKETS = 8  # co-location bucket count (cluster: ~2-4× executor count)
+
+
+def _bucket_names(sf_dir: str) -> tuple[str, str, str]:
+    """Stable per-corpus catalog table names + external data path for
+    the bucketed fact tables (md5, not builtin hash — see index_path)."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"hs_buckets_{digest}")
+    return f"li_bkt_{digest}", f"ord_bkt_{digest}", root
+
+
+def write_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem and orders as bucketed-by-orderkey external
+    tables (one file per bucket via pre-repartition on the bucket
+    key, sorted within buckets) — the storage layout that makes every
+    subsequent orderkey join co-located."""
+    import os
+
+    li_name, ord_name, root = _bucket_names(sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    for name, df, key in (
+        (li_name, li, "l_orderkey"),
+        (ord_name, orders, "o_orderkey"),
+    ):
+        (
+            df.repartition(BUCKETS, key)
+            .write.mode("overwrite")
+            .bucketBy(BUCKETS, key)
+            .sortBy(key)
+            .option("path", os.path.join(root, name))
+            .saveAsTable(name)
+        )
+    return li_name, ord_name
+
+
+def q4_orders_by_nation_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4 through BUCKETED storage: the lineitem ⋈ orders fact-fact
+    join (J1) with both sides written `bucketBy(BUCKETS, orderkey)`
+    + sorted, so the join is co-located — under SortMergeJoin neither
+    side shuffles (no Exchange above either scan; pinned in
+    tests/test_plans.py with broadcast disabled).
+
+    This is the at-scale answer to the one shuffle q4 cannot
+    otherwise avoid: at 100 TB the orderkey exchange of lineitem
+    dominates the query, and any workload that joins the same facts
+    repeatedly (every TPC-H order/lineitem query) amortizes one
+    bucketed write across all of them — the same
+    write-once/seek-many trade as the persisted inverted index (K2/
+    O5). The write itself re-runs here per invocation (the driver
+    contract takes a bare sf_dir), exactly like
+    boolean_retrieval_persisted re-builds its index; a real
+    deployment writes the buckets once at ingest. Bucket metadata
+    lives in the session catalog, so reads go through
+    ``spark.table``; results and oracle are identical to q4.
+    """
+    li_name, ord_name = write_bucketed_facts(spark, sf_dir)
+    li = spark.table(li_name)
+    orders = spark.table(ord_name).where(
+        (F.col("o_orderdate") >= F.lit(Q4_DATE_START))
+        & (F.col("o_orderdate") < F.lit(Q4_DATE_END))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("n_nationkey")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "q1_shipdate_count": f"""
         SELECT count(*) AS cnt
@@ -431,4 +511,7 @@ QUERIES = {
     "q8_pricing_rollup": q8_pricing_rollup,
     "q9_price_percentiles": q9_price_percentiles,
     "q9b_price_percentiles_approx": q9b_price_percentiles_approx,
+    "q4_bucketed": q4_orders_by_nation_bucketed,
 }
+
+ORACLE_SQL["q4_bucketed"] = ORACLE_SQL["q4_orders_by_nation"]

@@ -195,3 +195,18 @@ def test_corpus_split_no_shuffle_before_sort(spark, sf_dir):
     n_exchange = p.count("Exchange")
     n_allowed = p.count("RoundRobinPartitioning") + p.count("rangepartitioning")
     assert n_exchange <= n_allowed
+
+
+def test_q4_bucketed_join_is_colocated(spark, sf_dir):
+    """The bucketed fact-fact join must be co-located: both scans read
+    bucketed tables and NO Exchange re-partitions either side on the
+    orderkey (broadcast disabled so small-scale auto-broadcast cannot
+    mask a missing co-location)."""
+    from hadoop_and_spark_spark.catalog import _scoped_conf
+
+    with _scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        p = plan(R.q4_orders_by_nation_bucketed(spark, sf_dir))
+    assert p.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in p
+    assert "hashpartitioning(l_orderkey" not in p
+    assert "hashpartitioning(o_orderkey" not in p
