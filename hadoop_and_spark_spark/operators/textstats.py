@@ -364,6 +364,90 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- PII scrub
+
+# Patterns chosen for the Java-regex ∩ RE2 common dialect (no
+# backrefs, no lookaround, ASCII \d in both) so Spark and the DuckDB
+# oracle match/redact identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+from pathlib import Path as _Path  # noqa: E402 — fixture path helper
+
+PII_FIXTURE = str(
+    _Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "pii_docs.csv"
+)
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass a training-data pipeline
+    runs before anything ships: count and replace emails, IPv4
+    addresses, and phone-shaped digit runs with typed placeholders.
+
+    ``sf_dir`` is ignored: the driver's synthetic documents carry no
+    PII-shaped strings (lowercase word salad, no digits), so the
+    operator runs over the committed planted fixture — the
+    region_event_count_geo / dedup_embedding_strict pattern. Counts
+    are taken per-pattern on the ORIGINAL text; redaction chains
+    email → IP → phone (phones can't span the dots of an IP, and
+    placeholders contain no digits, so the chain is order-stable).
+    Pure regex projection, scan-bound, no shuffle but the output
+    orderBy — at scale this fuses into the corpus scan like the other
+    cleaning passes."""
+    docs = spark.read.csv(
+        PII_FIXTURE, sep="|", schema="doc_id bigint, text string"
+    )
+    n = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), 0))  # noqa: E731
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_IP,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n(PII_EMAIL).alias("n_emails"),
+            n(PII_IP).alias("n_ips"),
+            n(PII_PHONE).alias("n_phones"),
+            clean.alias("clean_text"),
+        )
+        .withColumn(
+            "has_pii",
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0,
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_sql() -> str:
+    read = (
+        f"read_csv('{PII_FIXTURE}', header=false, delim='|', "
+        "columns={'doc_id': 'BIGINT', 'text': 'VARCHAR'})"
+    )
+    clean = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_IP}', '<IP>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g')"
+    )
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{PII_IP}')) AS n_ips,
+               len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+               {clean} AS clean_text,
+               (len(regexp_extract_all(text, '{PII_EMAIL}'))
+                + len(regexp_extract_all(text, '{PII_IP}'))
+                + len(regexp_extract_all(text, '{PII_PHONE}'))) > 0 AS has_pii
+        FROM {read} ORDER BY doc_id
+    """
+
+
 # --------------------------------------------------- repetition filter
 
 REP_MAX_DUP3 = 0.05  # max duplicate-word-trigram fraction
@@ -496,6 +580,7 @@ _RATE_SQL = (
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "pii_scrub": _pii_sql(),
     "repetition_filter": f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
         feat AS (
@@ -628,4 +713,5 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "repetition_filter": repetition_filter,
     "doc_chunks": doc_chunks,
+    "pii_scrub": pii_scrub,
 }

@@ -212,3 +212,24 @@ def test_doc_chunks_exact_small_doc(spark, tmp_path):
     assert [r.start for r in long] == [1, 25, 49]
     assert [r.n_chunk_tokens for r in long] == [32, 32, 32]
     assert long[-1].chunk_text.endswith("t79")
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    rows = textstats.pii_scrub(spark, "ignored").collect()
+    total = {
+        "emails": sum(r.n_emails for r in rows),
+        "ips": sum(r.n_ips for r in rows),
+        "phones": sum(r.n_phones for r in rows),
+    }
+    # the committed fixture plants a non-trivial amount of each type
+    assert min(total.values()) > 20, total
+    for r in rows:
+        assert "@" not in r.clean_text
+        assert r.has_pii == (r.n_emails + r.n_ips + r.n_phones > 0)
+        # every planted marker is typed, never a bare digit run left
+        if r.n_emails:
+            assert "<EMAIL>" in r.clean_text
+        if r.n_ips:
+            assert "<IP>" in r.clean_text
+        if r.n_phones:
+            assert "<PHONE>" in r.clean_text
