@@ -221,6 +221,51 @@ def user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEAVY_K = 10  # top users per event type
+HEAVY_SALT = 32  # stage-1 fan-out of each group's candidate scan
+
+
+def heavy_users_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-HEAVY_K users per event type by event count — per-group
+    top-k on a fact table whose groups are FEW and HUGE (5 types ×
+    all users), i.e. exactly the shape where the obvious
+    `row_number over (partition by type)` window collapses each
+    type's entire user population into one task.
+
+    Scale-safe shape — HIERARCHICAL top-k: salt each group by
+    user_id % HEAVY_SALT, take the top-K of every (type, salt)
+    sub-group (windows over bounded sub-partitions), then re-rank the
+    ≤ types·SALT·K survivors in a final window over the now-tiny
+    candidate set. Exact, not approximate: any global top-K member is
+    by definition in its own sub-group's top-K (ties broken
+    deterministically by user_id on both levels, mirrored in the
+    oracle). On a cluster HEAVY_SALT scales with executor count; the
+    candidate set stays  ≤ groups·SALT·K rows regardless of corpus
+    size — the same bounded-rank move as tfidf's orderBy+limit, per
+    group."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    sub = Window.partitionBy(
+        "event_type", F.col("user_id") % HEAVY_SALT
+    ).orderBy(F.desc("cnt"), F.asc("user_id"))
+    cand = (
+        counts.withColumn("r1", F.row_number().over(sub))
+        .where(F.col("r1") <= HEAVY_K)
+        .drop("r1")
+    )
+    final = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= HEAVY_K)
+        .select("event_type", "rank", "user_id", "cnt")
+        .orderBy("event_type", "rank")
+    )
+
+
 def with_batch_counter(df: DataFrame, name: str = "engine_metrics") -> DataFrame:
     """A14 streaming twin of the reference's micro-batch accumulator
     (EventCount.scala:55, the "number of completed RDDs" counter):
@@ -307,10 +352,24 @@ ORACLE_SQL["events_json_stats"] = """
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
+ORACLE_SQL["heavy_users_topk"] = f"""
+    WITH counts AS (
+        SELECT event_type, user_id, count(*) AS cnt
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, rank, user_id, cnt FROM (
+        SELECT event_type, user_id, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, user_id) AS rank
+        FROM counts
+    ) WHERE rank <= {HEAVY_K} ORDER BY event_type, rank
+"""
+
 QUERIES = {
     "event_count_hourly": event_count_hourly,
     "region_event_count": region_event_count,
     "trending_arrivals_batch": trending_arrivals_batch,
     "events_json_stats": events_json_stats,
     "user_reach_approx": user_reach_approx,
+    "heavy_users_topk": heavy_users_topk,
 }
