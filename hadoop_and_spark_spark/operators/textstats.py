@@ -364,6 +364,72 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ table profile
+
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling over the documents table: per column,
+    null count, exact distinct count, and min/max (rendered as
+    strings so one schema carries every column type) — the
+    data-quality summary a pipeline checks before and after every
+    transformation.
+
+    Plan shape: ONE aggregation computes every metric (the
+    multi-distinct plans through Spark's Expand — one row per
+    distinct-column per input row — still a single pass over the
+    scan), then a `stack` unpivots the 1-row result into one row per
+    column: the unpivot touches 1 row, never the table. At 100 TB the
+    exact distincts swap for approx_count_distinct (the
+    user_reach_approx HLL pattern) and the Expand blowup disappears;
+    exact is kept here because the driver hash needs cross-engine
+    reproducible values."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in PROFILE_COLS
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+                "(col_name, n_nulls, n_distinct, min_str, max_str)"
+            ),
+        )
+        .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+        .orderBy("col_name")
+    )
+
+
+def _profile_sql() -> str:
+    m = ["count(*) AS n_rows"]
+    for c in PROFILE_COLS:
+        m += [
+            # ::BIGINT — DuckDB widens sum(BIGINT) to HUGEINT, which
+            # pandas renders float64 and breaks the typed hash
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            f"min({c})::VARCHAR AS mn_{c}",
+            f"max({c})::VARCHAR AS mx_{c}",
+        ]
+    selects = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n_rows, nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_str, mx_{c} AS max_str FROM m"
+        for c in PROFILE_COLS
+    )
+    return f"WITH m AS (SELECT {', '.join(m)} FROM documents) {selects} ORDER BY col_name"
+
+
 # ---------------------------------------------------------- PII scrub
 
 # Patterns chosen for the Java-regex ∩ RE2 common dialect (no
@@ -581,6 +647,7 @@ _RATE_SQL = (
 
 ORACLE_SQL: dict[str, str] = {
     "pii_scrub": _pii_sql(),
+    "profile_documents": _profile_sql(),
     "repetition_filter": f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
         feat AS (
@@ -714,4 +781,5 @@ QUERIES = {
     "repetition_filter": repetition_filter,
     "doc_chunks": doc_chunks,
     "pii_scrub": pii_scrub,
+    "profile_documents": profile_documents,
 }

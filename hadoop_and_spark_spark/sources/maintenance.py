@@ -1,0 +1,94 @@
+"""Table maintenance: small-file compaction + keep-latest merge upsert.
+
+The two storage chores every long-lived 100 TB table needs between
+queries (streaming sinks and incremental ingests fragment tables;
+late/corrected records need keyed upserts). Neither exists in the
+reference — its outputs are write-once HDFS directories — but an
+engine a reference user could "switch to and run everything" needs
+the table lifecycle, not just the queries.
+
+Both are plain-parquet implementations (no external table format):
+atomicity is write-to-new-directory + swap by the caller, the same
+contract as the reference's job-output directories. On a transactional
+lakehouse format these become `OPTIMIZE` / `MERGE INTO`; the plan
+shapes below are what those execute under the hood.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def parquet_data_size(path: str) -> int:
+    """Total bytes of parquet data files under ``path``."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a fragmented parquet directory into ~target-sized files.
+
+    The file count comes from the actual on-disk byte size (compressed
+    parquet), not a row-count guess, so compaction converges in one
+    pass: n_files = ceil(bytes / target). The rewrite is a pure
+    round-robin ``repartition(n)`` — no keys, no sort, one shuffle
+    whose only job is evening out file sizes; scan-side,
+    ``maxPartitionBytes`` already papers over small files for READS,
+    but footer/open overhead and driver file listings still scale with
+    file COUNT, which is what compaction fixes. Returns the file count
+    written."""
+    n_files = max(1, math.ceil(parquet_data_size(in_path) / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def merge_upsert(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key: str,
+    version_col: str,
+    out_path: str,
+) -> None:
+    """Keyed keep-latest merge: rows from ``updates`` replace base rows
+    with the same ``key``; among duplicates the highest
+    ``version_col`` wins (ties break toward the update side).
+
+    Plan shape: union-tagged anti-join-free merge — both sides union
+    with a side marker, then ONE hash aggregation per key keeps the
+    max (version, is_update) row via ``max_by``. One shuffle on the
+    key, no join node, no driver materialization: the same
+    single-shuffle trick as the as-of union (temporal.py). At scale
+    the aggregation is partial map-side for the (common) case where a
+    key's rows co-locate in input splits."""
+    base = spark.read.parquet(base_path)
+    if set(base.columns) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: base={sorted(base.columns)} "
+            f"updates={sorted(updates.columns)}"
+        )
+    cols = base.columns
+    tagged = base.withColumn("__upd", F.lit(0)).unionByName(
+        updates.select(*cols).withColumn("__upd", F.lit(1))
+    )
+    payload = F.struct(*[F.col(c) for c in cols])
+    merged = (
+        tagged.groupBy(key)
+        .agg(F.max_by(payload, F.struct(F.col(version_col), F.col("__upd"))).alias("p"))
+        .select(*[F.col(f"p.{c}").alias(c) for c in cols])
+    )
+    merged.write.mode("overwrite").parquet(out_path)

@@ -173,3 +173,66 @@ def test_all_queries_handle_empty_tables(spark, sf_dir, tmp_path):
     queries, _ = collect()
     for name, fn in queries.items():
         fn(spark, ed).collect()  # must not raise
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    import os
+
+    from hadoop_and_spark_spark.catalog import load_table
+    from hadoop_and_spark_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_data_size,
+    )
+
+    frag = str(tmp_path / "frag")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.parquet(frag)  # fragment: 64 tiny files
+    n_in = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    assert n_in >= 32
+
+    out = str(tmp_path / "compact")
+    n_target = compact_parquet(
+        spark, frag, out, target_file_bytes=max(parquet_data_size(frag), 1)
+    )
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_target == 1 and n_out == 1
+    # content identical
+    a = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    b = sorted(tuple(r) for r in docs.collect())
+    assert a == b
+
+
+def test_merge_upsert_keep_latest(spark, tmp_path):
+    from hadoop_and_spark_spark.sources.maintenance import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 2)], "k long, v string, ver long"
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    updates = spark.createDataFrame(
+        [
+            (2, "b2", 2),   # newer version → replaces
+            (3, "c-old", 1),  # OLDER version → base row wins
+            (4, "d", 1),    # brand-new key → inserted
+            (4, "d2", 3),   # two updates same key → highest version
+        ],
+        "k long, v string, ver long",
+    )
+    out = str(tmp_path / "merged")
+    merge_upsert(spark, base_path, updates, key="k", version_col="ver", out_path=out)
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(out).collect()}
+    assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 2), 4: ("d2", 3)}
+
+
+def test_merge_upsert_tie_prefers_update(spark, tmp_path):
+    from hadoop_and_spark_spark.sources.maintenance import merge_upsert
+
+    base = spark.createDataFrame([(1, "old", 5)], "k long, v string, ver long")
+    base_path = str(tmp_path / "base2")
+    base.write.parquet(base_path)
+    updates = spark.createDataFrame([(1, "new", 5)], "k long, v string, ver long")
+    out = str(tmp_path / "merged2")
+    merge_upsert(spark, base_path, updates, key="k", version_col="ver", out_path=out)
+    got = [(r.k, r.v, r.ver) for r in spark.read.parquet(out).collect()]
+    assert got == [(1, "new", 5)]
