@@ -246,6 +246,18 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _ranked(scored: DataFrame, k: int) -> DataFrame:
+    """(doc_id, score) → top-k with rank attached AFTER the
+    orderBy+limit (TakeOrderedAndProject), so the row_number window
+    sees ≤ k rows — the bounded-rank shape every retrieval query here
+    uses."""
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval — the industry-standard scorer the tf·idf
     query (X15) is the warm-up for: score(doc) = Σ_t idf(t) ·
@@ -263,6 +275,16 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 dp before the orderBy+limit top-k (TakeOrderedAndProject), rank
     attaches after the limit.
     """
+    return (
+        _ranked(_bm25_scored(spark, sf_dir), TFIDF_K)
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 scores for TFIDF_TERMS — the shared core
+    of bm25_retrieval and hybrid_retrieval's text side."""
     from ..functions.portable import round6
 
     postings = term_doc_tf(spark, sf_dir)
@@ -286,7 +308,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    return (
         q.join(F.broadcast(df_tbl), "term")
         .join(dl_tbl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -294,13 +316,84 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(round6(F.sum("w")).alias("score"))
     )
-    from pyspark.sql import Window
 
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TFIDF_K)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+
+HY_POOL = 50  # per-side candidate pool fed to the fusion
+HY_K = 20  # fused top-k
+RRF_K = 60  # reciprocal-rank-fusion constant (Cormack et al.)
+HY_QUERY_VEC = 0  # query embedding = vec_id 0 (vec ids align with doc ids)
+
+
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid text+vector retrieval via reciprocal-rank fusion: the
+    BM25 top-HY_POOL (text side) and the cosine top-HY_POOL around a
+    query embedding (vector side) fuse as rrf(doc) =
+    Σ_side 1/(RRF_K + rank_side), top-HY_K by fused score — the
+    two-tower retrieval shape every modern search/RAG stack runs, and
+    the natural join of this module's index surface with the
+    embeddings table (vec_id ≡ doc_id in the testdata).
+
+    Scale shape: each side is its own bounded pipeline (BM25:
+    index-seek + candidate-pruned norm; vector: broadcast 1-row query
+    against the corpus — in production the IVF/persisted index, X24,
+    replaces the scan). The fusion itself joins two ≤ HY_POOL-row
+    frames — constant-size work regardless of corpus. Ranks, not
+    scores, cross the modality boundary, so no cross-engine score
+    calibration is needed: 1/(K+rank) is exact integer-derived IEEE
+    division on both engines. Absent-from-pool sides surface as rank 0
+    (typed, not NULL — nullable ints shift dtype under pandas)."""
+    from ..functions.portable import dot_fold, round6
+
+    from .similarity import EMB_DIM  # noqa: F401 — oracle dim source
+
+    b = _ranked(_bm25_scored(spark, sf_dir), HY_POOL).select(
+        "doc_id", F.col("rank").alias("rank_text")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    ).select(
+        "vec_id", "emb", F.sqrt(dot_fold(F.col("emb"), F.col("emb"))).alias("nrm")
+    )
+    qv = vec.where(F.col("vec_id") == HY_QUERY_VEC).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    vscored = (
+        vec.where(F.col("vec_id") != HY_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            round6(
+                dot_fold(F.col("emb"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm"))
+            ).alias("score"),
+        )
+    )
+    v = _ranked(vscored, HY_POOL).select(
+        "doc_id", F.col("rank").alias("rank_vec")
+    )
+    rrf = round6(
+        F.when(F.col("rank_text") > 0, 1.0 / (RRF_K + F.col("rank_text"))).otherwise(
+            0.0
+        )
+        + F.when(F.col("rank_vec") > 0, 1.0 / (RRF_K + F.col("rank_vec"))).otherwise(
+            0.0
+        )
+    )
+    fused = (
+        b.join(v, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_text", F.lit(0)).alias("rank_text"),
+            F.coalesce("rank_vec", F.lit(0)).alias("rank_vec"),
+        )
+        .select("doc_id", "rank_text", "rank_vec", rrf.alias("score"))
+    )
     return (
-        topk.withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", "score")
+        _ranked(fused, HY_K)
+        .select(
+            "rank", "doc_id", F.col("score").alias("rrf"), "rank_text", "rank_vec"
+        )
         .orderBy("rank")
     )
 
@@ -367,7 +460,9 @@ def _tfidf_sql() -> str:
 ORACLE_SQL["tfidf_retrieval"] = _tfidf_sql()
 
 
-def _bm25_sql() -> str:
+def _bm25_scored_cte() -> str:
+    """The WITH-clause prefix computing BM25 ``scored(doc_id, score)``
+    — shared by the bm25_retrieval and hybrid_retrieval oracles."""
     from ..functions.portable import round6_sql
 
     terms = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
@@ -400,15 +495,85 @@ def _bm25_sql() -> str:
                    CROSS JOIN stats
             GROUP BY q.doc_id
         )
+    """
+
+
+def _bm25_sql() -> str:
+    return (
+        _bm25_scored_cte()
+        + f"""
         SELECT rank, doc_id, score FROM (
             SELECT doc_id, score,
                    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
             FROM scored
         ) WHERE rank <= {TFIDF_K} ORDER BY rank
     """
+    )
+
+
+def _hybrid_sql() -> str:
+    from ..functions.portable import dot_fold_sql, round6_sql
+
+    from .similarity import EMB_DIM
+
+    cos = (
+        dot_fold_sql("v.emb", "vq.q_emb", EMB_DIM) + " / (v.nrm * vq.q_nrm)"
+    )
+    return (
+        _bm25_scored_cte()
+        + f"""
+        , brank AS (
+            SELECT doc_id, rank_text FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS rank_text
+                FROM scored
+            ) WHERE rank_text <= {HY_POOL}
+        ),
+        vvec AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS emb,
+                   sqrt({dot_fold_sql('embedding', 'embedding', EMB_DIM)}) AS nrm
+            FROM embeddings
+        ),
+        vq AS (SELECT emb AS q_emb, nrm AS q_nrm FROM vvec
+               WHERE vec_id = {HY_QUERY_VEC}),
+        vscored AS (
+            SELECT v.vec_id AS doc_id,
+                   {round6_sql(cos)} AS score
+            FROM vvec v, vq WHERE v.vec_id <> {HY_QUERY_VEC}
+        ),
+        vrank AS (
+            SELECT doc_id, rank_vec FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS rank_vec
+                FROM vscored
+            ) WHERE rank_vec <= {HY_POOL}
+        ),
+        fused AS (
+            SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+                   coalesce(b.rank_text, 0) AS rank_text,
+                   coalesce(v.rank_vec, 0) AS rank_vec,
+                   {round6_sql(
+                       f"(CASE WHEN coalesce(b.rank_text, 0) > 0 "
+                       f"THEN 1.0 / ({RRF_K} + b.rank_text) ELSE 0.0 END) + "
+                       f"(CASE WHEN coalesce(v.rank_vec, 0) > 0 "
+                       f"THEN 1.0 / ({RRF_K} + v.rank_vec) ELSE 0.0 END)"
+                   )} AS rrf
+            FROM brank b FULL OUTER JOIN vrank v ON b.doc_id = v.doc_id
+        )
+        SELECT rank, doc_id, rrf, rank_text, rank_vec FROM (
+            SELECT doc_id, rrf, rank_text, rank_vec,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+            FROM fused
+        ) WHERE rank <= {HY_K} ORDER BY rank
+    """
+    )
 
 
 ORACLE_SQL["bm25_retrieval"] = _bm25_sql()
+ORACLE_SQL["hybrid_retrieval"] = _hybrid_sql()
 
 QUERIES = {
     "inverted_index": inverted_index,
@@ -416,4 +581,5 @@ QUERIES = {
     "boolean_retrieval_persisted": boolean_retrieval_persisted,
     "tfidf_retrieval": tfidf_retrieval,
     "bm25_retrieval": bm25_retrieval,
+    "hybrid_retrieval": hybrid_retrieval,
 }

@@ -119,3 +119,24 @@ def test_bm25_length_normalization(spark, tmp_path):
     by_doc = {r.doc_id: r for r in got}
     assert by_doc[0].score > by_doc[1].score
     assert by_doc[0].rank == 1
+
+
+def test_hybrid_rrf_recompute_and_mixes_modalities(spark, sf_dir):
+    rows = index.hybrid_retrieval(spark, sf_dir).collect()
+    assert len(rows) > 0
+    import math
+
+    for r in rows:
+        want = 0.0
+        if r.rank_text > 0:
+            want += 1.0 / (index.RRF_K + r.rank_text)
+        if r.rank_vec > 0:
+            want += 1.0 / (index.RRF_K + r.rank_vec)
+        want = math.floor(want * 1e6 + 0.5) / 1e6
+        assert abs(r.rrf - want) < 1e-12, r
+    # ranks strictly ordered by fused score, tie-broken by doc_id
+    scores = [(r.rrf, -r.doc_id) for r in sorted(rows, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+    # fusion actually draws from both modalities
+    assert any(r.rank_text > 0 for r in rows)
+    assert any(r.rank_vec > 0 for r in rows)
