@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.portable import round6, round6_sql
 
 TREND_FACTOR = 2  # cur >= 2*prev, a7/TrendingArrivals.scala:53
 TREND_MIN = 10  # and cur >= 10
@@ -266,6 +267,81 @@ def heavy_users_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAVG_WINDOW = 3  # trailing days in the moving average
+
+# Fixed pivot column list: at scale pivot must NEVER discover its
+# values with an extra distinct job over the fact table — the
+# category domain is declared, and unexpected values fall out (or
+# land in an 'other' bucket if added here).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily value totals with a trailing MAVG_WINDOW-
+    day moving average — the analytic-window (frame-spec) operator
+    family over the fact table.
+
+    Determinism across engines: the daily total is summed as
+    DECIMAL(18,2) (exact, order-free) and only then widened to
+    DOUBLE; the moving average is built from explicit lag() terms —
+    (s + lag(s,1) + lag(s,2)) / n — rather than an avg() OVER a ROWS
+    frame, whose internal summation order is engine-defined. Window
+    partitions are (event_type): their size is bounded by the DATE
+    RANGE (one row per day after the pre-aggregation), not the
+    corpus — the aggregation runs first, the window only ever sees
+    days × types rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lag1 = F.lag("day_value", 1).over(w)
+    lag2 = F.lag("day_value", 2).over(w)
+    n = F.least(F.row_number().over(w), F.lit(MAVG_WINDOW))
+    mavg = (
+        F.col("day_value") + F.coalesce(lag1, F.lit(0.0)) + F.coalesce(lag2, F.lit(0.0))
+    ) / n
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            # day_value is already exact at 2 dp (decimal-summed);
+            # mavg rounds via the portable floor form — engine round()
+            # builtins disagree on binary .5 ties (see portable.round6)
+            "day_value",
+            round6(mavg).alias("mavg3"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type — the
+    PIVOT relational operator, with the value list DECLARED
+    (EVENT_TYPES) so Spark skips the values-discovery job a bare
+    ``pivot(col)`` would run over the whole fact table. The plan is a
+    single hash aggregation keyed by day with one conditional count
+    per declared type (partial map-side like any agg); absent
+    combinations surface as typed 0, not NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(t, F.lit(0)).alias(t) for t in EVENT_TYPES],
+    ).orderBy("day")
+
+
 def with_batch_counter(df: DataFrame, name: str = "engine_metrics") -> DataFrame:
     """A14 streaming twin of the reference's micro-batch accumulator
     (EventCount.scala:55, the "number of completed RDDs" counter):
@@ -365,6 +441,34 @@ ORACLE_SQL["heavy_users_topk"] = f"""
     ) WHERE rank <= {HEAVY_K} ORDER BY event_type, rank
 """
 
+ORACLE_SQL["value_moving_avg"] = f"""
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day,
+               sum(value::DECIMAL(18,2))::DECIMAL(18,2)::DOUBLE AS day_value
+        FROM events GROUP BY event_type, ts::DATE
+    ),
+    lagged AS (
+        SELECT event_type, day, day_value,
+               coalesce(lag(day_value, 1) OVER w, 0.0) AS l1,
+               coalesce(lag(day_value, 2) OVER w, 0.0) AS l2,
+               least(row_number() OVER w, {MAVG_WINDOW}) AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, day_value,
+           {round6_sql("(day_value + l1 + l2) / n")} AS mavg3
+    FROM lagged ORDER BY event_type, day
+"""
+
+ORACLE_SQL["events_pivot"] = (
+    "SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY ts::DATE ORDER BY day"
+)
+
 QUERIES = {
     "event_count_hourly": event_count_hourly,
     "region_event_count": region_event_count,
@@ -372,4 +476,6 @@ QUERIES = {
     "events_json_stats": events_json_stats,
     "user_reach_approx": user_reach_approx,
     "heavy_users_topk": heavy_users_topk,
+    "value_moving_avg": value_moving_avg,
+    "events_pivot": events_pivot,
 }
