@@ -324,22 +324,29 @@ def value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event counts pivoted to one column per event type — the
-    PIVOT relational operator, with the value list DECLARED
-    (EVENT_TYPES) so Spark skips the values-discovery job a bare
-    ``pivot(col)`` would run over the whole fact table. The plan is a
-    single hash aggregation keyed by day with one conditional count
-    per declared type (partial map-side like any agg); absent
-    combinations surface as typed 0, not NULL."""
+    PIVOT relational operator with the value list DECLARED
+    (EVENT_TYPES), expressed as conditional aggregation: one
+    count-when per declared type inside a SINGLE groupBy(day).
+
+    Two reasons over ``df.pivot()``: a bare ``pivot(col)`` runs a
+    values-DISCOVERY job over the whole fact table before planning,
+    and even the declared-list pivot plans as TWO aggregation phases
+    ((day, type) counts → pivotfirst per day — two exchanges). The
+    conditional form is the plan PIVOT should make: one partial+final
+    hash aggregation around one exchange, state = days × declared
+    types, absent combinations a typed 0 (count of no rows), never
+    NULL. Plan-pinned to exactly two HashAggregates and no Expand."""
     ev = load_table(spark, sf_dir, "events")
-    piv = (
+    return (
         ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(t)
+                for t in EVENT_TYPES
+            ]
+        )
+        .orderBy("day")
     )
-    return piv.select(
-        "day",
-        *[F.coalesce(t, F.lit(0)).alias(t) for t in EVENT_TYPES],
-    ).orderBy("day")
 
 
 def with_batch_counter(df: DataFrame, name: str = "engine_metrics") -> DataFrame:

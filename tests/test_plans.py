@@ -210,3 +210,50 @@ def test_q4_bucketed_join_is_colocated(spark, sf_dir):
     assert "SortMergeJoin" in p
     assert "hashpartitioning(l_orderkey" not in p
     assert "hashpartitioning(o_orderkey" not in p
+
+
+def test_bm25_and_hybrid_rank_windows_are_bounded(spark, sf_dir):
+    """Every retrieval ranker must plan its top-k as
+    TakeOrderedAndProject with the rank window sitting above it (rank
+    over ≤ pool rows, never the full scored set) — the tfidf shape,
+    inherited by BM25 and both fusion sides of hybrid."""
+    from hadoop_and_spark_spark.operators import index as IX
+
+    for fn in (IX.bm25_retrieval, IX.hybrid_retrieval):
+        p = plan(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in p, fn.__name__
+        lines = [l for l in p.splitlines() if l.strip()]
+        seen = 0
+        for i, line in enumerate(lines):
+            if "Window (" in line:
+                seen += 1
+                assert (
+                    "TakeOrderedAndProject" in lines[i + 1]
+                    or "Sort (" in lines[i + 1]  # rank over already-limited rows
+                ), (fn.__name__, lines[i : i + 2])
+        assert seen >= 1, fn.__name__
+
+
+def test_heavy_users_every_window_is_partitioned(spark, sf_dir):
+    """The hierarchical top-k must never plan an unpartitioned window:
+    both rank stages declare partition keys (the final stage ranks the
+    tiny salted-survivor set, still partitioned by event_type)."""
+    from hadoop_and_spark_spark.streaming.windows import heavy_users_topk
+
+    p = plan(heavy_users_topk(spark, sf_dir), "simple")
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\]", p):
+        assert m.group("part").strip(), p
+    assert "row_number" in p
+
+
+def test_events_pivot_single_pass_no_expand_discovery(spark, sf_dir):
+    """The declared-list pivot must be ONE aggregation pass over the
+    scan (partial+final HashAggregate) with no distinct-values
+    discovery join/aggregate and no Expand."""
+    from hadoop_and_spark_spark.streaming.windows import events_pivot
+
+    p = plan(events_pivot(spark, sf_dir), "simple")
+    assert p.count("HashAggregate") == 2  # partial + final only
+    assert "Expand" not in p
