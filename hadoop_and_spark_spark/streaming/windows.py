@@ -25,6 +25,13 @@ Scale notes: tumbling-window groupBy is a single shuffle keyed
 windows, so unbounded streams run in bounded memory. Late data is
 handled by `withWatermark` (absent in the reference — its manual
 clock made lateness impossible).
+
+The module also carries the events-table analytics beyond the
+reference surface: JSON props stats, the HLL reach sketch (X25),
+hierarchical per-group top-k (X31), the trailing moving average
+(X36), and the declared-list pivot (X37) — each sharing the same
+fact-table scan discipline (pre-aggregate before any window, declare
+category domains, sketch where exact state is unbounded).
 """
 
 from __future__ import annotations
