@@ -1086,6 +1086,75 @@ ORACLE_SQL["dedup_clusters"] = f"""
     FROM comp ORDER BY doc_id
 """
 
+DECON_EVAL_DOCS = 10  # eval set = the DECON_EVAL_DOCS lowest doc ids
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing
+    at least one token SHINGLE_N-gram with the evaluation set — the
+    test-set-overlap scrub an LLM data pipeline runs so training data
+    can't leak benchmark answers.
+
+    The eval set here is the DECON_EVAL_DOCS lowest doc ids (a FIXED
+    size at any corpus scale, the N_QUERIES move); production swaps in
+    the real benchmark suite and the industry-standard 13-gram — the
+    synthetic word-salad corpus needs the trigram to exercise
+    non-trivial overlap. Plan: both sides reuse the dedup shingle
+    projection; the eval side distincts to a small frame and
+    BROADCASTS into a semi-join against the exploded corpus shingles
+    (per-doc-distinct already), then one count per doc — corpus text
+    never shuffles, and the only exchange is the (doc_id, hits)
+    aggregation. At 100 TB the shingle strings become the int64
+    hashes of the Arrow kernel (dedup_ngram_jaccard's trick) so the
+    broadcast is 8 bytes per eval n-gram."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+    eval_sh = (
+        sh.where(F.col("doc_id") < DECON_EVAL_DOCS).select("sh").distinct()
+    )
+    hits = (
+        sh.where(F.col("doc_id") >= DECON_EVAL_DOCS)
+        .join(F.broadcast(eval_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.where(F.col("doc_id") >= DECON_EVAL_DOCS)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL["decontaminate"] = (
+    _SH_CTE
+    + f"""
+    , ev AS (
+        SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < {DECON_EVAL_DOCS}
+    ),
+    corpus AS (
+        SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= {DECON_EVAL_DOCS}
+    ),
+    hits AS (
+        SELECT doc_id, count(*) AS n_hits
+        FROM corpus WHERE g IN (SELECT g FROM ev)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id >= {DECON_EVAL_DOCS}
+    ORDER BY d.doc_id
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1094,4 +1163,5 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_strict": dedup_embedding_strict,
     "dedup_clusters": dedup_clusters,
+    "decontaminate": decontaminate,
 }

@@ -268,3 +268,30 @@ def test_strict_banding_prunes_uncapped(spark):
     )
     all_pairs = n * (n - 1) // 2
     assert cand / all_pairs < 0.03, (cand, all_pairs)
+
+
+def test_decontaminate_planted_overlap(spark, tmp_path):
+    """A doc quoting an eval-set trigram must flag; a doc of tokens
+    disjoint from the eval set must not."""
+    from hadoop_and_spark_spark.operators.dedup import (
+        DECON_EVAL_DOCS,
+        decontaminate,
+    )
+
+    eval_docs = [
+        (i, f"secret benchmark answer number{i} alpha beta", "en", "u", 40)
+        for i in range(DECON_EVAL_DOCS)
+    ]
+    corpus = [
+        (100, "leaked copy of the secret benchmark answer here", "en", "u", 48),
+        (101, "completely unrelated tokens xyzzy plugh quux", "en", "u", 44),
+    ]
+    spark.createDataFrame(
+        eval_docs + corpus,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.doc_id: r for r in decontaminate(spark, str(tmp_path)).collect()}
+    assert got[100].contaminated and got[100].n_hits >= 1
+    assert not got[101].contaminated and got[101].n_hits == 0
