@@ -236,3 +236,30 @@ def test_merge_upsert_tie_prefers_update(spark, tmp_path):
     merge_upsert(spark, base_path, updates, key="k", version_col="ver", out_path=out)
     got = [(r.k, r.v, r.ver) for r in spark.read.parquet(out).collect()]
     assert got == [(1, "new", 5)]
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    from hadoop_and_spark_spark.catalog import load_table
+    from hadoop_and_spark_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(tuple(r) for r in back.collect())
+    b = sorted(tuple(r) for r in docs.collect())
+    assert a == b
+
+
+def test_jsonl_corrupt_line_fails_loudly(spark, tmp_path):
+    import pytest
+
+    from hadoop_and_spark_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.json").write_text('{"a": 1}\nnot json at all\n{"a": 3}\n')
+    df = read_jsonl(spark, str(p), "a long")
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        df.collect()
