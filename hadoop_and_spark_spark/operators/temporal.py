@@ -312,8 +312,59 @@ ORACLE_SQL["range_join_counts"] = f"""
     ORDER BY purchase_id
 """
 
+PAIR_GAP_US = 6 * 3600 * 1_000_000  # same 6h bound as SESSION_GAP
+
+
+def next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event → next event) training pairs per user — the dataset
+    construction step for next-action / sequence models: each event
+    pairs with the SAME user's next event when the gap is within the
+    session bound (PAIR_GAP_US ≡ the 6 h sessionization gap, so pairs
+    never cross a session boundary).
+
+    One lead() window partitioned by user_id ordered by (ts,
+    event_id) — ties are broken by the unique event id so the pairing
+    is deterministic on both engines. Single shuffle on user_id;
+    window state is one carried row per user (the as-of discipline).
+    Events with no successor in bound simply emit no pair (training
+    sets want only positive transitions)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _us("ts").alias("t_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.lead(_us("ts")).over(w) - _us("ts")).alias("gap_us"),
+    )
+    return (
+        paired.where(
+            F.col("next_type").isNotNull() & (F.col("gap_us") <= PAIR_GAP_US)
+        )
+        .select("event_id", "user_id", "event_type", "next_type", "gap_us")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_SQL["next_event_pairs"] = f"""
+    WITH paired AS (
+        SELECT event_id, user_id, event_type,
+               lead(event_type) OVER w AS next_type,
+               lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, event_type, next_type, gap_us
+    FROM paired
+    WHERE next_type IS NOT NULL AND gap_us <= {PAIR_GAP_US}
+    ORDER BY event_id
+"""
+
+
 QUERIES = {
     "asof_attribution": asof_attribution,
     "user_sessions": user_sessions,
     "range_join_counts": range_join_counts,
+    "next_event_pairs": next_event_pairs,
 }

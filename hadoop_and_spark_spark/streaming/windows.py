@@ -356,6 +356,36 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSEUDO_SALT = "u#2026"  # deployment-secret in production; pinned for tests
+
+
+def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization — the privacy pass for QUASI-identifiers that
+    must stay joinable: replace user_id with a salted SHA-256 so
+    per-user structure (sessions, reach, attribution) survives while
+    the raw id never leaves the cluster. The complement of pii_scrub
+    (which REDACTS direct identifiers out of free text).
+
+    Pure codegen projection, no shuffle; both engines emit identical
+    lowercase-hex sha256 over the identical salted string, so the
+    mapping is cross-engine stable — re-keying is reproducible across
+    backfills (the property that makes pseudonyms joinable across
+    pipeline runs)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.sha2(
+                F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string")),
+                256,
+            ).alias("user_hash"),
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
 def with_batch_counter(df: DataFrame, name: str = "engine_metrics") -> DataFrame:
     """A14 streaming twin of the reference's micro-batch accumulator
     (EventCount.scala:55, the "number of completed RDDs" counter):
@@ -483,6 +513,13 @@ ORACLE_SQL["events_pivot"] = (
     + " FROM events GROUP BY ts::DATE ORDER BY day"
 )
 
+ORACLE_SQL["pseudonymize_events"] = f"""
+    SELECT event_id,
+           sha256('{PSEUDO_SALT}' || user_id::VARCHAR) AS user_hash,
+           event_type, value
+    FROM events ORDER BY event_id
+"""
+
 QUERIES = {
     "event_count_hourly": event_count_hourly,
     "region_event_count": region_event_count,
@@ -492,4 +529,5 @@ QUERIES = {
     "heavy_users_topk": heavy_users_topk,
     "value_moving_avg": value_moving_avg,
     "events_pivot": events_pivot,
+    "pseudonymize_events": pseudonymize_events,
 }

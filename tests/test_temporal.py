@@ -185,3 +185,50 @@ def test_asof_plan_single_shuffle_no_join(spark, sf_dir):
     # range sort; the pre-window click dedupe shares the user hash
     n_exchange = p.count("Exchange")
     assert n_exchange <= 3, p
+
+
+def test_next_event_pairs_toy_transitions(spark, tmp_path):
+    from datetime import datetime
+
+    from hadoop_and_spark_spark.operators.temporal import next_event_pairs
+
+    def ts(h, m=0):
+        return datetime(2021, 1, 1, h, m)
+
+    rows = [
+        # user 1: a->b within bound, b->(c after 7h: pair dropped)
+        (1, ts(0), 1, "a", 0.0, "{}"),
+        (2, ts(1), 1, "b", 0.0, "{}"),
+        (3, ts(8, 30), 1, "c", 0.0, "{}"),
+        # user 2: simultaneous events tie-break by event_id
+        (10, ts(2), 2, "x", 0.0, "{}"),
+        (11, ts(2), 2, "y", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_id: (r.event_type, r.next_type, r.gap_us)
+        for r in next_event_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: ("a", "b", 3600 * 1_000_000),
+        10: ("x", "y", 0),
+    }
+
+
+def test_pseudonymize_stable_and_injective(spark, sf_dir):
+    from hadoop_and_spark_spark.catalog import load_table
+    from hadoop_and_spark_spark.streaming.windows import pseudonymize_events
+
+    out = pseudonymize_events(spark, sf_dir)
+    assert "user_id" not in out.columns  # the raw id never leaves
+    import pyspark.sql.functions as F
+
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    n_hashes = out.select("user_hash").distinct().count()
+    assert n_hashes == n_users  # injective re-keying: joins survive
