@@ -325,6 +325,96 @@ _INST_CTE = f"""
     feats AS (SELECT docid, label, unnest(features) AS f FROM inst)
 """
 
+# Decision thresholds in INTEGER score space (s, where score = s/500):
+# comparing integers sidesteps any float-threshold edge disagreement.
+PR_THRESHOLDS = (-250, -100, 0, 100, 250)
+
+
+def spam_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at fixed decision thresholds — the
+    operating-point sweep that turns a scored classifier into a
+    deployable one (the reference grades only the threshold-free
+    1-ROCA%; a real pipeline must pick a threshold).
+
+    ONE aggregation pass computes TP/FP per threshold as conditional
+    sums over the integer scores (the profile_documents shape), then
+    a 1-row stack unpivot emits one row per threshold — the sweep
+    never rescans or reshuffles the scored set, and adding thresholds
+    adds agg expressions, not passes. Thresholds compare in integer
+    score space so both engines cut identically; ratios round via the
+    portable floor form."""
+    from ..functions.portable import round6
+
+    inst = spam_instances(spark, sf_dir)
+    feats = inst.select("docid", "label", F.explode("features").alias("f"))
+    scored = feats.groupBy("docid", "label").agg(
+        F.sum(_int_weight(F.col("f"), ENSEMBLE_MULTS[0])).alias("s")
+    )
+    is_spam = F.col("label") == "spam"
+    aggs = [F.sum(is_spam.cast("long")).alias("n_spam")]
+    for i, t in enumerate(PR_THRESHOLDS):
+        hit = F.col("s") > t
+        aggs += [
+            F.sum((hit & is_spam).cast("long")).alias(f"tp_{i}"),
+            F.sum((hit & ~is_spam).cast("long")).alias(f"fp_{i}"),
+        ]
+    one = scored.agg(*aggs)
+    stack_args = ", ".join(
+        f"cast({t / 500.0!r} as double), tp_{i}, fp_{i}"
+        for i, t in enumerate(PR_THRESHOLDS)
+    )
+    rows = one.select(
+        "n_spam",
+        F.expr(
+            f"stack({len(PR_THRESHOLDS)}, {stack_args}) AS (threshold, tp, fp)"
+        ),
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        round6(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")),
+    ).otherwise(0.0)
+    recall = round6(F.col("tp").cast("double") / F.col("n_spam").cast("double"))
+    return rows.select(
+        "threshold",
+        "tp",
+        "fp",
+        precision.alias("precision"),
+        recall.alias("recall"),
+    ).orderBy("threshold")
+
+
+def _spam_pr_sql() -> str:
+    from ..functions.portable import round6_sql
+
+    m = ["sum(CASE WHEN label = 'spam' THEN 1 ELSE 0 END)::BIGINT AS n_spam"]
+    for i, t in enumerate(PR_THRESHOLDS):
+        m += [
+            f"sum(CASE WHEN s > {t} AND label = 'spam' THEN 1 ELSE 0 END)::BIGINT AS tp_{i}",
+            f"sum(CASE WHEN s > {t} AND label = 'ham' THEN 1 ELSE 0 END)::BIGINT AS fp_{i}",
+        ]
+    selects = " UNION ALL ".join(
+        f"SELECT {t / 500.0!r}::DOUBLE AS threshold, tp_{i} AS tp, fp_{i} AS fp, "
+        f"CASE WHEN tp_{i} + fp_{i} > 0 THEN "
+        + round6_sql(f"tp_{i}::DOUBLE / (tp_{i} + fp_{i})::DOUBLE")
+        + " ELSE 0.0 END AS precision, "
+        + round6_sql(f"tp_{i}::DOUBLE / n_spam::DOUBLE")
+        + " AS recall FROM m"
+        for i, t in enumerate(PR_THRESHOLDS)
+    )
+    return (
+        _INST_CTE
+        + f"""
+        , scored AS (
+            SELECT docid, label,
+                   sum((f * {ENSEMBLE_MULTS[0]}) % 1001 - 500) AS s
+            FROM feats GROUP BY docid, label
+        ),
+        m AS (SELECT {', '.join(m)} FROM scored)
+        {selects} ORDER BY threshold
+    """
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "spam_score": _INST_CTE
     + f"""
@@ -402,4 +492,7 @@ QUERIES = {
     "spam_train": spam_train_query,
     "spam_eval": spam_eval,
     "spam_eval_trained": spam_eval_trained,
+    "spam_pr_curve": spam_pr_curve,
 }
+
+ORACLE_SQL["spam_pr_curve"] = _spam_pr_sql()

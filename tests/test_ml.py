@@ -152,3 +152,29 @@ def test_ensemble_sharded_models(spark, sf_dir):
         ((F.col("score0") + F.col("score1") + F.col("score2")) / 3).alias("score"),
     )
     assert auc(combined.collect()) > 0.8
+
+
+def test_pr_curve_monotone_and_consistent(spark, sf_dir):
+    """Raising the threshold can only shrink TP and FP (monotone
+    sweep), and every (tp, fp) must agree with a direct recount from
+    the scored frame."""
+    from hadoop_and_spark_spark.operators.ml import (
+        PR_THRESHOLDS,
+        spam_pr_curve,
+        spam_score,
+    )
+
+    rows = sorted(
+        spam_pr_curve(spark, sf_dir).collect(), key=lambda r: r.threshold
+    )
+    tps = [r.tp for r in rows]
+    fps = [r.fp for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    assert fps == sorted(fps, reverse=True)
+
+    scored = spam_score(spark, sf_dir).collect()
+    for r, t in zip(rows, PR_THRESHOLDS):
+        want_tp = sum(
+            1 for s in scored if s.score > t / 500.0 and s.label == "spam"
+        )
+        assert r.tp == want_tp, (r.threshold, r.tp, want_tp)
