@@ -28,9 +28,9 @@ from hadoop_and_spark_spark.session import get_spark
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_DIR = "/tmp/sfprobe10x"
 REPLICAS = 10
-PROBE_GEN = 2  # bump when the replica-generation recipe changes
-# The probe dir materializes ONLY documents.parquet and
-# events.parquet, so every entry here must read just those tables.
+PROBE_GEN = 3  # bump when the replica-generation recipe changes
+# The probe dir materializes ONLY documents.parquet, events.parquet,
+# and embeddings.parquet, so every entry here must read just those.
 # documents grow as near-dup replica families (dedup realism); events
 # grow by replicating users (user_id offset per replica) so per-user
 # stream structure — sessions, as-of, range windows — is preserved
@@ -96,6 +96,24 @@ def build_probe_corpus(spark) -> None:
         ev_reps = part if ev_reps is None else ev_reps.unionByName(part)
     ev_reps.write.mode("overwrite").parquet(
         os.path.join(PROBE_DIR, "events.parquet")
+    )
+
+    # embeddings: replicate with offset vec_ids, vectors UNCHANGED —
+    # grows the searched corpus 10x for the retrieval family
+    # (knn/hybrid probe the fixed query set against more vectors).
+    # NOT for the embedding-dedup probes: identical replicas are
+    # exact dups and would saturate any near-dup threshold.
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    emb_reps = None
+    for r in range(REPLICAS):
+        part = emb.select(
+            (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        ).select(*emb.columns)
+        emb_reps = part if emb_reps is None else emb_reps.unionByName(part)
+    emb_reps.write.mode("overwrite").parquet(
+        os.path.join(PROBE_DIR, "embeddings.parquet")
     )
     with open(marker_path, "w") as fh:
         fh.write(marker)
