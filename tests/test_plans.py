@@ -257,3 +257,14 @@ def test_events_pivot_single_pass_no_expand_discovery(spark, sf_dir):
     p = plan(events_pivot(spark, sf_dir), "simple")
     assert p.count("HashAggregate") == 2  # partial + final only
     assert "Expand" not in p
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must reach the corpus side as a broadcast
+    semi-join — the corpus text never shuffles for the overlap check,
+    and the only exchange is the (doc, hits) aggregation."""
+    from hadoop_and_spark_spark.operators.dedup import decontaminate
+
+    p = plan(decontaminate(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
