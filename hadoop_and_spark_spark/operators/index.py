@@ -177,9 +177,21 @@ def boolean_retrieval_persisted(
     min/max stats prune everything but the one bucket's matching
     chunk — the DataFrame-native analogue of the reference's
     partitioned MapFile seek. Results must be identical to
-    boolean_retrieval (same oracle)."""
+    boolean_retrieval (same oracle).
+
+    Build-once: the index is built only when the corpus-keyed marker
+    is missing/stale (maintenance.build_once) — the reference's own
+    split (BuildInvertedIndexCompressed runs once, every
+    BooleanRetrievalCompressed invocation seeks), so repeat queries
+    measure the SEEK path, and a corpus refresh still rebuilds."""
+    from ..sources.maintenance import build_once, source_marker
+
     out = index_path(sf_dir)
-    write_index(spark, sf_dir, out)
+    build_once(
+        out,
+        source_marker(sf_dir, "documents", "idx_v1"),
+        lambda: write_index(spark, sf_dir, out),
+    )
     idx = spark.read.parquet(out)
     postings = idx.select(
         "term", F.explode("postings").alias("p")

@@ -242,9 +242,20 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cids (at 10⁹ vectors: NPROBE·|queries| directory reads, not
     a corpus scan). Results must be identical to knn_ivf (same
     oracle); parquet round-trips doubles exactly, so cosines are
-    bit-identical."""
+    bit-identical.
+
+    Build-once: the inverted file is rebuilt only when the
+    embeddings-keyed marker is missing/stale (maintenance.build_once)
+    — ANN serving builds the index once and every query seeks, so
+    repeat invocations measure the probe path."""
+    from ..sources.maintenance import build_once, source_marker
+
     out = ivf_index_path(sf_dir)
-    write_ivf_index(spark, sf_dir, out)
+    build_once(
+        out,
+        source_marker(sf_dir, "embeddings", "ivf_v1"),
+        lambda: write_ivf_index(spark, sf_dir, out),
+    )
     # Explicit schema: an EMPTY corpus writes a partition-less dir
     # that cannot schema-infer, and it also pins the partition-column
     # type (directory keys would otherwise infer per-run).

@@ -23,6 +23,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def source_marker(sf_dir: str, table: str, version: str) -> str:
+    """Cache key for a derived artifact (persisted index, inverted
+    file) of one source table: absolute path + mtime + size + artifact
+    format version. Any source refresh or format bump changes the key,
+    so stale artifacts can never serve reads silently (the
+    tools/scaling_probe.py marker pattern)."""
+    p = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    st = os.stat(p)
+    return f"{p}|{st.st_mtime_ns}|{st.st_size}|{version}"
+
+
+def build_once(out_path: str, marker: str, build) -> bool:
+    """Idempotent derived-artifact builder — the "index built once,
+    queries seek" deployment contract of the persisted-index family.
+
+    Runs ``build()`` only when ``out_path`` lacks a ``_BUILD_MARKER``
+    matching ``marker``; the marker is written AFTER a successful
+    build (an overwrite-mode build clears the directory first, so a
+    crashed build leaves no marker and the next call rebuilds).
+    Returns True when a build ran."""
+    mp = os.path.join(out_path, "_BUILD_MARKER")
+    try:
+        with open(mp) as fh:
+            if fh.read() == marker:
+                return False
+    except OSError:
+        pass
+    build()
+    with open(mp, "w") as fh:
+        fh.write(marker)
+    return True
+
+
 def parquet_data_size(path: str) -> int:
     """Total bytes of parquet data files under ``path``."""
     total = 0

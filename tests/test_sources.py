@@ -263,3 +263,54 @@ def test_jsonl_corrupt_line_fails_loudly(spark, tmp_path):
     df = read_jsonl(spark, str(p), "a long")
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         df.collect()
+
+
+def test_build_once_skips_until_marker_stale(spark, sf_dir, tmp_path):
+    """build_once runs the builder exactly once per marker value:
+    a second call with the same marker is a no-op (the persisted-index
+    seek path never pays a rebuild), a changed marker (source refresh
+    or format bump) rebuilds, and a marker-less directory — e.g. a
+    build that crashed before finishing — rebuilds."""
+    from hadoop_and_spark_spark.sources.maintenance import build_once
+
+    out = str(tmp_path / "artifact")
+    calls = []
+
+    def build():
+        os.makedirs(out, exist_ok=True)
+        calls.append(1)
+
+    assert build_once(out, "v1", build) is True
+    assert build_once(out, "v1", build) is False
+    assert len(calls) == 1
+    assert build_once(out, "v2", build) is True  # stale marker
+    os.remove(os.path.join(out, "_BUILD_MARKER"))
+    assert build_once(out, "v2", build) is True  # crashed build
+    assert len(calls) == 3
+
+
+def test_persisted_queries_reuse_fresh_index(spark, sf_dir):
+    """The two storage-backed queries must NOT rewrite their on-disk
+    artifact on repeat invocation: the parquet files' mtimes are
+    unchanged across a second run (the 'index built once, queries
+    seek' contract both docstrings claim)."""
+    from hadoop_and_spark_spark.operators import index, similarity
+
+    def mtimes(path):
+        return {
+            os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+        }
+
+    index.boolean_retrieval_persisted(spark, sf_dir).collect()
+    similarity.knn_ivf_persisted(spark, sf_dir).collect()
+    before = mtimes(index.index_path(sf_dir)), mtimes(
+        similarity.ivf_index_path(sf_dir)
+    )
+    index.boolean_retrieval_persisted(spark, sf_dir).collect()
+    similarity.knn_ivf_persisted(spark, sf_dir).collect()
+    after = mtimes(index.index_path(sf_dir)), mtimes(
+        similarity.ivf_index_path(sf_dir)
+    )
+    assert before == after and all(before)
