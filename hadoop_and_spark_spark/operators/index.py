@@ -83,15 +83,64 @@ def write_index(spark: SparkSession, sf_dir: str, out_path: str, buckets: int = 
     """Persist the typed index partitioned like the reference's
     4-reducer MapFile split (hash(term) → part), postings as
     ARRAY<STRUCT<doc_id, tf>> so Parquet's delta/RLE encodings play
-    the role of the VInt gap coding."""
-    postings = term_doc_tf(spark, sf_dir)
+    the role of the VInt gap coding.
+
+    Layout (three tables under ``out_path``):
+    - ``postings/`` — term → (df, docno-sorted postings), the MapFile.
+    - ``doclen/``   — doc_id → token count: the length-normalization
+      metadata BM25 needs, written NEXT TO the postings at index time
+      so scoring never re-tokenizes the corpus (dl is one more column
+      the index build already computes in its tokenize pass).
+    - ``stats/``    — one row (n_docs, total_tokens) as EXACT ints, so
+      every reader derives the same avgdl from the same two integers
+      (no FP-summation-order drift across engines or partitionings).
+    """
+    import os
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    postings = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
     idx = postings.groupBy("term").agg(
         F.count("*").alias("df"),
         F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("postings"),
     )
     idx.repartition(buckets, "term").sortWithinPartitions("term").write.mode(
         "overwrite"
-    ).parquet(out_path)
+    ).parquet(os.path.join(out_path, "postings"))
+    doclen = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    doclen.write.mode("overwrite").parquet(os.path.join(out_path, "doclen"))
+    doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    ).write.mode("overwrite").parquet(os.path.join(out_path, "stats"))
+
+
+IDX_VERSION = "idx_v2"  # bump on any change to the on-disk index layout
+
+
+def open_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, doclen, stats) frames of the corpus's persisted
+    index, building it first if missing/stale (maintenance.build_once
+    keyed on the documents table — the "index built once, queries
+    seek" contract)."""
+    import os
+
+    from ..sources.maintenance import build_once, source_marker
+
+    out = index_path(sf_dir)
+    build_once(
+        out,
+        source_marker(sf_dir, "documents", IDX_VERSION),
+        lambda: write_index(spark, sf_dir, out),
+    )
+    return (
+        spark.read.parquet(os.path.join(out, "postings")),
+        spark.read.parquet(os.path.join(out, "doclen")),
+        spark.read.parquet(os.path.join(out, "stats")),
+    )
 
 
 def _doc_set(postings: DataFrame, term: str) -> DataFrame:
@@ -180,19 +229,11 @@ def boolean_retrieval_persisted(
     boolean_retrieval (same oracle).
 
     Build-once: the index is built only when the corpus-keyed marker
-    is missing/stale (maintenance.build_once) — the reference's own
-    split (BuildInvertedIndexCompressed runs once, every
-    BooleanRetrievalCompressed invocation seeks), so repeat queries
-    measure the SEEK path, and a corpus refresh still rebuilds."""
-    from ..sources.maintenance import build_once, source_marker
-
-    out = index_path(sf_dir)
-    build_once(
-        out,
-        source_marker(sf_dir, "documents", "idx_v1"),
-        lambda: write_index(spark, sf_dir, out),
-    )
-    idx = spark.read.parquet(out)
+    is missing/stale (maintenance.build_once, via open_index) — the
+    reference's own split (BuildInvertedIndexCompressed runs once,
+    every BooleanRetrievalCompressed invocation seeks), so repeat
+    queries measure the SEEK path, and a corpus refresh rebuilds."""
+    idx, _doclen, _stats = open_index(spark, sf_dir)
     postings = idx.select(
         "term", F.explode("postings").alias("p")
     ).select("term", F.col("p.doc_id").alias("doc_id"))
@@ -277,15 +318,17 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N − df + ½)/(df + ½)).
 
     Plan shape mirrors tfidf_retrieval with one addition, the document
-    length norm: dl comes from a semi-join-pruned second pass over
-    documents (only CANDIDATE docs — those containing a query term —
-    are length-counted; at scale dl is index metadata written next to
-    the postings, so the second scan disappears). N and avgdl ride the
-    same footer-count/broadcast-cross-join pattern; avgdl is computed
-    as exact-int token-count sum / count so both engines divide the
-    same two integers (no FP-summation-order drift). Scores round to
-    6 dp before the orderBy+limit top-k (TakeOrderedAndProject), rank
-    attaches after the limit.
+    length norm — and the whole query runs off the PERSISTED index
+    (open_index): postings seek by pushed term predicate, df straight
+    from the index's df column, dl from the ``doclen`` metadata table
+    written next to the postings at index time, N/avgdl from the
+    1-row exact-int ``stats`` table (both engines divide the same two
+    integers — no FP-summation-order drift). The corpus text is never
+    re-tokenized at query time; at 10⁹ docs a BM25 query touches
+    NPROBE-like O(df(query terms)) index rows plus a doclen
+    equi-join on the candidate set. Scores round to 6 dp before the
+    orderBy+limit top-k (TakeOrderedAndProject), rank attaches after
+    the limit.
     """
     return (
         _ranked(_bm25_scored(spark, sf_dir), TFIDF_K)
@@ -296,23 +339,28 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score) BM25 scores for TFIDF_TERMS — the shared core
-    of bm25_retrieval and hybrid_retrieval's text side."""
+    of bm25_retrieval and hybrid_retrieval's text side, reading the
+    persisted index (postings + doclen + stats metadata), never the
+    corpus text."""
     from ..functions.portable import round6
 
-    postings = term_doc_tf(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    stats = docs.select(F.size(tokenize("text")).alias("ntok")).agg(
-        F.count("*").cast("double").alias("n"),
-        (F.sum("ntok").cast("double") / F.count("*").cast("double")).alias(
+    idx, doclen, stats_raw = open_index(spark, sf_dir)
+    q = (
+        idx.where(F.col("term").isin(*TFIDF_TERMS))
+        .select(
+            "term",
+            F.col("df").cast("double").alias("df"),
+            F.explode("postings").alias("p"),
+        )
+        .select("term", "df", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+    )
+    stats = stats_raw.select(
+        F.col("n_docs").cast("double").alias("n"),
+        (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
             "avgdl"
         ),
     )
-    q = postings.where(F.col("term").isin(*TFIDF_TERMS))
-    df_tbl = q.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    dl_tbl = (
-        docs.join(q.select("doc_id").distinct(), "doc_id", "left_semi")
-        .select("doc_id", F.size(tokenize("text")).cast("double").alias("dl"))
-    )
+    dl_tbl = doclen.select("doc_id", F.col("dl").cast("double").alias("dl"))
     idf = F.log10(
         1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -321,8 +369,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
     return (
-        q.join(F.broadcast(df_tbl), "term")
-        .join(dl_tbl, "doc_id")
+        q.join(dl_tbl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", (idf * norm).alias("w"))
         .groupBy("doc_id")

@@ -17,15 +17,25 @@ def test_index_vs_oracle(spark, sf_dir, name):
 
 def test_written_index_roundtrip(spark, sf_dir, tmp_path):
     """Persisted index: typed postings survive the parquet round-trip
-    docno-sorted, partitioned into the reference's 4-way split."""
+    docno-sorted, partitioned into the reference's 4-way split; the
+    doclen/stats metadata tables written next to the postings agree
+    with each other and with the corpus."""
     out = str(tmp_path / "idx")
     index.write_index(spark, sf_dir, out, buckets=4)
-    idx = spark.read.parquet(out)
+    idx = spark.read.parquet(out + "/postings")
     assert set(idx.columns) == {"term", "df", "postings"}
     row = idx.where(idx.term == "spark").collect()[0]
     docnos = [p.doc_id for p in row.postings]
     assert docnos == sorted(docnos)
     assert row.df == len(docnos)
+
+    doclen = spark.read.parquet(out + "/doclen")
+    stats = spark.read.parquet(out + "/stats").collect()[0]
+    agg = doclen.agg(F.count("*"), F.sum("dl")).collect()[0]
+    assert (stats.n_docs, stats.total_tokens) == (agg[0], agg[1])
+    from hadoop_and_spark_spark.catalog import load_table
+
+    assert stats.n_docs == load_table(spark, sf_dir, "documents").count()
 
 
 def test_rpn_and_or_semantics(spark, sf_dir):
@@ -66,7 +76,7 @@ def test_persisted_retrieval_matches_in_session(spark, sf_dir):
 
     out = index.index_path(sf_dir)
     plan = (
-        spark.read.parquet(out)
+        spark.read.parquet(out + "/postings")
         .where("term = 'spark'")
         ._jdf.queryExecution()
         .executedPlan()
