@@ -323,6 +323,48 @@ def q9b_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile BUCKETING without a global sort: every customer gets a
+    within-segment account-balance quartile (1–4) — the
+    ntile-by-value family done the way it survives 100 TB.
+
+    The naive form, ``ntile(4) OVER (PARTITION BY segment ORDER BY
+    bal)``, funnels each segment's entire population through ONE task
+    (few huge groups — the heavy_users_topk shape, but unsalvageable
+    because ntile needs the full sorted sequence). Here the plan is
+    aggregate-then-broadcast-back: one percentile aggregation computes
+    the three interpolated quartile boundaries per segment (constant
+    state per group at any corpus size once swapped to the q9b
+    sketch), the tiny boundary table broadcasts, and the quartile is a
+    comparison projection — no sort, no corpus-sized window partition,
+    two scans of a columnar-pruned (segment, balance) projection.
+    Assignment semantics are by VALUE (bal ≤ p25 → 1, …): ties land in
+    the lower quartile on both engines, unlike ntile's positional
+    split which balances counts but is order-brittle under ties.
+    Boundaries round to 6 dp before comparison so both engines cut at
+    identical thresholds."""
+    cust = load_table(spark, sf_dir, "customer")
+    pct = lambda p: F.round(  # noqa: E731 — tiny local alias
+        F.percentile("c_acctbal", F.lit(p)), 6
+    )
+    bounds = cust.groupBy("c_mktsegment").agg(
+        pct(0.25).alias("p25"), pct(0.5).alias("p50"), pct(0.75).alias("p75")
+    )
+    quart = (
+        F.when(F.col("c_acctbal") <= F.col("p25"), 1)
+        .when(F.col("c_acctbal") <= F.col("p50"), 2)
+        .when(F.col("c_acctbal") <= F.col("p75"), 3)
+        .otherwise(4)
+    )
+    return (
+        cust.join(F.broadcast(bounds), "c_mktsegment")
+        .select(
+            "c_custkey", "c_mktsegment", "c_acctbal", quart.alias("quartile")
+        )
+        .orderBy("c_custkey")
+    )
+
+
 BUCKETS = 8  # co-location bucket count (cluster: ~2-4× executor count)
 
 
@@ -491,6 +533,23 @@ ORACLE_SQL["q8_pricing_rollup"] = f"""
     ORDER BY gid, l_returnflag, l_linestatus
 """
 
+ORACLE_SQL["balance_quartiles"] = """
+    WITH b AS (
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+               round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+               round(quantile_cont(c_acctbal, 0.75), 6) AS p75
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_custkey, c.c_mktsegment, c_acctbal,
+           CASE WHEN c_acctbal <= p25 THEN 1
+                WHEN c_acctbal <= p50 THEN 2
+                WHEN c_acctbal <= p75 THEN 3
+                ELSE 4 END AS quartile
+    FROM customer c JOIN b USING (c_mktsegment)
+    ORDER BY c_custkey
+"""
+
 ORACLE_SQL["q9_price_percentiles"] = """
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
@@ -511,6 +570,7 @@ QUERIES = {
     "q8_pricing_rollup": q8_pricing_rollup,
     "q9_price_percentiles": q9_price_percentiles,
     "q9b_price_percentiles_approx": q9b_price_percentiles_approx,
+    "balance_quartiles": balance_quartiles,
     "q4_bucketed": q4_orders_by_nation_bucketed,
 }
 

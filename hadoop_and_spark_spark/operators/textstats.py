@@ -34,7 +34,7 @@ Reference parity: tokenizer semantics from bespin Tokenizer
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -635,6 +635,63 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+PACK_BUCKETS = 8  # packing parallelism; sequences never span buckets
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign every document a slot in a fixed
+    SEQ_BUDGET-token training sequence, the step between chunking
+    (doc_chunks) and the tokenizer sink in an LLM data pipeline.
+
+    Semantics: concat-then-split packing. Documents are laid end to
+    end in deterministic (bucket, doc_id) order; a document belongs to
+    the sequence where its FIRST token lands (seq_id =
+    start_offset // SEQ_BUDGET), and the emitted offsets let the
+    downstream slicer cut exact SEQ_BUDGET boundaries (straddling
+    documents split across two sequences) as a pure projection — the
+    GPT-style packing that wastes zero pad tokens, vs. bin-packing
+    whole documents which needs per-bin state.
+
+    Scale shape: packing is a running prefix sum, which is inherently
+    sequential — so the corpus is first split into PACK_BUCKETS
+    deterministic buckets (doc_id mod; sequences never span buckets)
+    and the cumsum window runs PER BUCKET: embarrassingly parallel
+    across buckets, one bounded-sorted partition each. PACK_BUCKETS is
+    the parallelism knob and grows with the cluster (the
+    heavy_users_topk salt argument); seq_ids are globally unique
+    without coordination (bucket ⋅ 10⁹ + local id). All-integer
+    arithmetic — no FP in the contract, so the oracle matches bit-for-
+    bit."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sized = docs.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % PACK_BUCKETS).cast("int").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sized.withColumn(
+            "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "bucket",
+            "doc_id",
+            "n_tokens",
+            "start_off",
+            (
+                F.col("bucket").cast("long") * F.lit(1_000_000_000)
+                + F.floor(F.col("start_off") / SEQ_BUDGET)
+            ).cast("long").alias("seq_id"),
+        )
+        .orderBy("bucket", "doc_id")
+    )
+
+
 _SAMPLE_KEY_SQL = "'samp#' || substr(text, 1, 64) || '#' || length(text)::VARCHAR"
 _RATE_SQL = (
     "CASE "
@@ -648,6 +705,27 @@ _RATE_SQL = (
 ORACLE_SQL: dict[str, str] = {
     "pii_scrub": _pii_sql(),
     "profile_documents": _profile_sql(),
+    # DuckDB widens sum(BIGINT) OVER to HUGEINT/DECIMAL — pin ::BIGINT.
+    "pack_sequences": f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   len({_TOKS_SQL})::BIGINT AS n_tokens,
+                   (doc_id % {PACK_BUCKETS})::INT AS bucket
+            FROM documents
+        ),
+        laid AS (
+            SELECT bucket, doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS start_off
+            FROM sized
+        )
+        SELECT bucket, doc_id, n_tokens, start_off,
+               (bucket::BIGINT * 1000000000
+                + start_off // {SEQ_BUDGET})::BIGINT AS seq_id
+        FROM laid ORDER BY bucket, doc_id
+    """,
     "repetition_filter": f"""
         WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
         feat AS (
@@ -780,6 +858,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "repetition_filter": repetition_filter,
     "doc_chunks": doc_chunks,
+    "pack_sequences": pack_sequences,
     "pii_scrub": pii_scrub,
     "profile_documents": profile_documents,
 }

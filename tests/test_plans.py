@@ -268,3 +268,29 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     p = plan(decontaminate(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "SortMergeJoin" not in p
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """The packing cumsum must run per bucket — a window with a
+    declared partition key, never the single-task unpartitioned
+    running sum over the whole corpus."""
+    from hadoop_and_spark_spark.operators import textstats as TS
+
+    p = plan(TS.pack_sequences(spark, sf_dir))
+    assert "Window (" in p or "Window\n" in p or "Window [" in p
+    assert "PartitionSpec: []" not in p
+    for line in p.splitlines():
+        if "Arguments:" in line and "windowspecdefinition" in line:
+            assert "bucket" in line, line
+
+
+def test_balance_quartiles_has_no_window_no_sort_shuffle(spark, sf_dir):
+    """Quantile bucketing must plan as aggregate + broadcast join
+    back: no window operator at all (the ntile form would need one
+    corpus-sized window partition per segment) and the boundary join
+    is a BroadcastHashJoin."""
+    from hadoop_and_spark_spark.operators import relational as R2
+
+    p = plan(R2.balance_quartiles(spark, sf_dir))
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p

