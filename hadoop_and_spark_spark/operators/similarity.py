@@ -118,11 +118,24 @@ def _assigned_frame(vec: DataFrame, cent: DataFrame) -> DataFrame:
     dies at 10⁹ vectors. Here the corpus never shuffles at all.
     The fold keeps the FIRST strict maximum ⇒ lowest cid on ties,
     identical to the oracle's (c_cos DESC, cid ASC) row_number."""
-    cent_rows = cent.orderBy("cid").collect()
+    cent_rows = [
+        (int(r.cid), list(r.c_emb), float(r.c_nrm))
+        for r in cent.orderBy("cid").collect()
+    ]
+    return _assign_rows(vec, cent_rows)
+
+
+def _assign_rows(
+    vec: DataFrame, cent_rows: list[tuple[int, list[float], float]], with_cos: bool = False
+) -> DataFrame:
+    """The assignment projection against a DRIVER-HELD centroid model
+    [(cid, emb, nrm), ...] — shared by the IVF seed assignment and
+    every Lloyd's iteration of the k-means trainer (the model is the
+    thing that is small; the corpus never moves)."""
     if cent_rows:
-        c_embs = F.lit([list(r.c_emb) for r in cent_rows])
-        c_nrms = F.lit([float(r.c_nrm) for r in cent_rows])
-        c_cids = F.lit([int(r.cid) for r in cent_rows])
+        c_embs = F.lit([emb for _cid, emb, _nrm in cent_rows])
+        c_nrms = F.lit([nrm for _cid, _emb, nrm in cent_rows])
+        c_cids = F.lit([cid for cid, _emb, _nrm in cent_rows])
     else:  # empty corpus: typed placeholder literals (never evaluated)
         c_embs = F.lit([[0.0] * EMB_DIM])
         c_nrms = F.lit([1.0])
@@ -133,15 +146,24 @@ def _assigned_frame(vec: DataFrame, cent: DataFrame) -> DataFrame:
         / (F.element_at(c_nrms, i) * F.col("nrm")),
     )
     # array_position returns the FIRST index holding the max ⇒ lowest
-    # cid on exact ties. let_col binds the cosine array once (HOF
-    # lambdas re-evaluate referenced subexpressions).
-    best_cid = let_col(
+    # POSITION on exact ties (= lowest cid when cent_rows is
+    # cid-sorted, which both callers guarantee). let_col binds the
+    # cosine array once (HOF lambdas re-evaluate referenced
+    # subexpressions).
+    best = let_col(
         cent_cosines,
-        lambda a: F.element_at(
-            c_cids, F.array_position(a, F.array_max(a)).cast("int")
+        lambda a: F.struct(
+            F.element_at(
+                c_cids, F.array_position(a, F.array_max(a)).cast("int")
+            ).alias("cid"),
+            F.array_max(a).alias("cos"),
         ),
     )
-    return vec.select("vec_id", "emb", "nrm", best_cid.alias("cid"))
+    cols = ["vec_id", "emb", "nrm"]
+    out = vec.select(*cols, best.alias("b"))
+    if with_cos:
+        return out.select(*cols, F.col("b.cid").alias("cid"), F.col("b.cos").alias("best_cos"))
+    return out.select(*cols, F.col("b.cid").alias("cid"))
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,6 +228,240 @@ def _ivf_search(cent: DataFrame, assigned: DataFrame) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", round6(F.col("cos_raw")).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+KMEANS_ITERS = 4  # Lloyd's rounds (testdata objective plateaus by ~3)
+
+
+def _cent_arrays(cent_rows):
+    import numpy as np
+
+    C = np.array([emb for _cid, emb, _nrm in cent_rows], dtype="float64")
+    return (
+        C,
+        np.linalg.norm(C, axis=1),
+        np.array([cid for cid, _emb, _nrm in cent_rows], dtype="int32"),
+    )
+
+
+def _kmeans_iter_stats(vec: DataFrame, cent_rows) -> DataFrame:
+    """One Lloyd's iteration's sufficient statistics as an
+    Arrow-batched kernel that FUSES assignment with the partial
+    gather: each partition matrix-multiplies its vectors against the
+    broadcast centroid model and emits only k·EMB_DIM (cid, dim,
+    partial-sum, count, objective) cells — the in-mapper combiner (A3)
+    for clustering. vs. the declarative posexplode+hashAggregate form
+    (k·EMB_DIM cells too, but only AFTER shuffling EMB_DIM rows per
+    vector into the partial aggregate's hash table): measured 4×
+    faster at sf0.1 (5 passes 7.7 s → 1.9 s). Assignment parity with
+    the portable fold is differential-tested
+    (tests/test_similarity.py::test_np_assignment_matches_fold)."""
+    import numpy as np
+    import pandas as pd
+
+    C, cn, cids = _cent_arrays(cent_rows)
+    k, d = C.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["emb"].to_numpy())
+            cos = (X @ C.T) / np.outer(pdf["nrm"].to_numpy(), cn)
+            a = np.argmax(cos, axis=1)
+            best = cos[np.arange(len(a)), a]
+            for j in range(k):
+                m = a == j
+                if not m.any():
+                    continue
+                obj = np.zeros(d)
+                obj[0] = best[m].sum()
+                yield pd.DataFrame(
+                    {
+                        "cid": np.full(d, cids[j], dtype="int32"),
+                        "dim": np.arange(d, dtype="int32"),
+                        "s": X[m].sum(axis=0),
+                        "n": np.full(d, int(m.sum()), dtype="int64"),
+                        "obj": obj,
+                    }
+                )
+
+    return vec.mapInPandas(gen, "cid int, dim int, s double, n long, obj double")
+
+
+def _assign_np(vec: DataFrame, cent_rows, with_cos: bool = False) -> DataFrame:
+    """Per-row centroid assignment as the Arrow kernel twin of
+    _assign_rows (same contract: highest cosine, first-max = lowest
+    cid on ties) — used on the rows-only trained-model paths where
+    bit-portable fold arithmetic isn't required; parity with the fold
+    is differential-tested."""
+    import numpy as np
+    import pandas as pd
+
+    C, cn, cids = _cent_arrays(cent_rows)
+    schema = "vec_id long, emb array<double>, nrm double, cid int" + (
+        ", best_cos double" if with_cos else ""
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["emb"].to_numpy())
+            cos = (X @ C.T) / np.outer(pdf["nrm"].to_numpy(), cn)
+            a = np.argmax(cos, axis=1)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "emb": pdf["emb"],
+                    "nrm": pdf["nrm"],
+                    "cid": cids[a],
+                }
+            )
+            if with_cos:
+                out["best_cos"] = cos[np.arange(len(a)), a]
+            yield out
+
+    return vec.mapInPandas(gen, schema)
+
+
+def train_spherical_kmeans(
+    vec: DataFrame, k: int = NCENTROIDS, iters: int = KMEANS_ITERS
+) -> tuple[list[tuple[int, list[float], float]], list[float]]:
+    """Spherical k-means (Lloyd's) under cosine geometry: assign each
+    vector to its highest-cosine centroid, set each new centroid to
+    its members' mean vector (only direction matters under cosine —
+    normalization folds into the stored norm). Returns
+    (centroid model [(cid, emb, nrm)], per-iteration objective
+    Σ best-cosine).
+
+    This is the trainer the IVF contract promises ("a production
+    deployment would plug k-means centroids into the same plan
+    shape"). The MODEL is what is small — k·EMB_DIM driver-held
+    doubles, the A9 collect-to-broadcast pattern — while the corpus
+    sees ONE job per iteration: an Arrow kernel fusing assignment with
+    the in-mapper partial gather (_kmeans_iter_stats), so each task
+    sends ≤ k·EMB_DIM sufficient-statistic cells to a final
+    hash-aggregate — the same bounded gather PageRank rides. Member
+    counts and the per-cid objective ride the same cells: one pass,
+    three statistics, nothing corpus-sized ever reaches the driver.
+
+    Empty clusters keep their previous centroid (standard Lloyd's
+    fallback). Iterative + FP-order-dependent ⇒ rows-only driver
+    surface; correctness is the NumPy-twin golden pin and objective
+    monotonicity in tests/test_similarity.py. The loop-with-small-
+    model driver shape mirrors the reference's PageRank loop
+    (a4/RunPersonalizedPageRankBasic.java:102-146); no clustering
+    exists in the reference surface itself."""
+    import math
+
+    seed = vec.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = [(i, list(r.emb), float(r.nrm)) for i, r in enumerate(seed)]
+    history: list[float] = []
+    if not cents:  # empty corpus: nothing to train
+        return cents, [0.0] * iters
+    for _ in range(iters):
+        cells = (
+            _kmeans_iter_stats(vec, cents)
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum("n").alias("n"),
+                F.sum("obj").alias("obj"),
+            )
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        obj = 0.0
+        for c in cells:
+            sums.setdefault(c.cid, [0.0] * EMB_DIM)[c.dim] = float(c.s)
+            counts[c.cid] = c.n
+            if c.dim == 0:
+                obj += float(c.obj)
+        history.append(obj)
+        new_cents = []
+        for cid, emb, nrm in cents:
+            if counts.get(cid):
+                m = [s / counts[cid] for s in sums[cid]]
+                new_cents.append((cid, m, math.sqrt(sum(x * x for x in m))))
+            else:  # empty cluster: keep the previous centroid
+                new_cents.append((cid, emb, nrm))
+        cents = new_cents
+    return cents, history
+
+
+_KMEANS_CACHE: dict[tuple[str, str], tuple[DataFrame, list, list]] = {}
+
+
+def _trained_model(spark: SparkSession, sf_dir: str):
+    """(checkpointed vectors, centroid model, objective history),
+    trained ONCE per (session, corpus) and shared by both registered
+    k-means queries — the converged_lineitem_ranks phase-handoff
+    pattern (operators/graph.py): the extractor/search reads the
+    trained model instead of re-running the iterations."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _KMEANS_CACHE.get(key)
+    if hit is None:
+        vec = _vectors(spark, sf_dir).localCheckpoint(eager=True)
+        cents, hist = train_spherical_kmeans(vec)
+        hit = (vec, cents, hist)
+        _KMEANS_CACHE[key] = hit
+    return hit
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of the k-means trainer: per-cluster size,
+    mean cosine-to-centroid (tightness), and the centroid rendered as
+    the canonical 6-dp comma-joined string (the winnow/array pattern —
+    scalar columns only, so the driver's pandas canon can hash it).
+    Rows-only (iterative, FP-order-dependent upstream); golden pins in
+    tests/test_similarity.py. The corpus is localCheckpoint'ed once so
+    the iteration re-reads materialized vectors, not the parquet scan
+    (on a cluster: cache/persist of the projected columns)."""
+    vec, cents, _hist = _trained_model(spark, sf_dir)
+    assigned = (
+        _assign_np(vec, cents, with_cos=True)
+        if cents
+        else _assign_rows(vec, cents).withColumn("best_cos", F.lit(0.0))
+    )
+    stats = assigned.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        round6(F.avg("best_cos")).alias("mean_cos"),
+    )
+    cent_df = spark.createDataFrame(
+        [(cid, ",".join(f"{x:.6f}" for x in emb)) for cid, emb, _nrm in cents],
+        "cid int, centroid string",
+    )
+    return (
+        stats.join(F.broadcast(cent_df), "cid", "right")  # keep empty clusters
+        .select(
+            "cid",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            F.coalesce("mean_cos", F.lit(0.0)).alias("mean_cos"),
+            "centroid",
+        )
+        .orderBy("cid")
+    )
+
+
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with TRAINED centroids — the proof that k-means
+    plugs into the same plan shape: identical probe/search plan as
+    knn_ivf, only the 16 model rows differ. Rows-only at the driver
+    (upstream training is FP-order-dependent); recall@K_NN against
+    the exact bruteforce is pinned in tests/test_similarity.py.
+    Training is shared with kmeans_centroids via _trained_model."""
+    vec, cents, _hist = _trained_model(spark, sf_dir)
+    cent = spark.createDataFrame(
+        list(cents), "cid int, c_emb array<double>, c_nrm double"
+    )
+    assigned = (
+        _assign_np(vec, cents) if cents else _assign_rows(vec, cents)
+    ).localCheckpoint(eager=True)
+    return _ivf_search(cent, assigned)
 
 
 def ivf_index_path(sf_dir: str) -> str:
@@ -342,4 +598,6 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
     "knn_ivf_persisted": knn_ivf_persisted,
+    "kmeans_centroids": kmeans_centroids,
+    "knn_ivf_kmeans": knn_ivf_kmeans,
 }

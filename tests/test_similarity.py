@@ -8,7 +8,7 @@ from hadoop_and_spark_spark.operators import similarity
 from hadoop_and_spark_spark.oracle import compare
 
 
-@pytest.mark.parametrize("name", sorted(similarity.QUERIES))
+@pytest.mark.parametrize("name", sorted(similarity.ORACLE_SQL))
 def test_similarity_vs_oracle(spark, sf_dir, name):
     ok, msg = compare(
         spark, sf_dir, similarity.QUERIES[name], similarity.ORACLE_SQL[name]
@@ -87,3 +87,74 @@ def test_persisted_ivf_matches_in_session_and_prunes(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         similarity.knn_ivf_persisted(spark, sf_dir).explain("formatted")
     assert "dynamicpruningexpression" in buf.getvalue().lower()
+
+
+def test_kmeans_objective_monotone_and_numpy_twin(spark, sf_dir):
+    """Lloyd's invariants: the spherical objective (Σ best-cosine) is
+    non-decreasing across iterations, and the trained centroids match
+    an independent NumPy reimplementation of the same contract (seed =
+    lowest vec_ids, cosine assignment with first-max tie-break, mean
+    update, empty clusters keep their centroid) to FP tolerance."""
+    import numpy as np
+
+    from hadoop_and_spark_spark.operators import similarity as sim
+
+    vec = sim._vectors(spark, sf_dir).localCheckpoint(eager=True)
+    cents, hist = sim.train_spherical_kmeans(vec)
+    assert all(b >= a - 1e-9 for a, b in zip(hist, hist[1:]))
+
+    rows = sorted(vec.collect(), key=lambda r: r.vec_id)
+    X = np.array([r.emb for r in rows])
+    nrm = np.linalg.norm(X, axis=1)
+    k = sim.NCENTROIDS
+    seeds = [r for r in rows if r.vec_id < k]
+    C = np.array([r.emb for r in seeds])
+    for _ in range(sim.KMEANS_ITERS):
+        cos = (X @ C.T) / np.outer(nrm, np.linalg.norm(C, axis=1))
+        assign = np.argmax(cos, axis=1)  # first max = lowest cid
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    got = np.array([emb for _cid, emb, _nrm in cents])
+    np.testing.assert_allclose(got, C, rtol=1e-6, atol=1e-9)
+
+
+def test_ivf_kmeans_recall_beats_seed_model(spark, sf_dir):
+    """Plugging trained centroids into the unchanged IVF plan must not
+    lose retrieval quality: recall@K_NN vs the exact bruteforce stays
+    above an absolute floor and at least matches the seed-centroid
+    model minus a small slack (trained lists are better balanced, so
+    equal-probe recall should not degrade)."""
+    from hadoop_and_spark_spark.operators import similarity as sim
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_bruteforce(spark, sf_dir).collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.knn_ivf_kmeans(spark, sf_dir).collect()
+    }
+    seed = {
+        (r.query_id, r.neighbor_id) for r in sim.knn_ivf(spark, sf_dir).collect()
+    }
+    r_trained = len(trained & exact) / len(exact)
+    r_seed = len(seed & exact) / len(exact)
+    assert r_trained >= 0.5
+    assert r_trained >= r_seed - 0.05
+
+
+def test_np_assignment_matches_fold(spark, sf_dir):
+    """The Arrow assignment kernel must agree with the bit-portable
+    fold assignment on every vector (same highest-cosine contract,
+    same first-max tie rule) — the declarative differential reference
+    for the kernel used on the trained-model paths."""
+    from hadoop_and_spark_spark.operators import similarity as sim
+
+    vec = sim._vectors(spark, sf_dir).localCheckpoint(eager=True)
+    seed = vec.where("vec_id < %d" % sim.NCENTROIDS).orderBy("vec_id").collect()
+    cents = [(i, list(r.emb), float(r.nrm)) for i, r in enumerate(seed)]
+    fold = {r.vec_id: r.cid for r in sim._assign_rows(vec, cents).collect()}
+    np_ = {r.vec_id: r.cid for r in sim._assign_np(vec, cents).collect()}
+    assert fold == np_ and fold
