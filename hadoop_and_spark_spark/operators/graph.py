@@ -285,9 +285,145 @@ def pagerank_top_nodes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_nodes_per_source(ranks, k=10)
 
 
-ORACLE_SQL: dict[str, str] = {}  # iterative — golden-tested, rows-only at driver
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over the
+    testdata graph — the one graph-analytics query with an exact SQL
+    oracle (PageRank is iterative/golden; this is pure set algebra).
+
+    Algorithm: degree-ordered orientation (node-iterator++). Each
+    undirected edge orients from its lower-(degree, id) endpoint to
+    the higher; wedges are generated only between a node's ORIENTED
+    out-neighbors, and a wedge (v, w) closes iff the oriented edge
+    (v, w) exists. Every triangle is counted exactly once, and — the
+    100 TB point — out-degrees under this orientation are bounded by
+    O(√m), so no celebrity node ever generates a quadratic wedge set:
+    the naive shared-neighbor join explodes on hubs; this one provably
+    cannot. Plan: 3 equi-joins on node ids + one distinct — all
+    shuffle-partitioned, AQE splits residual skew. n_wedges comes from
+    the degree table (Σ d(d−1)/2, exact ints), never materialized.
+
+    Reference parity: no triangle program exists in the reference; the
+    graph build shares lineitem_graph with PageRank (SURVEY §2.10
+    extension)."""
+    g = lineitem_graph(spark, sf_dir)
+    e = g.select(F.col("nid").alias("x"), F.explode("adj").alias("y"))
+    # Materialized once: und feeds the degree table, the orientation
+    # join, and the edge count — without this the lineitem
+    # scan+distinct re-runs for every consumer (at scale: cache/persist
+    # of the canonical edge list, the PartitionGraph step).
+    und = (
+        e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = und.join(da, "a").join(db, "b")
+    a_first = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    ).localCheckpoint(eager=True)  # read by both wedge sides + the close probe
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("deg_v").alias("d1")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("deg_v").alias("d2")
+    )
+    wedges = o1.join(o2, "u").where(
+        F.struct("d1", "v1") < F.struct("d2", "v2")
+    )
+    tri = (
+        wedges.join(
+            oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+            ["v1", "v2"],
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    counts = und.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+    )
+    from ..functions.portable import round6
+
+    return counts.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            round6(3.0 * F.col("n_triangles") / F.col("n_wedges")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("gcc"),
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    # PageRank rows are iterative — golden-tested, rows-only at driver.
+    "graph_triangles": f"""
+        WITH e AS (
+            SELECT DISTINCT (l_orderkey % {PR_NUM_NODES})::INT AS x,
+                            (l_partkey % {PR_NUM_NODES})::INT AS y
+            FROM lineitem
+        ),
+        und AS (
+            SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+            FROM e WHERE x <> y
+        ),
+        deg AS (
+            SELECT v, count(*)::BIGINT AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY v
+        ),
+        oriented AS (
+            SELECT CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS u,
+                   CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS v,
+                   CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg
+                        ELSE da.deg END AS deg_v
+            FROM und
+            JOIN deg da ON da.v = und.a
+            JOIN deg db ON db.v = und.b
+        ),
+        tri AS (
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM oriented o1
+            JOIN oriented o2 ON o1.u = o2.u
+                            AND (o1.deg_v, o1.v) < (o2.deg_v, o2.v)
+            WHERE EXISTS (
+                SELECT 1 FROM oriented o3
+                WHERE o3.u = o1.v AND o3.v = o2.v
+            )
+        )
+        SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+               (SELECT count(*)::BIGINT FROM und) AS n_edges,
+               (SELECT (sum(deg * (deg - 1)) / 2)::BIGINT FROM deg) AS n_wedges,
+               n_triangles,
+               CASE WHEN (SELECT sum(deg * (deg - 1)) FROM deg) > 0
+                    THEN (floor(3.0 * n_triangles
+                                / ((SELECT sum(deg * (deg - 1)) FROM deg) / 2)
+                                * 1000000 + 0.5) / 1000000)
+                    ELSE 0.0 END AS gcc
+        FROM tri
+    """,
+}
 
 QUERIES = {
     "personalized_pagerank": personalized_pagerank_query,
     "pagerank_top_nodes": pagerank_top_nodes_query,
+    "graph_triangles": graph_triangles,
 }

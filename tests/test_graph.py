@@ -151,3 +151,39 @@ def test_converged_ranks_computed_once_per_corpus(spark, sf_dir):
     G.personalized_pagerank_query(spark, sf_dir).collect()
     G.pagerank_top_nodes_query(spark, sf_dir).collect()
     assert G.converged_lineitem_ranks(spark, sf_dir) is a
+
+
+def test_graph_triangles_vs_oracle(spark, sf_dir):
+    from hadoop_and_spark_spark.oracle import compare
+    from hadoop_and_spark_spark.operators import graph as G
+
+    ok, msg = compare(
+        spark, sf_dir, G.graph_triangles, G.ORACLE_SQL["graph_triangles"]
+    )
+    assert ok, msg
+
+
+def test_graph_triangles_matches_bruteforce(spark, sf_dir):
+    """The degree-oriented count equals a driver-side brute-force
+    enumeration over the same derived graph (validates the
+    orientation algebra, not just cross-engine agreement)."""
+    from hadoop_and_spark_spark.operators import graph as G
+
+    adj: dict[int, set] = {}
+    for r in G.lineitem_graph(spark, sf_dir).collect():
+        for d in r.adj:
+            if d != r.nid:
+                adj.setdefault(min(r.nid, d), set()).add(max(r.nid, d))
+    und = {(a, b) for a, bs in adj.items() for b in bs}
+    nbrs: dict[int, set] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    # each triangle {x<y<z} is counted exactly once: at edge (x, y)
+    # via the common neighbor z > y
+    tri = sum(
+        sum(1 for z in nbrs[a] & nbrs[b] if z > b) for a, b in und
+    )
+    row = G.graph_triangles(spark, sf_dir).collect()[0]
+    assert row.n_edges == len(und)
+    assert row.n_triangles == tri
