@@ -356,6 +356,42 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 3.0  # |z| cut for the outlier flag
+
+
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: events whose value sits more than
+    Z_THRESHOLD population standard deviations from their type's mean
+    — the robust-stats anomaly gate of the events family.
+
+    Plan: aggregate-then-broadcast-back (the balance_quartiles shape)
+    — ONE pass computes each type's exact moment sums, the 5-row
+    stats table broadcasts, and the flag is a comparison projection;
+    no window, nothing corpus-sized shuffles, outliers stream out of
+    the scan. Cross-engine determinism: builtin avg/stddev are
+    FP-order-dependent, so the moments are summed as DECIMALs
+    (value is 2-dp; value² is exactly a 4-dp decimal), converted to
+    double only once — both engines then evaluate the identical
+    mean/variance/z expressions on identical doubles, making the
+    |z| > 3 boundary itself portable (no epsilon rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(vdec).cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("ssq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ssq") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where((var > 0) & (F.abs(z) > Z_THRESHOLD))
+        .select("event_id", "event_type", "value", round6(z).alias("z"))
+        .orderBy("event_id")
+    )
+
+
 PSEUDO_SALT = "u#2026"  # deployment-secret in production; pinned for tests
 
 
@@ -513,6 +549,22 @@ ORACLE_SQL["events_pivot"] = (
     + " FROM events GROUP BY ts::DATE ORDER BY day"
 )
 
+ORACLE_SQL["value_outliers"] = f"""
+    WITH stats AS (
+        SELECT event_type,
+               count(*)::DOUBLE AS n,
+               sum(value::DECIMAL(18,2))::DOUBLE AS s,
+               sum(value::DECIMAL(18,2) * value::DECIMAL(18,2))::DOUBLE AS ssq
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           {round6_sql("(value - s/n) / sqrt(ssq/n - (s/n)*(s/n))")} AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE ssq/n - (s/n)*(s/n) > 0
+      AND abs((value - s/n) / sqrt(ssq/n - (s/n)*(s/n))) > {Z_THRESHOLD}
+    ORDER BY event_id
+"""
+
 ORACLE_SQL["pseudonymize_events"] = f"""
     SELECT event_id,
            sha256('{PSEUDO_SALT}' || user_id::VARCHAR) AS user_hash,
@@ -530,4 +582,5 @@ QUERIES = {
     "value_moving_avg": value_moving_avg,
     "events_pivot": events_pivot,
     "pseudonymize_events": pseudonymize_events,
+    "value_outliers": value_outliers,
 }

@@ -369,3 +369,39 @@ def test_streaming_dedup_first_arrival_wins(spark, sf_dir, tmp_path):
     assert len(rows) == n_texts
     # first arrival wins: none of the +100000 re-arrivals survive
     assert all(r.doc_id < 100000 for r in rows)
+
+
+def test_value_outliers_are_the_true_tail(spark, sf_dir):
+    """Every flagged event really is > Z_THRESHOLD population sigmas
+    from its type's mean (checked against driver-side exact moments),
+    no non-outlier is flagged, and the plan is window-free
+    (aggregate + broadcast join back)."""
+    import math
+
+    from hadoop_and_spark_spark.catalog import load_table
+    from hadoop_and_spark_spark.streaming.windows import (
+        Z_THRESHOLD,
+        value_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(round(r.value, 2))
+    expect = set()
+    for r in ev:
+        vs = by_type[r.event_type]
+        m = sum(vs) / len(vs)
+        sd = math.sqrt(sum(v * v for v in vs) / len(vs) - m * m)
+        if sd > 0 and abs((r.value - m) / sd) > Z_THRESHOLD:
+            expect.add(r.event_id)
+    got = {r.event_id for r in value_outliers(spark, sf_dir).collect()}
+    assert got == expect and got
+
+    plan = (
+        value_outliers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "BroadcastHashJoin" in plan
