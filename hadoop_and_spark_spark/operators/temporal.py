@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.portable import round6_sql as _R6
 
 ASOF_LEFT_TYPE = "purchase"  # attribution target
 ASOF_RIGHT_TYPE = "click"  # attribution source
@@ -362,9 +363,137 @@ ORACLE_SQL["next_event_pairs"] = f"""
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")  # ordered product funnel
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel (view → click → purchase): how many
+    users reach each stage, where stage n+1 only counts events
+    STRICTLY AFTER the user's first stage-n event — the
+    product-analytics sequence operator (order matters; a purchase
+    before any view is not funnel progression).
+
+    Plan: cascading filtered aggregations — stage 1 is a pushed-filter
+    scan + min-per-user; each later stage filters its type at the
+    scan, equi-joins the previous stage's (user, t) table, and takes
+    min-per-user again. Per stage: one pruned scan + one shuffle on
+    user_id; the stage tables shrink monotonically (funnel!), so the
+    joins get cheaper as the cascade descends. No window, no
+    per-user event-list materialization (the collect_list funnel dies
+    on power users). Final row = three 1-row counts
+    footer-cross-joined with round6 conversion ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    v, c, p = FUNNEL_STAGES
+    s1 = (
+        ev.where(F.col("event_type") == v)
+        .groupBy("user_id")
+        .agg(F.min(_us("ts")).alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == c)
+        .join(s1, "user_id")
+        .where(_us("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min(_us("ts")).alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == p)
+        .join(s2, "user_id")
+        .where(_us("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min(_us("ts")).alias("t3"))
+    )
+    n1 = s1.agg(F.count("*").alias("n_stage1"))
+    n2 = s2.agg(F.count("*").alias("n_stage2"))
+    n3 = s3.agg(F.count("*").alias("n_stage3"))
+    from ..functions.portable import round6
+
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_stage1",
+            "n_stage2",
+            "n_stage3",
+            round6(F.col("n_stage2") / F.col("n_stage1")).alias("conv_12"),
+            round6(F.col("n_stage3") / F.col("n_stage2")).alias("conv_23"),
+        )
+    )
+
+
+ORACLE_SQL["funnel_counts"] = f"""
+    WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(epoch_us(ts)) AS t2 FROM events e
+        JOIN s1 USING (user_id)
+        WHERE event_type = '{FUNNEL_STAGES[1]}' AND epoch_us(ts) > t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(epoch_us(ts)) AS t3 FROM events e
+        JOIN s2 USING (user_id)
+        WHERE event_type = '{FUNNEL_STAGES[2]}' AND epoch_us(ts) > t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*)::BIGINT FROM s1) AS n_stage1,
+           (SELECT count(*)::BIGINT FROM s2) AS n_stage2,
+           (SELECT count(*)::BIGINT FROM s3) AS n_stage3,
+           {_R6("(SELECT count(*) FROM s2)::DOUBLE / (SELECT count(*) FROM s1)")} AS conv_12,
+           {_R6("(SELECT count(*) FROM s3)::DOUBLE / (SELECT count(*) FROM s2)")} AS conv_23
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by FIRST-ACTIVITY day, counted
+    on each later day they return — the (cohort_day, day_offset,
+    n_users) triangle every growth dashboard plots.
+
+    Plan: (a) one min-per-user aggregation assigns cohorts, (b) the
+    (user, day) activity set is deduped BEFORE the join (distinct
+    first — a user's 1000 events on a day collapse to one row, so the
+    join and final aggregation see user-days, not events), (c)
+    equi-join on user_id attaches the cohort, (d) one aggregation
+    keyed (cohort_day, offset). Two shuffles on user_id + one on the
+    ~days² output grid; nothing scales with events except the two
+    pruned scans. All-integer outputs — bit-exact oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+ORACLE_SQL["cohort_retention"] = """
+    WITH first AS (
+        SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, ts::DATE AS day FROM events
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', cohort_day, day)::BIGINT AS day_offset,
+           count(*)::BIGINT AS n_users
+    FROM active JOIN first USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "asof_attribution": asof_attribution,
     "user_sessions": user_sessions,
     "range_join_counts": range_join_counts,
     "next_event_pairs": next_event_pairs,
+    "funnel_counts": funnel_counts,
+    "cohort_retention": cohort_retention,
 }

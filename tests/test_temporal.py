@@ -232,3 +232,54 @@ def test_pseudonymize_stable_and_injective(spark, sf_dir):
     )
     n_hashes = out.select("user_hash").distinct().count()
     assert n_hashes == n_users  # injective re-keying: joins survive
+
+
+def test_funnel_counts_matches_bruteforce(spark, sf_dir):
+    """Driver-side replay of the ordered-funnel semantics: stage n+1
+    counts exactly the users whose first stage-n event strictly
+    precedes some stage-n+1 event."""
+    from hadoop_and_spark_spark.catalog import load_table
+    from hadoop_and_spark_spark.operators.temporal import (
+        FUNNEL_STAGES,
+        funnel_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    reach = [0, 0, 0]
+    for rows in by_user.values():
+        t_prev = None
+        for i, stage in enumerate(FUNNEL_STAGES):
+            ts = [
+                t
+                for t, typ in rows
+                if typ == stage and (t_prev is None or t > t_prev)
+            ]
+            if not ts:
+                break
+            t_prev = min(ts)
+            reach[i] += 1
+    row = funnel_counts(spark, sf_dir).collect()[0]
+    assert (row.n_stage1, row.n_stage2, row.n_stage3) == tuple(reach)
+    assert row.n_stage1 >= row.n_stage2 >= row.n_stage3
+
+
+def test_cohort_retention_triangle(spark, sf_dir):
+    """Retention invariants: offset 0 exists for every cohort with its
+    full cohort size (everyone is active on their first day), offsets
+    are non-negative, and no (cohort, offset) cell exceeds the cohort
+    size."""
+    from hadoop_and_spark_spark.operators.temporal import cohort_retention
+
+    rows = cohort_retention(spark, sf_dir).collect()
+    assert rows
+    size = {
+        r.cohort_day: r.n_users for r in rows if r.day_offset == 0
+    }
+    cohorts = {r.cohort_day for r in rows}
+    assert set(size) == cohorts  # day-0 row exists per cohort
+    for r in rows:
+        assert r.day_offset >= 0
+        assert r.n_users <= size[r.cohort_day]
