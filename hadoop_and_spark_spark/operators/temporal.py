@@ -415,8 +415,15 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_stage1",
             "n_stage2",
             "n_stage3",
-            round6(F.col("n_stage2") / F.col("n_stage1")).alias("conv_12"),
-            round6(F.col("n_stage3") / F.col("n_stage2")).alias("conv_23"),
+            # empty-funnel guard: ANSI mode turns 0/0 into an error
+            F.when(
+                F.col("n_stage1") > 0,
+                round6(F.col("n_stage2") / F.col("n_stage1")),
+            ).alias("conv_12"),
+            F.when(
+                F.col("n_stage2") > 0,
+                round6(F.col("n_stage3") / F.col("n_stage2")),
+            ).alias("conv_23"),
         )
     )
 
@@ -441,8 +448,12 @@ ORACLE_SQL["funnel_counts"] = f"""
     SELECT (SELECT count(*)::BIGINT FROM s1) AS n_stage1,
            (SELECT count(*)::BIGINT FROM s2) AS n_stage2,
            (SELECT count(*)::BIGINT FROM s3) AS n_stage3,
-           {_R6("(SELECT count(*) FROM s2)::DOUBLE / (SELECT count(*) FROM s1)")} AS conv_12,
-           {_R6("(SELECT count(*) FROM s3)::DOUBLE / (SELECT count(*) FROM s2)")} AS conv_23
+           CASE WHEN (SELECT count(*) FROM s1) > 0 THEN
+             {_R6("(SELECT count(*) FROM s2)::DOUBLE / (SELECT count(*) FROM s1)")}
+           END AS conv_12,
+           CASE WHEN (SELECT count(*) FROM s2) > 0 THEN
+             {_R6("(SELECT count(*) FROM s3)::DOUBLE / (SELECT count(*) FROM s2)")}
+           END AS conv_23
 """
 
 
