@@ -46,6 +46,13 @@ DEFAULT_QUERIES = (
     "asof_attribution",
     "user_sessions",
     "range_join_counts",
+    # round-4 session additions (documents/events/embeddings only)
+    "pack_sequences",
+    "value_outliers",
+    "funnel_counts",
+    "cohort_retention",
+    "kmeans_centroids",
+    "knn_ivf_kmeans",
 )
 
 
@@ -119,10 +126,27 @@ def build_probe_corpus(spark) -> None:
         fh.write(marker)
 
 
-def steady_state(fn, spark, sf_dir: str) -> float:
+# Queries whose cost is memoized per (session, corpus) — the probe
+# clears their caches before every run so the published growth number
+# includes the iterative compute (training / convergence), not just
+# the cached extract.
+def _clear_memo_caches(name: str) -> None:
+    if name in ("kmeans_centroids", "knn_ivf_kmeans"):
+        from hadoop_and_spark_spark.operators.similarity import _KMEANS_CACHE
+
+        _KMEANS_CACHE.clear()
+    if name in ("personalized_pagerank", "pagerank_top_nodes"):
+        from hadoop_and_spark_spark.operators.graph import _RANKS_CACHE
+
+        _RANKS_CACHE.clear()
+
+
+def steady_state(name, fn, spark, sf_dir: str) -> float:
+    _clear_memo_caches(name)
     fn(spark, sf_dir).collect()  # warm-up: codegen + footer cache
     best = float("inf")
     for _ in range(2):
+        _clear_memo_caches(name)
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         best = min(best, time.perf_counter() - t0)
@@ -136,8 +160,8 @@ def main() -> None:
     queries, _ = collect()
     print(f"{'query':32s} {'1x':>7s} {'10x':>7s} {'growth':>7s}")
     for name in names:
-        one = steady_state(queries[name], spark, BASE_SF)
-        ten = steady_state(queries[name], spark, PROBE_DIR)
+        one = steady_state(name, queries[name], spark, BASE_SF)
+        ten = steady_state(name, queries[name], spark, PROBE_DIR)
         print(f"{name:32s} {one:6.2f}s {ten:6.2f}s {ten / one:6.1f}x")
     spark.stop()
 
