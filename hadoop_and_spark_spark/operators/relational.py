@@ -323,6 +323,32 @@ def q9b_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with NO lineitem shipped at or before Q7_DATE, counted
+    per order priority — the LEFT ANTI join (negative membership),
+    the one join type the a5 surface never exercises (its cogroup
+    plans only keep non-empty matches, J1–J6).
+
+    Plan: the shipdate filter pushes to the lineitem scan, only
+    l_orderkey survives projection pruning, and the anti join shuffles
+    the two key columns — same cost profile as q2's semi join, sign
+    flipped. At 100 TB: identical shuffle discipline to any fact-fact
+    key join, AQE-broadcastable when the filtered probe side shrinks
+    enough."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit(Q7_DATE))
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile BUCKETING without a global sort: every customer gets a
     within-segment account-balance quartile (1–4) — the
@@ -533,6 +559,17 @@ ORACLE_SQL["q8_pricing_rollup"] = f"""
     ORDER BY gid, l_returnflag, l_linestatus
 """
 
+ORACLE_SQL["q10_unshipped_orders"] = f"""
+    SELECT o_orderpriority, count(*)::BIGINT AS cnt
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate <= TIMESTAMP '{Q7_DATE}'
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
 ORACLE_SQL["balance_quartiles"] = """
     WITH b AS (
         SELECT c_mktsegment,
@@ -571,6 +608,7 @@ QUERIES = {
     "q9_price_percentiles": q9_price_percentiles,
     "q9b_price_percentiles_approx": q9b_price_percentiles_approx,
     "balance_quartiles": balance_quartiles,
+    "q10_unshipped_orders": q10_unshipped_orders,
     "q4_bucketed": q4_orders_by_nation_bucketed,
 }
 

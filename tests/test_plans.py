@@ -294,3 +294,14 @@ def test_balance_quartiles_has_no_window_no_sort_shuffle(spark, sf_dir):
     p = plan(R2.balance_quartiles(spark, sf_dir))
     assert "Window" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_q10_plans_anti_join_with_pushed_filter(spark, sf_dir):
+    """The negative-membership query must plan a real anti join (no
+    outer-join + null-filter fallback) with the shipdate predicate
+    pushed into the lineitem scan."""
+    from hadoop_and_spark_spark.operators import relational as R3
+
+    p = plan(R3.q10_unshipped_orders(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "l_shipdate" in p and "PushedFilters" in p
