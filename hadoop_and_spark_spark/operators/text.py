@@ -97,6 +97,19 @@ def perfectx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_pairs():
+    """Array-side adjacent-bigram expression over ``text`` (W1) —
+    shared by bigram_relative_frequency and doc_perplexity."""
+    return let_col(
+        tokenize("text"),
+        lambda toks: F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    )
+
+
 def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P(b | a) for consecutive token bigrams.
 
@@ -112,19 +125,11 @@ def bigram_relative_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id — at corpus scale the dominant shuffle. The remaining
     shuffles touch only (a, b, cnt) aggregates (vocabulary-sized).
     """
-    pairs = let_col(
-        tokenize("text"),
-        lambda toks: F.zip_with(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-        ),
-    )
     # fan_out: the HOF token projections below must not run on one
     # input split (small local scans arrive as a single partition)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     bigrams = (
-        docs.select(F.explode(pairs).alias("p"))
+        docs.select(F.explode(_bigram_pairs()).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -257,6 +262,61 @@ _PMI_PAIRS_CTE = f"""
     )
 """
 
+LM_K = 0.5  # add-k smoothing mass per continuation type
+
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM surprisal — quality scoring by corpus
+    language model, the probabilistic sibling of doc_quality's
+    heuristics: surprisal(doc) = mean over the doc's adjacent bigrams
+    of −log10 P(b|a), with add-k smoothing
+    P(b|a) = (c(a,b)+k) / (c(a,·)+k·V)  (k = LM_K, V = continuation
+    vocabulary). Low = fluent under the corpus LM, high = anomalous —
+    the filter large-corpus pipelines run with an external LM; here
+    the corpus is its own LM (one extra aggregation, zero extra
+    inputs).
+
+    Determinism (the FP-summation trap every naive avg() has): each
+    bigram's surprisal is quantized to exact INTEGER micro-units
+    (floor(x·10⁶+½) as BIGINT) BEFORE the per-doc aggregation, so the
+    sum is order-free integer addition on both engines; the final
+    mean divides two exact integers. log10 inputs are identical
+    integer-derived doubles (the pmi_pairs precedent).
+
+    Scale: the LM is a vocab²-bounded partial aggregate; doc bigrams
+    equi-join it on the bigram key (one shuffle each side — at
+    production scale the LM prunes to top-M entries + a backoff
+    constant, same plan with a broadcast LM). Bigram formation is
+    array-side (W1) — the token stream itself never shuffles."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    doc_big = docs.select(
+        "doc_id", F.explode(_bigram_pairs()).alias("p")
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    lm = doc_big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    lm_a = lm.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = doc_big.agg(F.count_distinct("b").alias("v"))
+    p = (F.col("c_ab") + F.lit(LM_K)) / (
+        F.col("c_a") + F.lit(LM_K) * F.col("v")
+    )
+    unit = F.floor(-F.log10(p) * 1e6 + F.lit(0.5)).cast("long")
+    from ..functions.portable import round6
+
+    return (
+        doc_big.join(lm, ["a", "b"])
+        .join(lm_a, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", unit.alias("u"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("u").alias("su"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            round6(F.col("su") / F.col("n_bigrams") / 1e6).alias("surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "wordcount": f"""
         WITH toks AS (SELECT {_TOKS_SQL} AS toks FROM documents)
@@ -310,10 +370,38 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["doc_perplexity"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, unnest(toks) AS word,
+               generate_subscripts(toks, 1) AS pos
+        FROM toks
+    ),
+    bg AS (
+        SELECT x.doc_id, x.word AS a, y.word AS b
+        FROM pos x JOIN pos y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+    ),
+    lm AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+    lma AS (SELECT a, sum(c_ab) AS c_a FROM lm GROUP BY a),
+    v AS (SELECT count(DISTINCT b) AS v FROM bg),
+    units AS (
+        SELECT doc_id,
+               floor(-log10((c_ab + {LM_K}) / (c_a + {LM_K} * v))
+                     * 1000000 + 0.5)::BIGINT AS u
+        FROM bg JOIN lm USING (a, b) JOIN lma USING (a) CROSS JOIN v
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           (floor(sum(u) / count(*) / 1000000 * 1000000 + 0.5)
+            / 1000000) AS surprisal
+    FROM units GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "wordcount": wordcount,
     "perfectx": perfectx,
     "bigram_relative_frequency": bigram_relative_frequency,
     "pmi_pairs": pmi_pairs,
     "pmi_stripes": pmi_stripes,
+    "doc_perplexity": doc_perplexity,
 }

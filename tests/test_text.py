@@ -37,3 +37,25 @@ def test_bigram_relfreq_sums_to_one(spark, sf_dir):
     df = text.bigram_relative_frequency(spark, sf_dir)
     sums = df.groupBy("a").agg(F.sum("rel_freq").alias("s")).collect()
     assert all(abs(r.s - 1.0) < 1e-3 for r in sums)
+
+
+def test_doc_perplexity_scores_known_anomaly_higher(spark, sf_dir, tmp_path):
+    """A doc of corpus-frequent repeated bigrams must score LOWER
+    surprisal than a doc of singleton bigrams — the quality-filter
+    contract — on a corpus constructed so both shapes exist."""
+    import os
+
+    from hadoop_and_spark_spark.operators.text import doc_perplexity
+
+    ed = str(tmp_path / "lm")
+    os.makedirs(ed, exist_ok=True)
+    rows = (
+        [(i, "the cat sat on the mat", "en", "t", 20) for i in range(20)]
+        + [(100, "zqx wvu ptk mno jhg fde", "en", "t", 20)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(ed, "documents.parquet"))
+    scores = {r.doc_id: r.surprisal for r in doc_perplexity(spark, ed).collect()}
+    assert scores[0] < scores[100]
+    assert scores[0] == scores[19]  # identical docs score identically
