@@ -289,9 +289,14 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant, same plan with a broadcast LM). Bigram formation is
     array-side (W1) — the token stream itself never shuffles."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    doc_big = docs.select(
-        "doc_id", F.explode(_bigram_pairs()).alias("p")
-    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    # Materialized once: the LM aggregation and the scoring join both
+    # read the exploded bigram stream — without this the
+    # tokenize+explode runs twice over the corpus.
+    doc_big = (
+        docs.select("doc_id", F.explode(_bigram_pairs()).alias("p"))
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
     lm = doc_big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     lm_a = lm.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     vocab = doc_big.agg(F.count_distinct("b").alias("v"))
