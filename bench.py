@@ -43,6 +43,13 @@ def main() -> None:
         "FROM (SELECT id AS x FROM range(1000)) GROUP BY x % 8"
     ).collect()
 
+    # Note on memoized queries (k-means, PageRank): their trained
+    # model / converged ranks are computed once per (session, corpus)
+    # — the reference's own phase-handoff design — so the steady-state
+    # numbers below price the extract/search step, with the iterative
+    # compute paid in the warm-up. The COLD cost (training included)
+    # is published separately by tools/scaling_probe.py, which clears
+    # the memo caches before every timed run.
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(queries):
