@@ -1,0 +1,105 @@
+"""Registry-wide physical-plan audit.
+
+The per-query pins in test_plans.py check specific plan shapes; this
+audit sweeps EVERY registered query's executed plan for the three
+antipatterns that silently kill a plan at 100×:
+
+- ``CartesianProduct`` — a non-broadcast cross join (the 1-row
+  footer-count cross joins used throughout plan as
+  BroadcastNestedLoopJoin over a single row, which is fine and NOT
+  flagged).
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan; every
+  Python kernel in this engine must be Arrow-batched
+  (``ArrowEvalPython`` / ``MapInPandas``).
+- An UNPARTITIONED window over unbounded input — the "move the corpus
+  to one task" trap (round-3 tfidf bug). Unpartitioned windows are
+  allowed only with a boundedness witness in the same plan:
+  rank-after-limit (TakeOrderedAndProject feeds the window ≤ k rows)
+  or a window over a DISTINCT-VALUE aggregate (cardinality bounded by
+  the value domain, not the corpus).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_and_spark_spark.registry import collect
+
+# Unpartitioned rank window over an orderBy+limit result (≤ k rows);
+# witness: TakeOrderedAndProject in the same plan.
+RANK_AFTER_LIMIT = {"tfidf_retrieval", "bm25_retrieval", "hybrid_retrieval"}
+# Unpartitioned running window over a distinct-score aggregate —
+# cardinality is the score domain (bounded ints), never row count.
+DISTINCT_VALUE_WINDOW = {"spam_eval", "spam_eval_trained"}
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    # Window node format: `Window [exprs], [partition], [order]`
+    # (3 bracket groups). Two groups means partition-only (`sum over
+    # (partition by a)` — fine) OR order-only (unpartitioned — the
+    # trap). They're told apart by the trailing group: sort specs
+    # carry ASC/DESC markers, partition columns don't.
+    out = []
+    for line in plan.splitlines():
+        if "Window [" not in line or "windowspecdefinition" not in line:
+            continue
+        if line.count("], [") != 1:
+            continue
+        tail = line.rsplit("], [", 1)[1]
+        if " ASC" in tail or " DESC" in tail:
+            out.append(line)
+    return out
+
+
+def test_no_query_plans_an_antipattern(spark, sf_dir):
+    queries, _ = collect()
+    failures = []
+    for name, fn in sorted(queries.items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        unpart = _unpartitioned_window_lines(plan)
+        if unpart:
+            if name in RANK_AFTER_LIMIT:
+                if "TakeOrderedAndProject" not in plan:
+                    failures.append(
+                        f"{name}: unpartitioned window lost its limit witness"
+                    )
+            elif name in DISTINCT_VALUE_WINDOW:
+                if "HashAggregate" not in plan:
+                    failures.append(
+                        f"{name}: unpartitioned window lost its distinct-value witness"
+                    )
+            else:
+                failures.append(
+                    f"{name}: unbounded unpartitioned window: {unpart[0].strip()[:120]}"
+                )
+    assert not failures, "\n".join(failures)
+
+
+def test_allowlists_are_not_stale(spark, sf_dir):
+    """Every allowlisted query must still HAVE an unpartitioned window
+    — a stale allowlist entry would quietly stop auditing it."""
+    queries, _ = collect()
+    for name in sorted(RANK_AFTER_LIMIT | DISTINCT_VALUE_WINDOW):
+        plan = (
+            queries[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert _unpartitioned_window_lines(plan), name
+
+
+@pytest.mark.parametrize("name", sorted(RANK_AFTER_LIMIT))
+def test_rank_after_limit_witness(spark, sf_dir, name):
+    queries, _ = collect()
+    plan = (
+        queries[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
