@@ -405,3 +405,59 @@ def test_value_outliers_are_the_true_tail(spark, sf_dir):
         .toString()
     )
     assert "Window" not in plan and "BroadcastHashJoin" in plan
+
+
+def test_streaming_upsert_sink_converges_to_batch_merge(spark, sf_dir, tmp_path):
+    """Streaming table maintenance end-to-end: micro-batches of keyed
+    updates flow through foreachBatch → merge_upsert into a parquet
+    table, and the final table equals one batch keep-latest merge of
+    the full update stream — the CDC-style sink the streaming surface
+    (K3) plus the table lifecycle (X34) compose into."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.sources.maintenance import merge_upsert
+    from hadoop_and_spark_spark.sources.mock_stream import (
+        read_replay_stream,
+        write_scripted_batches,
+    )
+
+    schema = "k long, v string, ver long"
+    batches = [
+        spark.createDataFrame([(1, "a0", 1), (2, "b0", 1)], schema),
+        spark.createDataFrame([(1, "a1", 2), (3, "c0", 1)], schema),
+        spark.createDataFrame([(2, "b2", 3), (1, "a0-late", 1)], schema),
+    ]
+    feed = str(tmp_path / "feed")
+    write_scripted_batches(batches, feed)
+
+    table = str(tmp_path / "table")
+    spark.createDataFrame([], schema).write.parquet(table)
+
+    def apply_batch(bdf, _bid):
+        staged = str(tmp_path / "staged")
+        merge_upsert(bdf.sparkSession, table, bdf, "k", "ver", staged)
+        # swap: write-to-new-directory + replace (the documented
+        # atomicity contract of the plain-parquet implementation)
+        import shutil
+
+        shutil.rmtree(table)
+        os.replace(staged, table)
+
+    q = (
+        read_replay_stream(spark, feed, schema)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.k, r.v, r.ver) for r in spark.read.parquet(table).collect()
+    }
+    # batch twin: one merge of the whole update stream; ties on ver
+    # keep the update side (the third batch's (1,'a0-late',1) loses to
+    # the table's (1,'a1',2) on version, so 'a1' survives)
+    assert got == {(1, "a1", 2), (2, "b2", 3), (3, "c0", 1)}
