@@ -692,6 +692,55 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FEAT_BITS = 20
+FEAT_DIM = 1 << FEAT_BITS  # 1,048,576-dim hashed feature space
+
+
+def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick"): each document's DISTINCT
+    tokens map to a 2^FEAT_BITS-dim sparse binary feature space via
+    the portable poly-hash — the text→ML bridge that turns the
+    documents corpus into exactly the (docid, features ARRAY<INT>)
+    shape the spam family (M1–M5) trains and scores on
+    (a6/TrainSpamClassifier.scala:72-79's input contract).
+
+    Pure codegen projection, no shuffle: hashing runs inside the
+    token-array HOFs, collisions collapse via a post-hash distinct,
+    and the sorted feature list renders as the canonical comma-joined
+    string (driver-hashable scalars only). At 100 TB this is
+    scan-bound and writes straight to the training sink; the fixed
+    dimensionality is what makes the downstream model state bounded
+    regardless of vocabulary growth."""
+    from ..functions.portable import poly_hash
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hashes = let_col(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(tokenize("text")),
+                    lambda t: poly_hash(t) % FEAT_DIM,
+                )
+            )
+        ),
+        lambda fs: F.struct(
+            F.size(fs).alias("n"),
+            F.concat_ws(",", F.transform(fs, lambda x: x.cast("string"))).alias(
+                "s"
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", hashes.alias("h"))
+        .select(
+            "doc_id",
+            F.col("h.n").alias("n_features"),
+            F.col("h.s").alias("features"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _SAMPLE_KEY_SQL = "'samp#' || substr(text, 1, 64) || '#' || length(text)::VARCHAR"
 _RATE_SQL = (
     "CASE "
@@ -702,9 +751,26 @@ _RATE_SQL = (
     + f" ELSE {SAMPLE_DEFAULT_K} END"
 )
 
+# doc_hashed_features oracle building blocks
+_TOKS = _TOKS_SQL
+_PH = poly_hash_sql("t")
+_FD = FEAT_DIM
+
 ORACLE_SQL: dict[str, str] = {
     "pii_scrub": _pii_sql(),
     "profile_documents": _profile_sql(),
+    "doc_hashed_features": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       list_distinct({_TOKS}),
+                       t -> {_PH} % {_FD}))) AS fs
+            FROM documents
+        )
+        SELECT doc_id, len(fs)::BIGINT AS n_features,
+               array_to_string(fs, ',') AS features
+        FROM f ORDER BY doc_id
+    """,
     # DuckDB widens sum(BIGINT) OVER to HUGEINT/DECIMAL — pin ::BIGINT.
     "pack_sequences": f"""
         WITH sized AS (
@@ -859,6 +925,7 @@ QUERIES = {
     "repetition_filter": repetition_filter,
     "doc_chunks": doc_chunks,
     "pack_sequences": pack_sequences,
+    "doc_hashed_features": doc_hashed_features,
     "pii_scrub": pii_scrub,
     "profile_documents": profile_documents,
 }
