@@ -50,6 +50,10 @@ def main() -> None:
     # compute paid in the warm-up. The COLD cost (training included)
     # is published separately by tools/scaling_probe.py, which clears
     # the memo caches before every timed run.
+    # (A forced System.gc() between queries was tried to kill the
+    # rare phantom per-query flap — a GC pause landing inside both
+    # timed runs — but it cost ~15% TOTAL across the suite, measured
+    # min-of-2 twice; the flap is cheaper than the cure.)
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(queries):
