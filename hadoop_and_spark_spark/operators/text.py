@@ -375,6 +375,51 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+CMS_EPS = 0.0001  # over-estimate bound: approx ≤ exact + eps·N
+CMS_CONF = 0.99  # per-term confidence of the bound
+CMS_SEED = 42
+# Declared probe terms — a sketch is queried, never enumerated, so
+# the probe list is part of the operator contract (the events_pivot
+# declared-domain rule).
+CMS_PROBES = ("data", "hash", "query", "spark", "table", "the")
+
+
+def token_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequencies for the declared probe terms via a
+    Count-Min sketch — the FREQUENCY member of the sketch triad
+    (q9b's quantile sketch, user_reach's HLL cardinality sketch):
+    the 100 TB shape for frequency questions over a key space too
+    large to hash-aggregate exactly.
+
+    Plan: one pass builds the sketch as a typed imperative aggregate —
+    state is a FIXED width×depth counter grid (O(1/eps · ln(1/conf)),
+    independent of vocabulary), partial sketches merge map-side and at
+    the exchange exactly like the HLL registers. The collected sketch
+    is probed driver-side for the declared terms (O(depth) per probe
+    via the JVM CountMinSketch reader). Rows-only at the driver
+    (sketch counters are seed/merge-order specific); correctness =
+    the CMS guarantee pinned in tests: exact ≤ approx ≤ exact + eps·N
+    per probe, against the oracle-green wordcount."""
+    toks = _tokens(spark, sf_dir)
+    row = (
+        toks.select(F.explode("toks").alias("w"))
+        .agg(
+            F.count_min_sketch(
+                "w", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            ).alias("sketch")
+        )
+        .collect()[0]
+    )
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row.sketch))
+    )
+    probes = [(t, int(cms.estimateCount(t))) for t in CMS_PROBES]
+    return spark.createDataFrame(
+        probes, "term string, approx_cnt long"
+    ).orderBy("term")
+
+
 ORACLE_SQL["doc_perplexity"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     pos AS (
@@ -409,4 +454,5 @@ QUERIES = {
     "pmi_pairs": pmi_pairs,
     "pmi_stripes": pmi_stripes,
     "doc_perplexity": doc_perplexity,
+    "token_freq_sketch": token_freq_sketch,
 }

@@ -8,7 +8,7 @@ from hadoop_and_spark_spark.operators import text
 from hadoop_and_spark_spark.oracle import compare
 
 
-@pytest.mark.parametrize("name", sorted(text.QUERIES))
+@pytest.mark.parametrize("name", sorted(text.ORACLE_SQL))
 def test_text_vs_oracle(spark, sf_dir, name):
     ok, msg = compare(spark, sf_dir, text.QUERIES[name], text.ORACLE_SQL[name])
     assert ok, f"{name}: {msg}"
@@ -59,3 +59,55 @@ def test_doc_perplexity_scores_known_anomaly_higher(spark, sf_dir, tmp_path):
     scores = {r.doc_id: r.surprisal for r in doc_perplexity(spark, ed).collect()}
     assert scores[0] < scores[100]
     assert scores[0] == scores[19]  # identical docs score identically
+
+
+def test_token_freq_sketch_within_cms_bound(spark, sf_dir):
+    """The Count-Min guarantee against the exact (oracle-green)
+    wordcount: exact <= approx <= exact + eps*N for every declared
+    probe term, where N is the total token count."""
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.operators.text import (
+        CMS_EPS,
+        CMS_PROBES,
+        _tokens,
+        token_freq_sketch,
+        wordcount,
+    )
+
+    exact = {r.word: r.cnt for r in wordcount(spark, sf_dir).collect()}
+    n_total = (
+        _tokens(spark, sf_dir).select(F.explode("toks")).count()
+    )
+    got = {r.term: r.approx_cnt for r in token_freq_sketch(spark, sf_dir).collect()}
+    assert set(got) == set(CMS_PROBES)
+    for t, approx in got.items():
+        ex = exact.get(t, 0)
+        assert ex <= approx <= ex + CMS_EPS * n_total, (t, ex, approx)
+
+
+def test_token_freq_sketch_partial_aggregates(spark, sf_dir):
+    """The sketch must build as partial+final aggregation (fixed-size
+    state merging map-side), not a single global buffer."""
+    from hadoop_and_spark_spark.functions import tokenize
+    from hadoop_and_spark_spark.catalog import load_table
+    from hadoop_and_spark_spark.operators.text import (
+        CMS_CONF,
+        CMS_EPS,
+        CMS_SEED,
+    )
+    from pyspark.sql import functions as F
+
+    plan = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokenize("text")).alias("w"))
+        .agg(
+            F.count_min_sketch(
+                "w", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+            )
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
