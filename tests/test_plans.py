@@ -305,3 +305,29 @@ def test_q10_plans_anti_join_with_pushed_filter(spark, sf_dir):
     p = plan(R3.q10_unshipped_orders(spark, sf_dir))
     assert "LeftAnti" in p
     assert "l_shipdate" in p and "PushedFilters" in p
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering: with a shuffle join forced, the
+    optimizer injects a Bloom filter built from q4's filtered orders
+    side into the lineitem probe side (bloom_filter_might_contain in
+    the scan's filter) — the 100 TB mechanism that prunes fact rows
+    BEFORE the join shuffle. Local tables sit under the default
+    10 GB application-side threshold, so the thresholds are forced to
+    zero here purely to exercise the plan path; at scale the defaults
+    qualify on their own."""
+    import contextlib
+
+    from hadoop_and_spark_spark.catalog import _scoped_conf
+    from hadoop_and_spark_spark.operators import relational as R4
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    with contextlib.ExitStack() as st:
+        for k, v in confs.items():
+            st.enter_context(_scoped_conf(spark, k, v))
+        p = plan(R4.q4_orders_by_nation(spark, sf_dir))
+    assert "might_contain" in p.lower()
