@@ -54,9 +54,19 @@ def main() -> None:
     # rare phantom per-query flap — a GC pause landing inside both
     # timed runs — but it cost ~15% TOTAL across the suite, measured
     # min-of-2 twice; the flap is cheaper than the cure.)
+    import gc
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(queries):
+        # Python-side GC between queries: ~a third of the registry
+        # localCheckpoints corpus-sized frames, and their JVM blocks
+        # are only unpersisted (asynchronously, by ContextCleaner)
+        # once the Py4J reference is collected — without this the
+        # single local JVM accumulates dead checkpoint blocks across
+        # 80 queries and heap pressure inflates the tail of the run.
+        # (Cheap, unlike the rejected System.gc() full-GC variant.)
+        gc.collect()
         try:
             # One untimed run per query (Catalyst analysis + codegen
             # for this plan shape), then the MIN of two timed
