@@ -257,6 +257,26 @@ def q8_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8b_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE companion to q8's ROLLUP: all four grouping sets —
+    (flag, status), (flag), (status), () — in ONE aggregation,
+    completing the grouping-sets family (SURVEY §2.4 "not present").
+    Same Expand-into-single-hash-aggregate shape as q8 with 4 sets
+    instead of 3; the shuffle still carries only group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(Q6_CUTOFF))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum(disc_price), 2).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
 def q9_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of l_extendedprice per return
     flag — aggregate surface the reference lacks (SURVEY §2.4 "not
@@ -559,6 +579,17 @@ ORACLE_SQL["q8_pricing_rollup"] = f"""
     ORDER BY gid, l_returnflag, l_linestatus
 """
 
+ORACLE_SQL["q8b_pricing_cube"] = f"""
+    SELECT GROUPING(l_returnflag, l_linestatus)::INT AS gid,
+           l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q6_CUTOFF}'
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+"""
+
 ORACLE_SQL["q10_unshipped_orders"] = f"""
     SELECT o_orderpriority, count(*)::BIGINT AS cnt
     FROM orders o
@@ -608,6 +639,7 @@ QUERIES = {
     "q9_price_percentiles": q9_price_percentiles,
     "q9b_price_percentiles_approx": q9b_price_percentiles_approx,
     "balance_quartiles": balance_quartiles,
+    "q8b_pricing_cube": q8b_pricing_cube,
     "q10_unshipped_orders": q10_unshipped_orders,
     "q4_bucketed": q4_orders_by_nation_bucketed,
 }
