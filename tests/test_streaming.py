@@ -461,3 +461,41 @@ def test_streaming_upsert_sink_converges_to_batch_merge(spark, sf_dir, tmp_path)
     # keep the update side (the third batch's (1,'a0-late',1) loses to
     # the table's (1,'a1',2) on version, so 'a1' survives)
     assert got == {(1, "a1", 2), (2, "b2", 3), (3, "c0", 1)}
+
+
+def test_streaming_hll_reach_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """The HLL distinct-reach sketch under IncrementalExecution: the
+    same approx_count_distinct aggregation run as an availableNow
+    stream (complete mode — register state merges across
+    micro-batches) must land within the batch sketch's own tolerance
+    of the exact per-type reach. Proves the bounded-state cardinality
+    path works in the streaming engine, not just batch."""
+    from hadoop_and_spark_spark.catalog import load_events_stream
+
+    exact = {
+        (r.event_type): r.n_users
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .collect()
+    }
+    stream = load_events_stream(spark, sf_dir)
+    out = stream.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=W.HLL_RSD).alias("n_approx")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_reach")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_type: r.n_approx
+        for r in spark.sql("select * from hll_reach").collect()
+    }
+    assert set(got) == set(exact)
+    for t, e in exact.items():
+        assert abs(got[t] - e) / e <= 5 * W.HLL_RSD, (t, got[t], e)
