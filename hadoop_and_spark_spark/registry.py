@@ -5,11 +5,25 @@ Aggregates every operator module's ``QUERIES`` (name -> callable
 string) into the driver contract exposed by ``__spark_entry__.py``.
 
 Modules register lazily so a bug in one family never hides the rest.
+
+Ordering: the driver's correctness check records at most ~50 rows per
+round, taken in registration order — with 80+ queries a static order
+starves the tail of the registry of driver evidence forever. So
+``collect()`` returns the dict in LEAST-RECENTLY-VERIFIED order: a
+query that has never had a green driver row (or whose last driver row
+was red) sorts first, then ascending by the round of its most recent
+green row, module order breaking ties. Every query therefore rotates
+through the driver's verification window across rounds, and brand-new
+or regressed queries always land inside it.
 """
 
 from __future__ import annotations
 
+import glob
 import importlib
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +46,36 @@ _OPERATOR_MODULES = (
 )
 
 
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def last_green_round() -> dict[str, int]:
+    """query name -> latest round whose committed CORRECTNESS_r{N}.json
+    records a GREEN driver row for it (hash green, or the rows-only
+    ``no_oracle`` form with a recorded row count). Red/errored rows do
+    NOT count — a regressed query must re-enter the driver window."""
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
@@ -45,4 +89,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 raise ValueError(f"duplicate query name {name!r} from {modname}")
             queries[name] = fn
         oracles.update(getattr(mod, "ORACLE_SQL", {}))
-    return queries, oracles
+    green = last_green_round()
+    reg_pos = {name: i for i, name in enumerate(queries)}
+    order = sorted(queries, key=lambda n: (green.get(n, -1), reg_pos[n]))
+    return {n: queries[n] for n in order}, oracles

@@ -1,0 +1,40 @@
+"""Registry rotation: the driver verifies ~50 queries per round in
+registration order, so collect() must order least-recently-verified
+first or the registry tail never earns a driver row."""
+
+from __future__ import annotations
+
+from hadoop_and_spark_spark.registry import collect, last_green_round
+
+
+def test_collect_orders_least_recently_verified_first():
+    queries, oracles = collect()
+    green = last_green_round()
+    rounds = [green.get(n, -1) for n in queries]
+    assert rounds == sorted(rounds), (
+        "collect() must be ascending in last-green-round "
+        "(never-verified queries first)"
+    )
+
+
+def test_every_query_name_is_registered_once_and_oracle_keys_subset():
+    queries, oracles = collect()
+    # collect() raises on duplicates; here we pin oracle keys refer to
+    # real queries (a typo'd oracle name silently skips verification).
+    stray = set(oracles) - set(queries)
+    assert not stray, f"oracle entries without a registered query: {stray}"
+
+
+def test_red_rows_do_not_count_as_verified(tmp_path, monkeypatch):
+    import hadoop_and_spark_spark.registry as reg
+
+    art = tmp_path / "CORRECTNESS_r09.json"
+    art.write_text(
+        '{"good": {"hash_match": true, "err": null, "spark_rows": 3},'
+        ' "red": {"hash_match": false, "err": null, "spark_rows": 3},'
+        ' "rows_only": {"hash_match": null, "err": "no_oracle", "spark_rows": 5},'
+        ' "errored": {"hash_match": null, "err": "boom", "spark_rows": null}}'
+    )
+    monkeypatch.setattr(reg, "_repo_root", lambda: str(tmp_path))
+    green = reg.last_green_round()
+    assert green == {"good": 9, "rows_only": 9}
