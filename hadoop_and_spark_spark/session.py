@@ -81,6 +81,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars share stdout with the driver's JSON
+        # tail capture (bench.py prints its result line there); static
+        # conf, so it must be set at builder time.
+        .config("spark.ui.showConsoleProgress", "false")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert in the
         # catalog (micro truncation can't move a window bucket).
