@@ -135,16 +135,20 @@ def float_list_sql(vals: list[float]) -> str:
 
 
 def round6(c: Column) -> Column:
-    """Half-up rounding to 6 decimals via floor arithmetic.
+    """Half-away-from-zero rounding to 6 decimals via floor arithmetic.
 
     Engine round() builtins disagree by 1 ulp on exact .xxxxxx5 ties
     (Spark rounds the decimal rendering, DuckDB the binary double).
-    floor(x*1e6 + 0.5)/1e6 is plain IEEE arithmetic — bit-identical
-    across engines on identical inputs. For non-negative values only
-    (all our ratios/cosines/scores).
+    floor(|x|*1e6 + 0.5)/1e6 with the sign re-applied is plain IEEE
+    arithmetic — bit-identical across engines on identical inputs —
+    and rounds ties away from zero for BOTH signs (a bare
+    floor(x*1e6+0.5) would round negative ties toward +inf, giving
+    z-scores and log-ratios a sign-asymmetric tie rule).
     """
-    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    mag = F.floor(F.abs(c) * 1e6 + F.lit(0.5)) / 1e6
+    return F.when(c < 0, -mag).otherwise(mag)
 
 
 def round6_sql(expr: str) -> str:
-    return f"(floor(({expr}) * 1000000 + 0.5) / 1000000)"
+    mag = f"floor(abs({expr}) * 1000000 + 0.5) / 1000000"
+    return f"(CASE WHEN ({expr}) < 0 THEN -({mag}) ELSE ({mag}) END)"

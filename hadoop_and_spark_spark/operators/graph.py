@@ -245,9 +245,16 @@ def converged_lineitem_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     each per-iteration job schedules a handful of tasks, not
     spark.sql.shuffle.partitions of them (toy graph; at real scale
     both parameters grow with the cluster)."""
-    import os
+    from ..sources.maintenance import source_marker
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    # source_marker (path + mtime + size) in the key: an in-place
+    # rewrite of the lineitem table invalidates the memoized ranks
+    # instead of serving a stale converged frame (build_once
+    # staleness discipline).
+    key = (
+        spark.sparkContext.applicationId,
+        source_marker(sf_dir, "lineitem", "ppr_v1"),
+    )
     ranks = _RANKS_CACHE.get(key)
     if ranks is None:
         graph = lineitem_graph(spark, sf_dir)

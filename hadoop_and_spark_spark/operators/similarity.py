@@ -399,10 +399,18 @@ def _trained_model(spark: SparkSession, sf_dir: str):
     trained ONCE per (session, corpus) and shared by both registered
     k-means queries — the converged_lineitem_ranks phase-handoff
     pattern (operators/graph.py): the extractor/search reads the
-    trained model instead of re-running the iterations."""
-    import os
+    trained model instead of re-running the iterations.
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    The key folds in ``source_marker`` (path + mtime + size), the
+    build_once staleness discipline: rewriting the embeddings table
+    in-place during a long-lived session invalidates the memo instead
+    of serving a model trained on the old corpus."""
+    from ..sources.maintenance import source_marker
+
+    key = (
+        spark.sparkContext.applicationId,
+        source_marker(sf_dir, "embeddings", "kmeans_v1"),
+    )
     hit = _KMEANS_CACHE.get(key)
     if hit is None:
         vec = _vectors(spark, sf_dir).localCheckpoint(eager=True)
@@ -436,7 +444,10 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid int, centroid string",
     )
     return (
-        stats.join(F.broadcast(cent_df), "cid", "right")  # keep empty clusters
+        # Broadcast the non-preserved LEFT side: a right-outer join can
+        # only build/broadcast its left input (a hint on the preserved
+        # cent_df side would be silently ignored).
+        F.broadcast(stats).join(cent_df, "cid", "right")  # keep empty clusters
         .select(
             "cid",
             F.coalesce("n_members", F.lit(0)).alias("n_members"),

@@ -39,15 +39,22 @@ def build_once(out_path: str, marker: str, build) -> bool:
     queries seek" deployment contract of the persisted-index family.
 
     Runs ``build()`` only when ``out_path`` lacks a ``_BUILD_MARKER``
-    matching ``marker``; the marker is written AFTER a successful
-    build (an overwrite-mode build clears the directory first, so a
-    crashed build leaves no marker and the next call rebuilds).
+    matching ``marker``; the stale marker is DELETED before the build
+    starts and rewritten only after it succeeds, so a crashed rebuild
+    can never leave the old marker claiming the (now mixed-state)
+    directory is current — regardless of whether the builder
+    overwrites ``out_path`` itself or only subdirectories beneath it
+    (write_index overwrites postings/doclen/stats, not the root).
     Returns True when a build ran."""
     mp = os.path.join(out_path, "_BUILD_MARKER")
     try:
         with open(mp) as fh:
             if fh.read() == marker:
                 return False
+    except OSError:
+        pass
+    try:
+        os.remove(mp)
     except OSError:
         pass
     build()
