@@ -28,7 +28,7 @@ grouped keys only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -277,19 +277,15 @@ def q8b_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q9_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles of l_extendedprice per return
-    flag — aggregate surface the reference lacks (SURVEY §2.4 "not
-    present": median/percentile).
+Q9_PCTS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
 
-    Exact ``percentile`` buffers every group value in one aggregation
-    buffer, so this is the TEST-SCALE differential baseline only; the
-    registered 100 TB plan is ``q9b_price_percentiles_approx`` (a
-    bounded-memory sketch that partial-aggregates map-side). Exact is
-    kept registered because it is the cross-engine-reproducible form
-    (sketches aren't bit-portable), and its oracle row is what proves
-    the approx variant's 2%-tolerance pin is anchored to the truth.
-    Rounded to 6 dp on both sides."""
+
+def q9_percentiles_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The builtin exact ``percentile`` form of q9 — TEST-ONLY
+    differential baseline (tests/test_relational.py pins the
+    registered histogram plan against it bit-for-bit). NOT registered:
+    exact ``percentile`` buffers every group value inside one
+    aggregation buffer, which OOMs at 100× lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
     pct = lambda p: F.round(  # noqa: E731 — tiny local alias
         F.percentile("l_extendedprice", F.lit(p)), 6
@@ -297,13 +293,97 @@ def q9_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            pct(0.5).alias("p50"),
-            pct(0.9).alias("p90"),
-            pct(0.99).alias("p99"),
+            *[pct(p).alias(name) for name, p in Q9_PCTS],
             F.count("*").alias("cnt"),
         )
         .orderBy("l_returnflag")
     )
+
+
+def q9_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles of l_extendedprice per return
+    flag — aggregate surface the reference lacks (SURVEY §2.4 "not
+    present": median/percentile) — via the bounded-domain histogram,
+    not the builtin ``percentile`` aggregate.
+
+    Why not ``percentile``: its aggregation buffer materializes EVERY
+    group value (billions of doubles per buffer at 100× lineitem →
+    executor OOM). l_extendedprice is a 2-dp decimal with a ~10⁶-value
+    domain, so the same exact answer falls out of a domain-bounded
+    plan: ``groupBy(flag, price).count()`` (partial-aggregating — the
+    shuffle carries one row per DISTINCT (flag, price), not per
+    lineitem row), a cumulative count over the per-flag histogram
+    (window state = one running sum; partition size ≤ |price domain|
+    regardless of table size), then one conditional-max aggregate
+    picks the two bracketing values per percentile and interpolates.
+
+    Interpolation mirrors Spark's own Percentile.getPercentile
+    arithmetic exactly — pos = p·(n−1), lower/higher bracketing
+    values, (higher−pos)·v_lo + (pos−lower)·v_hi — so results are
+    bit-identical to the builtin (pinned in tests) and keep matching
+    the DuckDB ``quantile_cont`` oracle at 6 dp. Plan pin: two hash
+    aggregates and no ``percentile`` expression
+    (tests/test_plans.py::test_q9_histogram_plan_is_domain_bounded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    hist = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
+        .withColumn("lo", F.col("cum") - F.col("c"))  # first 0-based rank held
+    )
+
+    def bracket(p: float):
+        """Conditional-max aggregates picking the values at 0-based
+        ranks floor(pos) and ceil(pos); a histogram row holds ranks
+        [lo, cum)."""
+        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        k_lo = F.floor(pos)
+        k_hi = -F.floor(-pos)  # ceil, kept integral as a long
+        v_lo = F.max(
+            F.when(
+                (F.col("lo") <= k_lo) & (k_lo < F.col("cum")),
+                F.col("l_extendedprice"),
+            )
+        )
+        v_hi = F.max(
+            F.when(
+                (F.col("lo") <= k_hi) & (k_hi < F.col("cum")),
+                F.col("l_extendedprice"),
+            )
+        )
+        return v_lo, v_hi
+
+    aggs = [F.max("n").alias("cnt")]
+    for name, p in Q9_PCTS:
+        v_lo, v_hi = bracket(p)
+        aggs += [v_lo.alias(f"_lo_{name}"), v_hi.alias(f"_hi_{name}")]
+    out = hist.groupBy("l_returnflag").agg(*aggs)
+
+    def interp(name: str, p: float):
+        pos = F.lit(p) * (F.col("cnt") - F.lit(1)).cast("double")
+        k_lo = F.floor(pos)
+        k_hi = -F.floor(-pos)
+        v_lo, v_hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
+        # Spark Percentile.getPercentile association, bit-for-bit:
+        exact = F.when(k_lo == k_hi, v_lo).otherwise(
+            (k_hi.cast("double") - pos) * v_lo
+            + (pos - k_lo.cast("double")) * v_hi
+        )
+        return F.round(exact, 6).alias(name)
+
+    return out.select(
+        "l_returnflag",
+        *[interp(name, p) for name, p in Q9_PCTS],
+        "cnt",
+    ).orderBy("l_returnflag")
 
 
 PCTL_ACCURACY = 10_000  # relative rank error ≤ 1/accuracy

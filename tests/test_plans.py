@@ -185,6 +185,23 @@ def test_q9b_sketch_partial_aggregates_map_side(spark, sf_dir):
     assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
 
 
+def test_q9_histogram_plan_is_domain_bounded(spark, sf_dir):
+    """The registered EXACT percentile plan must carry no unbounded
+    aggregation buffer: no ``percentile`` expression anywhere, the
+    first aggregate keyed by (flag, price) — per-group state is one
+    count, cardinality capped by the 2-dp price domain — partial
+    map-side, and the windows partitioned (by flag over the DISTINCT
+    price histogram, never the raw table)."""
+    p = plan(R.q9_price_percentiles(spark, sf_dir), "simple")
+    assert "percentile" not in p.lower()
+    assert "partial_count" in p  # histogram partial-aggregates map-side
+    assert "l_returnflag" in p and "l_extendedprice" in p
+    # both windows keyed on the flag, none global:
+    assert "Window" in p
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
+
+
 def test_corpus_split_no_shuffle_before_sort(spark, sf_dir):
     """The split assignment is a pure projection: the only exchanges
     allowed are fan_out's round-robin of scan rows and the output

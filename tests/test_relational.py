@@ -68,6 +68,22 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_q9_histogram_matches_builtin_percentile_bitwise(spark, sf_dir):
+    """The registered domain-bounded histogram plan must reproduce the
+    builtin exact ``percentile`` aggregate BIT-FOR-BIT (same
+    Percentile.getPercentile interpolation arithmetic), not merely
+    within tolerance — that identity is what lets the scale-safe plan
+    keep q9's hash-green DuckDB oracle."""
+    from hadoop_and_spark_spark.operators.relational import (
+        q9_percentiles_builtin,
+        q9_price_percentiles,
+    )
+
+    got = [tuple(r) for r in q9_price_percentiles(spark, sf_dir).collect()]
+    want = [tuple(r) for r in q9_percentiles_builtin(spark, sf_dir).collect()]
+    assert got == want
+
+
 def test_approx_percentile_tracks_exact(spark, sf_dir):
     """The registered 100 TB percentile plan (q9b's bounded-memory
     sketch) must land within 2% relative error of the exact
