@@ -135,6 +135,10 @@ def _clear_memo_caches(name: str) -> None:
         from hadoop_and_spark_spark.operators.similarity import _KMEANS_CACHE
 
         _KMEANS_CACHE.clear()
+    if name == "knn_ivf":
+        from hadoop_and_spark_spark.operators.similarity import _IVF_CACHE
+
+        _IVF_CACHE.clear()
     if name in ("personalized_pagerank", "pagerank_top_nodes"):
         from hadoop_and_spark_spark.operators.graph import _RANKS_CACHE
 
