@@ -22,6 +22,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .windows import TREND_FACTOR, TREND_MIN
@@ -49,6 +50,148 @@ def _trend_fn(
             "trending": [trending],
         }
     )
+
+
+WEEK_OUTPUT_SCHEMA = (
+    "key string, week string, cnt long, prev long, trending boolean"
+)
+
+
+def _trend_fn_week(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """_trend_fn with the batch's week label carried into the output
+    row (every row of a micro-batch shares one week by construction of
+    the replay source, so max() just reads it)."""
+    cur = 0
+    week = ""
+    for pdf in batches:
+        cur += len(pdf)
+        if len(pdf):
+            week = max(week, pdf["wk"].max())
+    prev = state.get[0] if state.exists else 0
+    trending = cur >= TREND_FACTOR * max(prev, 1) and cur >= TREND_MIN
+    state.update((cur,))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "week": [week],
+            "cnt": [cur],
+            "prev": [prev],
+            "trending": [trending],
+        }
+    )
+
+
+_STREAM_SEQ = [0]  # unique memory-sink names across repeat invocations
+
+
+def weekly_replay_path(sf_dir: str) -> str:
+    """Canonical on-disk location of the week-per-file replay source
+    for a corpus (the ivf_index_path marker pattern)."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"hs_trendwk_{digest}")
+
+
+def write_weekly_replay(spark, sf_dir: str, out_path: str) -> None:
+    """Split the events table into ONE parquet file per calendar week,
+    named and mtime-ordered so the file stream source replays the
+    weeks in order — each file becomes exactly one micro-batch under
+    maxFilesPerTrigger=1 (the deterministic stand-in for the
+    reference's manual-clock DStream batches,
+    a7/TrendingArrivalsTest.scala's scripted batch sequence)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("wk"),
+    )
+    weeks = sorted(r.wk for r in ev.select("wk").distinct().collect())
+    os.makedirs(out_path, exist_ok=True)
+    base = time.time()
+    for i, wk in enumerate(weeks):
+        stage = os.path.join(out_path, "_stage")
+        ev.where(F.col("wk") == wk).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(out_path, f"wk{i:03d}.parquet")
+        os.replace(part, dest)
+        shutil.rmtree(stage)
+        # mtime strictly increasing in week order (path order agrees),
+        # so the file source's oldest-first admission replays weeks
+        # chronologically.
+        os.utime(dest, (base + i, base + i))
+
+
+def trending_arrivals_stream(spark, sf_dir: str) -> DataFrame:
+    """T5 through the REAL stateful path, driver-checkable: replay the
+    events table week-by-week through ``applyInPandasWithState`` (one
+    calendar week per micro-batch via a file-per-week source under
+    ``maxFilesPerTrigger=1`` + Trigger.AvailableNow), capture the
+    update-mode output in a memory sink, and return it as a DataFrame.
+
+    Because a key emits exactly one row per batch it appears in, the
+    trajectory is SQL-expressible: per-(type, week) counts with
+    lag(cnt) over weeks — so unlike most stateful streaming this query
+    has a full DuckDB oracle (registered in streaming/windows.py), and
+    the driver's hash gate covers the state-store path itself, not a
+    batch twin.
+
+    Scale: state is one long per key; the memory sink holds
+    |keys|×|weeks| rows (a console/kafka sink in production). The
+    replay source is built once per corpus (build_once marker)."""
+    import tempfile
+
+    from ..sources.maintenance import build_once, source_marker
+
+    src = weekly_replay_path(sf_dir)
+    build_once(
+        src,
+        source_marker(sf_dir, "events", "trendwk_v1"),
+        lambda: write_weekly_replay(spark, sf_dir, src),
+    )
+    stream = (
+        spark.readStream.schema("event_type string, wk string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/wk*.parquet")
+    )
+    out = (
+        stream.select(F.col("event_type").alias("key"), "wk")
+        .groupBy("key")
+        .applyInPandasWithState(
+            _trend_fn_week,
+            outputStructType=WEEK_OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    qname = f"trend_weekly_{_STREAM_SEQ[0]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_trend_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).orderBy("key", "week")
 
 
 def trending_stream(events_stream: DataFrame, key_col: str = "event_type") -> DataFrame:

@@ -491,6 +491,31 @@ ORACLE_SQL: dict[str, str] = {
           AND cnt >= {TREND_FACTOR} * greatest(prev, 1)
         ORDER BY event_type, window_start
     """,
+    # The STATEFUL streaming path (applyInPandasWithState, one week
+    # per micro-batch): a key emits one row per batch it appears in
+    # with prev = its count in the last batch it appeared in — which
+    # is exactly lag(cnt) over the key's PRESENT weeks. Both engines
+    # truncate weeks to ISO Mondays.
+    "trending_arrivals_stream": f"""
+        WITH counts AS (
+            SELECT event_type AS key,
+                   strftime(date_trunc('week', ts::TIMESTAMP),
+                            '%Y-%m-%d') AS week,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT key, week, cnt,
+                   coalesce(lag(cnt) OVER (PARTITION BY key ORDER BY week),
+                            0) AS prev
+            FROM counts
+        )
+        SELECT key, week, cnt, prev,
+               (cnt >= {TREND_MIN}
+                AND cnt >= {TREND_FACTOR} * greatest(prev, 1)) AS trending
+        FROM lagged
+        ORDER BY key, week
+    """,
 }
 
 # Aggregate result types are pinned to Spark's: DuckDB widens
@@ -572,10 +597,17 @@ ORACLE_SQL["pseudonymize_events"] = f"""
     FROM events ORDER BY event_id
 """
 
+def _trending_arrivals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .trending import trending_arrivals_stream
+
+    return trending_arrivals_stream(spark, sf_dir)
+
+
 QUERIES = {
     "event_count_hourly": event_count_hourly,
     "region_event_count": region_event_count,
     "trending_arrivals_batch": trending_arrivals_batch,
+    "trending_arrivals_stream": _trending_arrivals_stream,
     "events_json_stats": events_json_stats,
     "user_reach_approx": user_reach_approx,
     "heavy_users_topk": heavy_users_topk,

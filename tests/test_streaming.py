@@ -241,6 +241,40 @@ def test_batch_stream_trend_trajectories(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+def test_trending_arrivals_stream_matches_sql_twin(spark, sf_dir):
+    """The REGISTERED stateful query (week-per-batch replay through
+    applyInPandasWithState) must reproduce the declarative lag-over-
+    weeks trajectory computed in Spark SQL — the third engine next to
+    the DuckDB oracle the driver hashes it against."""
+    from hadoop_and_spark_spark.streaming.trending import trending_arrivals_stream
+
+    got = sorted(
+        tuple(r) for r in trending_arrivals_stream(spark, sf_dir).collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.col("event_type").alias("key"),
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    lagw = W.Window.partitionBy("key").orderBy("week")
+    want = sorted(
+        tuple(r)
+        for r in counts.withColumn(
+            "prev", F.coalesce(F.lag("cnt").over(lagw), F.lit(0))
+        )
+        .withColumn(
+            "trending",
+            (F.col("cnt") >= W.TREND_MIN)
+            & (F.col("cnt") >= W.TREND_FACTOR * F.greatest("prev", F.lit(1))),
+        )
+        .collect()
+    )
+    assert got == want and got
+
+
 def test_streaming_geo_matches_batch(spark, tmp_path):
     """The taxi geo pipeline as a STREAM (CSV file source, one file
     per micro-batch) must produce exactly the batch query's windowed
