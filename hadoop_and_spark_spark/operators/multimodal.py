@@ -4,13 +4,17 @@ Driver-mandated extension (SURVEY §7 M7): treat image/audio/video as
 opaque ``binary`` columns and run decode / feature-extract /
 frame-sample as Arrow-batched Pandas UDFs (``mapInPandas``).
 
-The container ships no media libraries, so the *decode kernel* is a
-STUB: ``_decode_real`` raises NotImplementedError, and the pipeline
-uses ``_decode_fake`` — a deterministic function of the byte payload
-(documented below) — so the full Spark-side machinery (binary column
-through Arrow, batch iteration, output schema, downstream relational
-ops) is real and oracle-checked end-to-end. Swapping in PIL/ffmpeg is
-a one-function change.
+The container ships no media libraries, so the default pipeline uses
+``_decode_fake`` — a deterministic function of the byte payload
+(documented below) — keeping the full Spark-side machinery (binary
+column through Arrow, batch iteration, output schema, downstream
+relational ops) real and oracle-checked end-to-end. The REAL decode
+hook is live for the two dependency-free container formats:
+$SPARK_GRAFT_REAL_DECODE=1 switches ``multimodal_decode`` to
+``_decode_real``, which parses BMP image dimensions and RIFF/WAVE PCM
+durations straight from the container headers (fixture-pinned in
+tests); compressed formats (JPEG/MP4/...) still raise until
+PIL/ffmpeg is wired into that one function.
 
 Since the testdata has no media files, media bytes are synthesized as
 ``encode(text, 'UTF-8')`` with a media_type assigned by doc_id % 3 —
@@ -73,11 +77,61 @@ DECODE_SCHEMA = T.StructType(
 _TYPES = ("image", "audio", "video")
 
 
+REAL_DECODE_ENV = "SPARK_GRAFT_REAL_DECODE"  # "1" → decode real headers
+
+
 def _decode_real(media: bytes, media_type: str) -> dict:
-    """Real decoder hook (PIL/soundfile/ffmpeg). Not available in this
-    environment — STUB, clearly marked per the build contract."""
+    """Real decoder for the two uncompressed container formats whose
+    layouts are fully public and parseable without media libraries:
+
+    - BMP (``image``): width / |height| as little-endian int32 at
+      offsets 18 / 22 of the BITMAPINFOHEADER (height negative for
+      top-down files).
+    - RIFF/WAVE PCM (``audio``): walk the chunk list; duration_ms =
+      data-chunk bytes · 1000 / byte-rate from the fmt chunk.
+
+    feature = mean payload byte / 255 (a real embedding model slots in
+    here). Compressed formats (JPEG/PNG/MP4) still need PIL/ffmpeg —
+    this raises for them, keeping the production hook explicit."""
+    import struct
+
+    b = bytes(media)
+    n = len(b)
+    feature = (sum(b) / n / 255.0) if n else 0.0
+    if media_type == "image" and b[:2] == b"BM" and n >= 26:
+        width = struct.unpack_from("<i", b, 18)[0]
+        height = abs(struct.unpack_from("<i", b, 22)[0])
+        return {
+            "n_bytes": n,
+            "width": width,
+            "height": height,
+            "duration_ms": 0,
+            "n_frames": 1,
+            "feature": feature,
+        }
+    if media_type == "audio" and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        byte_rate = data_len = 0
+        off = 12
+        while off + 8 <= n:
+            cid = b[off : off + 4]
+            (clen,) = struct.unpack_from("<I", b, off + 4)
+            if cid == b"fmt " and off + 16 + 8 <= n:
+                (byte_rate,) = struct.unpack_from("<I", b, off + 16)
+            elif cid == b"data":
+                data_len = clen
+            off += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if byte_rate:
+            return {
+                "n_bytes": n,
+                "width": 0,
+                "height": 0,
+                "duration_ms": data_len * 1000 // byte_rate,
+                "n_frames": 0,
+                "feature": feature,
+            }
     raise NotImplementedError(
-        "media decode libraries are not installed; wire PIL/ffmpeg here"
+        f"no pure-python decoder for this {media_type} payload; "
+        "wire PIL/ffmpeg here"
     )
 
 
@@ -100,8 +154,8 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
     """mapInPandas kernel: one Arrow batch in, one metadata batch out.
 
     Vectorized over the batch; touches the raw bytes only through
-    ``len`` (the fake decode) — a real decoder would iterate
-    ``row.media`` here instead.
+    ``len`` (the fake decode) — the real-header twin is
+    ``_decode_batches_real``.
     """
     import pandas as pd
 
@@ -125,6 +179,36 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
             }
         )
         yield out
+
+
+def _decode_batches_real(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """mapInPandas kernel running the REAL per-row header parsers
+    (BMP/WAV). Row-at-a-time inside the Arrow batch — inherent to
+    decoding; the Arrow transfer and schema are shared with the fake
+    kernel."""
+    import pandas as pd
+
+    cols = [f.name for f in DECODE_SCHEMA]
+    for pdf in batches:
+        rows = [
+            {"doc_id": int(d), "media_type": t, **_decode_real(m, t)}
+            for d, m, t in zip(pdf["doc_id"], pdf["media"], pdf["media_type"])
+        ]
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def _decode_kernel():
+    """Kernel selection happens DRIVER-side at plan-build time (an
+    env check inside the worker would race the worker pool's startup
+    environment): $SPARK_GRAFT_REAL_DECODE=1 → real header parsers,
+    else the deterministic fake."""
+    import os
+
+    if os.environ.get(REAL_DECODE_ENV) == "1":
+        return _decode_batches_real
+    return _decode_batches
 
 
 FEAT_BUCKETS = 16
@@ -223,7 +307,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserves the sort.
     """
     media = fan_out_sorted(_media_table(spark, sf_dir), "doc_id")
-    return media.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+    return media.mapInPandas(_decode_kernel(), schema=DECODE_SCHEMA)
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
