@@ -63,6 +63,26 @@ def build_once(out_path: str, marker: str, build) -> bool:
     return True
 
 
+_SESSION_MEMO: dict[tuple[str, str], object] = {}
+
+
+def session_memo(spark: SparkSession, sf_dir: str, table: str, version: str, build):
+    """In-session twin of ``build_once``: memoize a derived artifact
+    (checkpointed frame, trained model, pair graph) per
+    (applicationId, source_marker) — the phase-handoff pattern the
+    PageRank/k-means/IVF memos share, centralized. The source marker
+    (path + mtime + size) invalidates the memo when the source table
+    is rewritten in-place; a new session starts cold (checkpoint
+    blocks die with the application). tools/scaling_probe.py clears
+    this dict so published cold numbers include the build."""
+    key = (spark.sparkContext.applicationId, source_marker(sf_dir, table, version))
+    hit = _SESSION_MEMO.get(key)
+    if hit is None:
+        hit = build()
+        _SESSION_MEMO[key] = hit
+    return hit
+
+
 def parquet_data_size(path: str) -> int:
     """Total bytes of parquet data files under ``path``."""
     total = 0

@@ -131,6 +131,12 @@ def build_probe_corpus(spark) -> None:
 # includes the iterative compute (training / convergence), not just
 # the cached extract.
 def _clear_memo_caches(name: str) -> None:
+    # The centralized session memo (postings, dup pair graph, trained
+    # spam models, weekly replay handles) — cleared for every probed
+    # query so cold numbers include artifact builds.
+    from hadoop_and_spark_spark.sources.maintenance import _SESSION_MEMO
+
+    _SESSION_MEMO.clear()
     if name in ("kmeans_centroids", "knn_ivf_kmeans"):
         from hadoop_and_spark_spark.operators.similarity import _KMEANS_CACHE
 
