@@ -14,13 +14,13 @@ per-query timing dict is written to BENCH_QUERIES.json at the repo
 root (committed per round).
 
 Timing protocol: one untimed warm-up pass over every query (Catalyst
-analysis + codegen + any build-once artifact), then TWO full timed
-passes over the whole suite, min per query. The second pass is
+analysis + codegen + any build-once artifact), then THREE full timed
+passes over the whole suite, min per query. The passes are
 interleaved (whole suite again, not back-to-back per query) so a GC
-pause or page-cache eviction that lands on one query in pass 1 is
-uncorrelated with pass 2 — back-to-back repeats on this host flap up
-to 7x on identical plans, while the min of two interleaved passes
-tracks the plan's actual cost.
+pause or page-cache eviction that lands on one query in one pass is
+uncorrelated with the others — back-to-back repeats on this host
+flap up to 7x on identical plans, while the min of interleaved
+passes tracks the plan's actual cost.
 """
 
 from __future__ import annotations
@@ -100,8 +100,11 @@ def main() -> None:
         return pass_t
 
     one_pass(timed=False)  # warm-up: plan compilation + build-once artifacts
-    p1 = one_pass(timed=True)
-    p2 = one_pass(timed=True)
+    # Three interleaved timed passes: this host's timing flaps up to
+    # 7x on identical plans (VM scheduler + GC + page cache), and a
+    # flap hitting the same query in all three full-suite passes is
+    # far less likely than in back-to-back repeats.
+    passes = [one_pass(timed=True) for _ in range(3)]
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -109,7 +112,7 @@ def main() -> None:
         if name in failed:
             timings[name] = -1.0
             continue
-        dt = min(p1.get(name, float("inf")), p2.get(name, float("inf")))
+        dt = min(p.get(name, float("inf")) for p in passes)
         timings[name] = round(dt, 3)
         total += dt
 
@@ -118,8 +121,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "pass1": {k: round(v, 3) for k, v in p1.items()},
-        "pass2": {k: round(v, 3) for k, v in p2.items()},
+        "passes": [
+            {k: round(v, 3) for k, v in p.items()} for p in passes
+        ],
         "sf": sf,
         "n_queries": len(timings),
     }

@@ -589,6 +589,181 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(_cent_frame(spark, cent_rows), idx)
 
 
+QUANT_BITS_MAX = 127  # symmetric int8 range
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    — the storage/serving compression step of an embedding pipeline
+    (4x smaller vectors; dot products rescale by scale_a·scale_b).
+
+    q_i = round-half-away-from-zero(x_i / scale), scale = max|x|/127
+    (zero vectors quantize to all-zero with scale 1). Pure codegen
+    projection + JVM-side posexplode — no shuffle, no Python; the
+    rounding is the portable floor form, so the DuckDB oracle
+    reproduces every cell bit-exactly and the driver hash-gates the
+    quantizer itself.
+    """
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    vec = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    amax = F.array_max(F.transform("emb", F.abs))
+    vec = vec.withColumn(
+        "scale",
+        F.when(amax > 0, amax / F.lit(float(QUANT_BITS_MAX))).otherwise(F.lit(1.0)),
+    )
+    ratio = F.col("x") / F.col("scale")
+    q = (
+        F.when(ratio < 0, -F.floor(-ratio + F.lit(0.5)))
+        .otherwise(F.floor(ratio + F.lit(0.5)))
+        .cast("int")
+    )
+    return (
+        vec.select(
+            "vec_id",
+            "scale",
+            F.posexplode("emb").alias("dim", "x"),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            q.alias("q"),
+            round6(F.col("scale")).alias("scale"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+PCA_K = 8
+
+
+def _gram_kernel(batches):
+    """Arrow kernel emitting each partition's Gram-matrix partial sums
+    (EMB_DIM² cells), per-dimension sums, and row count — the
+    in-mapper combiner (A3) for covariance: a task contributes
+    O(d²) cells no matter how many vectors it scans."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        X = np.stack(pdf["emb"].to_numpy())
+        G = X.T @ X
+        i, j = np.meshgrid(np.arange(EMB_DIM), np.arange(EMB_DIM), indexing="ij")
+        out = pd.DataFrame(
+            {
+                "i": i.ravel().astype("int32"),
+                "j": j.ravel().astype("int32"),
+                "g": G.ravel(),
+            }
+        )
+        sums = pd.DataFrame(
+            {
+                "i": np.arange(EMB_DIM, dtype="int32"),
+                "j": np.full(EMB_DIM, -1, dtype="int32"),
+                "g": X.sum(axis=0),
+            }
+        )
+        cnt = pd.DataFrame({"i": [-1], "j": [-1], "g": [float(len(X))]})
+        yield pd.concat([out, sums, cnt], ignore_index=True)
+
+
+def _pca_components(spark: SparkSession, sf_dir: str):
+    """Top-PCA_K principal components of the embedding corpus, trained
+    once per (session, corpus): ONE corpus pass aggregates the Gram
+    matrix / mean / count sufficient statistics (d² + d + 1 cells
+    total through the shuffle), the driver eigendecomposes the d×d
+    covariance (A9 collect-to-model — d=64, trivially driver-sized at
+    any corpus scale), and signs are canonicalized (largest-|loading|
+    coordinate positive) so the model is unique up to FP summation
+    order. Returns (components [k×d], eigenvalues desc, n)."""
+    import numpy as np
+
+    from ..sources.maintenance import session_memo
+
+    def build():
+        vec = _vectors(spark, sf_dir)
+        cells = (
+            vec.mapInPandas(_gram_kernel, "i int, j int, g double")
+            .groupBy("i", "j")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        G = np.zeros((EMB_DIM, EMB_DIM))
+        s = np.zeros(EMB_DIM)
+        n = 0.0
+        for c in cells:
+            if c.i == -1:
+                n = c.g
+            elif c.j == -1:
+                s[c.i] = c.g
+            else:
+                G[c.i, c.j] = c.g
+        if n == 0:
+            return [], [], 0
+        mean = s / n
+        cov = G / n - np.outer(mean, mean)
+        evals, evecs = np.linalg.eigh(cov)  # ascending
+        order = np.argsort(evals)[::-1][:PCA_K]
+        comps = []
+        for idx in order:
+            v = evecs[:, idx]
+            if v[np.argmax(np.abs(v))] < 0:  # canonical sign
+                v = -v
+            comps.append([float(x) for x in v])
+        return comps, [float(evals[i]) for i in order], int(n)
+
+    return session_memo(spark, sf_dir, "embeddings", "pca_v1", build)
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the corpus's top-PCA_K
+    principal components — the dimensionality-reduction / whitening
+    stage before clustering or coarse ANN (project once, index the
+    short vectors).
+
+    Train: _pca_components (one sufficient-statistics pass + 64×64
+    driver eigensolve, memoized per corpus). Apply: an Arrow kernel
+    multiplies each partition against the broadcast component matrix —
+    no shuffle; the only exchange is the d²-cell statistics gather.
+    Rows-only at the driver (covariance partial sums are FP-order-
+    dependent across partitions, so coordinates aren't bit-portable);
+    correctness is the NumPy-twin tolerance pin + variance-explained
+    ordering in tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    comps, _evals, _n = _pca_components(spark, sf_dir)
+    if not comps:
+        return spark.createDataFrame([], "vec_id long, k int, coord double")
+    W = np.array(comps)  # k × d
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["emb"].to_numpy())
+            P = X @ W.T  # n × k
+            n_rows, k = P.shape
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "k": np.tile(np.arange(k, dtype="int32"), n_rows),
+                    "coord": P.ravel(),
+                }
+            )
+
+    vec = _vectors(spark, sf_dir)
+    return (
+        vec.mapInPandas(project, "vec_id long, k int, coord double")
+        .select("vec_id", "k", round6(F.col("coord")).alias("coord"))
+        .orderBy("vec_id", "k")
+    )
+
+
 _VEC_CTE = f"""
     WITH vec AS (
         SELECT vec_id,
@@ -661,10 +836,36 @@ ORACLE_SQL: dict[str, str] = {
 
 ORACLE_SQL["knn_ivf_persisted"] = ORACLE_SQL["knn_ivf"]
 
+ORACLE_SQL["embedding_quantize"] = f"""
+    WITH vec AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, emb,
+               CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+                    THEN list_max(list_transform(emb, x -> abs(x)))
+                         / {float(QUANT_BITS_MAX)!r}::DOUBLE
+                    ELSE 1.0::DOUBLE END AS scale
+        FROM vec
+    ),
+    cells AS (
+        SELECT vec_id, dim::INT AS dim, emb[dim + 1] / scale AS ratio, scale
+        FROM scaled, (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS dim) g
+    )
+    SELECT vec_id, dim,
+           (CASE WHEN ratio < 0 THEN -floor(-ratio + 0.5)
+                 ELSE floor(ratio + 0.5) END)::INT AS q,
+           {round6_sql('scale')} AS scale
+    FROM cells ORDER BY vec_id, dim
+"""
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
     "knn_ivf_persisted": knn_ivf_persisted,
     "kmeans_centroids": kmeans_centroids,
     "knn_ivf_kmeans": knn_ivf_kmeans,
+    "embedding_quantize": embedding_quantize,
+    "embedding_pca": embedding_pca,
 }

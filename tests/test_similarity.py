@@ -158,3 +158,62 @@ def test_np_assignment_matches_fold(spark, sf_dir):
     fold = {r.vec_id: r.cid for r in sim._assign_rows(vec, cents).collect()}
     np_ = {r.vec_id: r.cid for r in sim._assign_np(vec, cents).collect()}
     assert fold == np_ and fold
+
+
+def test_embedding_quantize_roundtrip_error_bounded(spark, sf_dir):
+    """Dequantized values must sit within scale/2 of the original
+    (the defining property of round-to-nearest symmetric
+    quantization) and every q must fit int8."""
+    import pyspark.sql.functions as F
+
+    from hadoop_and_spark_spark.catalog import load_table
+
+    rows = similarity.embedding_quantize(spark, sf_dir).collect()
+    assert rows
+    orig = {
+        (r.vec_id, i): float(x)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding"))
+        .collect()
+        for i, x in enumerate(r.embedding)
+    }
+    for r in rows:
+        assert -127 <= r.q <= 127
+        # r.scale is rounded to 6 dp for the driver hash; the bound
+        # below loosens accordingly.
+        assert abs(orig[(r.vec_id, r.dim)] - r.q * r.scale) <= r.scale / 2 + 1e-4
+
+
+def test_embedding_pca_matches_numpy_twin_and_orders_variance(spark, sf_dir):
+    """The distributed sufficient-statistics PCA must agree with a
+    single-machine NumPy PCA over the collected corpus (tolerance:
+    partition-order FP drift only), with eigenvalues descending."""
+    import numpy as np
+
+    comps, evals, n = similarity._pca_components(spark, sf_dir)
+    assert len(comps) == similarity.PCA_K and n > 0
+    assert all(evals[i] >= evals[i + 1] - 1e-12 for i in range(len(evals) - 1))
+
+    vec = similarity._vectors(spark, sf_dir).collect()
+    X = np.array([list(r.emb) for r in vec])
+    cov = np.cov(X, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][: similarity.PCA_K]
+    for k, idx in enumerate(order):
+        tv = v[:, idx]
+        if tv[np.argmax(np.abs(tv))] < 0:
+            tv = -tv
+        assert abs(w[idx] - evals[k]) <= 1e-8 * max(1.0, abs(w[idx]))
+        assert np.max(np.abs(tv - np.array(comps[k]))) < 1e-6
+
+    # projected coords match X @ W^T within round6 + FP tolerance
+    got = {
+        (r.vec_id, r.k): r.coord
+        for r in similarity.embedding_pca(spark, sf_dir).collect()
+    }
+    W = np.array(comps)
+    P = X @ W.T
+    ids = [r.vec_id for r in vec]
+    for row, vid in enumerate(ids):
+        for k in range(similarity.PCA_K):
+            assert abs(got[(vid, k)] - P[row, k]) < 2e-6
