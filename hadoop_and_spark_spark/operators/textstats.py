@@ -752,11 +752,73 @@ _RATE_SQL = (
 )
 
 # doc_hashed_features oracle building blocks
+VOCAB_SIZE = 1000  # dictionary size; OOV encodes to id 0
+OOV_ID = 0
+
+
+def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encode the corpus — the tokenizer-prep step of a
+    training pipeline: build the top-VOCAB_SIZE vocabulary (token id =
+    frequency rank, ties broken by token, ids from 1; out-of-vocab →
+    OOV_ID) and emit every document as (doc_id, pos, token_id) rows,
+    the integer stream a trainer consumes.
+
+    Plan shape: token counts partial-aggregate map-side; the top-V cut
+    is orderBy+limit (TakeOrderedAndProject — no global sort), and the
+    id-assigning row_number window runs AFTER the limit over ≤ V rows,
+    so the only unbounded-input stages are the count aggregate and the
+    final broadcast-encode join: the vocabulary (≤ V rows at any
+    corpus size) broadcasts, and documents encode in place without a
+    shuffle — dictionary encoding at 100 TB is exactly this broadcast
+    hash join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    tok = fan_out(docs).select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    topv = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_SIZE)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = topv.withColumn("token_id", F.row_number().over(w)).select(
+        "token", "token_id"
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce("token_id", F.lit(OOV_ID)).alias("token_id"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 _TOKS = _TOKS_SQL
 _PH = poly_hash_sql("t")
 _FD = FEAT_DIM
 
 ORACLE_SQL: dict[str, str] = {
+    "doc_token_ids": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   generate_subscripts(toks, 1)::INT - 1 AS pos,
+                   unnest(toks) AS token
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        ),
+        vocab AS (
+            SELECT token,
+                   row_number() OVER (ORDER BY cnt DESC, token)::INT AS token_id
+            FROM (
+                SELECT token, count(*) AS cnt FROM tok GROUP BY token
+                ORDER BY cnt DESC, token LIMIT {VOCAB_SIZE}
+            )
+        )
+        SELECT t.doc_id, t.pos,
+               coalesce(v.token_id, {OOV_ID})::INT AS token_id
+        FROM tok t LEFT JOIN vocab v USING (token)
+        ORDER BY t.doc_id, t.pos
+    """,
     "pii_scrub": _pii_sql(),
     "profile_documents": _profile_sql(),
     "doc_hashed_features": f"""
@@ -928,4 +990,5 @@ QUERIES = {
     "doc_hashed_features": doc_hashed_features,
     "pii_scrub": pii_scrub,
     "profile_documents": profile_documents,
+    "doc_token_ids": doc_token_ids,
 }

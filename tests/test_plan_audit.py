@@ -27,7 +27,13 @@ from hadoop_and_spark_spark.registry import collect
 
 # Unpartitioned rank window over an orderBy+limit result (≤ k rows);
 # witness: TakeOrderedAndProject in the same plan.
-RANK_AFTER_LIMIT = {"tfidf_retrieval", "bm25_retrieval", "hybrid_retrieval"}
+RANK_AFTER_LIMIT = {
+    "tfidf_retrieval",
+    "bm25_retrieval",
+    "hybrid_retrieval",
+    # vocab ids: row_number over the top-V cut (≤ VOCAB_SIZE rows)
+    "doc_token_ids",
+}
 # Unpartitioned running window over a distinct-score aggregate —
 # cardinality is the score domain (bounded ints), never row count.
 DISTINCT_VALUE_WINDOW = {"spam_eval", "spam_eval_trained"}
