@@ -473,11 +473,19 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py. The corpus is localCheckpoint'ed once so
     the iteration re-reads materialized vectors, not the parquet scan
     (on a cluster: cache/persist of the projected columns)."""
+    from ..sources.maintenance import session_memo
+
     vec, cents, _hist = _trained_model(spark, sf_dir)
-    assigned = (
-        _assign_np(vec, cents, with_cos=True)
-        if cents
-        else _assign_rows(vec, cents).withColumn("best_cos", F.lit(0.0))
+    assigned = session_memo(
+        spark,
+        sf_dir,
+        "embeddings",
+        "kmeans_assigned_cos_v1",
+        lambda: (
+            _assign_np(vec, cents, with_cos=True)
+            if cents
+            else _assign_rows(vec, cents).withColumn("best_cos", F.lit(0.0))
+        ).localCheckpoint(eager=True),
     )
     stats = assigned.groupBy("cid").agg(
         F.count("*").alias("n_members"),
@@ -509,13 +517,23 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (upstream training is FP-order-dependent); recall@K_NN against
     the exact bruteforce is pinned in tests/test_similarity.py.
     Training is shared with kmeans_centroids via _trained_model."""
+    from ..sources.maintenance import session_memo
+
     vec, cents, _hist = _trained_model(spark, sf_dir)
     cent = spark.createDataFrame(
         list(cents), "cid int, c_emb array<double>, c_nrm double"
     )
-    assigned = (
-        _assign_np(vec, cents) if cents else _assign_rows(vec, cents)
-    ).localCheckpoint(eager=True)
+    # The trained inverted file, like the seed-model one in knn_ivf:
+    # written once per (session, corpus), every search seeks into it.
+    assigned = session_memo(
+        spark,
+        sf_dir,
+        "embeddings",
+        "kmeans_assigned_v1",
+        lambda: (
+            _assign_np(vec, cents) if cents else _assign_rows(vec, cents)
+        ).localCheckpoint(eager=True),
+    )
     return _ivf_search(cent, assigned)
 
 
