@@ -202,6 +202,31 @@ def test_q9_histogram_plan_is_domain_bounded(spark, sf_dir):
     assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
 
 
+def test_embedding_quantize_no_shuffle_no_python(spark, sf_dir):
+    """Quantization must be a pure codegen projection: no Exchange
+    other than the fan_out repartition of the scan, no Python stage,
+    only the embedding column read."""
+    from hadoop_and_spark_spark.operators import similarity as S
+
+    p = plan(S.embedding_quantize(spark, sf_dir), "simple")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Generate" in p  # JVM-side posexplode
+    body = p.split("ReadSchema")[0]
+    # the only exchanges allowed: fan_out round-robin + the final sort
+    assert body.count("Exchange hashpartitioning") == 0
+
+
+def test_doc_token_ids_vocab_broadcasts_and_topv_is_takeordered(spark, sf_dir):
+    """The encode join must broadcast the vocabulary (corpus never
+    shuffles for encoding) and the top-V cut must plan as
+    TakeOrderedAndProject, not a global sort."""
+    from hadoop_and_spark_spark.operators import textstats as TS
+
+    p = plan(TS.doc_token_ids(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+
+
 def test_corpus_split_no_shuffle_before_sort(spark, sf_dir):
     """The split assignment is a pure projection: the only exchanges
     allowed are fan_out's round-robin of scan rows and the output

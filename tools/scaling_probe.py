@@ -37,6 +37,9 @@ PROBE_GEN = 3  # bump when the replica-generation recipe changes
 # while the corpus 10x-es along the realistic axis (more users).
 DEFAULT_QUERIES = (
     "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "dedup_minhash_lsh",
     "tfidf_retrieval",
     "corpus_split",
     "stratified_sample",
