@@ -219,13 +219,30 @@ def _verified_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    # The intersect is evaluated inside a partial AGGREGATE, not a
+    # projection: candidate pairs are already distinct, so
+    # groupBy(pair).agg(first(...)) is a semantic no-op — but it is an
+    # expression BARRIER. In the plain project+filter form, Catalyst's
+    # CollapseProject + predicate pushdown substitute the jaccard
+    # expression into every reference, re-running the O(|sh|)
+    # array_intersect ~6x per pair (measured 2.5x wall on the 10x
+    # probe corpus, 19M candidates). The aggregate evaluates it ONCE
+    # map-side and ships only (pair, i, sa, sb) ints; the jaccard
+    # arithmetic downstream is scalar and free to duplicate.
+    sizes = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn(
-            "jaccard",
-            round6(inter.cast("double") / union.cast("double")),
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(inter).alias("i"),
+            F.first(F.size("sh_a")).alias("sa"),
+            F.first(F.size("sh_b")).alias("sb"),
+        )
+    )
+    union = (F.col("sa") + F.col("sb") - F.col("i")).cast("double")
+    return (
+        sizes.withColumn(
+            "jaccard", round6(F.col("i").cast("double") / union)
         )
         .where(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
@@ -953,14 +970,19 @@ def _embedding_pairs(
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    cosine = round6(
-        dot_fold(F.col("emb_a"), F.col("emb_b"))
-        / (F.col("nrm_a") * F.col("nrm_b"))
+    cos_raw = dot_fold(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
     )
+    # first()-aggregate barrier (see _verified_pairs): evaluates the
+    # O(dim) interpreted fold ONCE per candidate pair instead of ~6x
+    # through CollapseProject/pushdown duplication of the rounded +
+    # filtered cosine expression.
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first(cos_raw).alias("cos_raw"))
+        .select("vec_a", "vec_b", round6(F.col("cos_raw")).alias("cosine"))
         .where(F.col("cosine") >= cosine_t)
         .orderBy("vec_a", "vec_b")
     )
