@@ -334,6 +334,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
         .select(
             "doc_id",
+            F.size("arr").alias("sz"),
             F.explode(
                 F.transform(
                     F.slice(
@@ -348,10 +349,20 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
+    # AllPairs length filter: J(A,B) <= min/max, so J >= t requires
+    # min(|A|,|B|) >= t*max(|A|,|B|) — prunes size-incompatible
+    # collisions inside the join, before the distinct and the verify.
     cand = (
         prefix.alias("x")
-        .join(prefix.alias("y"), "s")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .join(
+            prefix.alias("y"),
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                F.least(F.col("x.sz"), F.col("y.sz"))
+                >= F.lit(JACCARD_T) * F.greatest(F.col("x.sz"), F.col("y.sz"))
+            ),
+        )
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
