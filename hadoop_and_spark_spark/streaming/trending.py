@@ -118,6 +118,7 @@ def write_weekly_replay(spark, sf_dir: str, out_path: str) -> None:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("wk"),
+        "ts",  # event time, for the windowed-aggregation replay twin
     )
     weeks = sorted(r.wk for r in ev.select("wk").distinct().collect())
     os.makedirs(out_path, exist_ok=True)
@@ -167,6 +168,70 @@ def trending_arrivals_stream(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def event_count_hourly_stream(spark, sf_dir: str) -> DataFrame:
+    """T2 through the REAL incremental engine, driver-checkable: the
+    hourly tumbling count as a watermarked streaming aggregation over
+    the week-per-micro-batch replay, update-mode memory sink.
+
+    Why the result is exact and oracle-checkable: the replay batches
+    partition event time by week, and hourly windows never straddle a
+    week boundary — so every window receives ALL its events in exactly
+    one micro-batch and emits exactly one update row. The sink content
+    therefore equals the batch query event_count_hourly, whose DuckDB
+    oracle this query shares. The watermark bounds state: windows a
+    week behind the stream are evicted after their single update (at
+    scale: state size = windows within the watermark horizon, not
+    stream history). Runs once per (session, corpus) like the trend
+    replay — a production stream executes continuously; re-invoking
+    reads its sink."""
+    from ..sources.maintenance import session_memo
+
+    return session_memo(
+        spark, sf_dir, "events", "hourlystream_run_v1",
+        lambda: _run_hourly_stream(spark, sf_dir),
+    )
+
+
+def _run_hourly_stream(spark, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.maintenance import build_once, source_marker
+    from .windows import _WINDOW_FMT
+
+    src = weekly_replay_path(sf_dir)
+    build_once(
+        src,
+        source_marker(sf_dir, "events", "trendwk_v2"),
+        lambda: write_weekly_replay(spark, sf_dir, src),
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/wk*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", _WINDOW_FMT).alias("window_start"),
+            "cnt",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    qname = f"hourly_stream_{_STREAM_SEQ[0]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_hourly_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).orderBy("window_start")
+
+
 def _run_weekly_replay(spark, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -175,7 +240,7 @@ def _run_weekly_replay(spark, sf_dir: str) -> DataFrame:
     src = weekly_replay_path(sf_dir)
     build_once(
         src,
-        source_marker(sf_dir, "events", "trendwk_v1"),
+        source_marker(sf_dir, "events", "trendwk_v2"),
         lambda: write_weekly_replay(spark, sf_dir, src),
     )
     stream = (

@@ -603,11 +603,23 @@ def _trending_arrivals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trending_arrivals_stream(spark, sf_dir)
 
 
+def _event_count_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .trending import event_count_hourly_stream
+
+    return event_count_hourly_stream(spark, sf_dir)
+
+
+# The streaming twin produces exactly the batch query's result (each
+# hourly window updates in exactly one week-batch), so it shares its
+# oracle.
+ORACLE_SQL["event_count_hourly_stream"] = ORACLE_SQL["event_count_hourly"]
+
 QUERIES = {
     "event_count_hourly": event_count_hourly,
     "region_event_count": region_event_count,
     "trending_arrivals_batch": trending_arrivals_batch,
     "trending_arrivals_stream": _trending_arrivals_stream,
+    "event_count_hourly_stream": _event_count_hourly_stream,
     "events_json_stats": events_json_stats,
     "user_reach_approx": user_reach_approx,
     "heavy_users_topk": heavy_users_topk,

@@ -275,6 +275,17 @@ def test_trending_arrivals_stream_matches_sql_twin(spark, sf_dir):
     assert got == want and got
 
 
+def test_event_count_hourly_stream_equals_batch(spark, sf_dir):
+    """The watermarked streaming aggregation over the weekly replay
+    must reproduce the batch hourly count exactly (each window updates
+    in exactly one week-batch, so the update-mode sink is complete)."""
+    from hadoop_and_spark_spark.streaming.trending import event_count_hourly_stream
+
+    got = sorted(tuple(r) for r in event_count_hourly_stream(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in W.event_count_hourly(spark, sf_dir).collect())
+    assert got == want and got
+
+
 def test_streaming_geo_matches_batch(spark, tmp_path):
     """The taxi geo pipeline as a STREAM (CSV file source, one file
     per micro-batch) must produce exactly the batch query's windowed
