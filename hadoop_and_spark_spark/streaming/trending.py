@@ -232,6 +232,67 @@ def _run_hourly_stream(spark, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("window_start")
 
 
+def region_event_count_stream(spark, sf_dir: str) -> DataFrame:
+    """T3 through the incremental engine: the KEYED tumbling count
+    (classify event_type -> region, 10-minute windows) as a
+    watermarked streaming aggregation over the weekly replay — the
+    keyed-state companion to event_count_hourly_stream (T2) and
+    trending_arrivals_stream (T5), completing the reference's
+    streaming trio through the driver's hash gate. Exactness argument
+    identical to the hourly twin: 10-minute windows never straddle the
+    week-batch boundaries, so each (region, window) updates exactly
+    once and the update-mode sink equals the batch query — whose
+    oracle it shares."""
+    from ..sources.maintenance import session_memo
+
+    return session_memo(
+        spark, sf_dir, "events", "regionstream_run_v1",
+        lambda: _run_region_stream(spark, sf_dir),
+    )
+
+
+def _run_region_stream(spark, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.maintenance import build_once, source_marker
+    from .windows import _WINDOW_FMT, _classify
+
+    src = weekly_replay_path(sf_dir)
+    build_once(
+        src,
+        source_marker(sf_dir, "events", "trendwk_v2"),
+        lambda: write_weekly_replay(spark, sf_dir, src),
+    )
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/wk*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .select(_classify(F.col("event_type")).alias("region"), "ts")
+        .groupBy("region", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "region",
+            F.date_format("w.start", _WINDOW_FMT).alias("window_start"),
+            "cnt",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    qname = f"region_stream_{_STREAM_SEQ[0]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_region_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).orderBy("region", "window_start")
+
+
 def _run_weekly_replay(spark, sf_dir: str) -> DataFrame:
     import tempfile
 

@@ -613,6 +613,14 @@ def _event_count_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hourly window updates in exactly one week-batch), so it shares its
 # oracle.
 ORACLE_SQL["event_count_hourly_stream"] = ORACLE_SQL["event_count_hourly"]
+ORACLE_SQL["region_event_count_stream"] = ORACLE_SQL["region_event_count"]
+
+
+def _region_event_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .trending import region_event_count_stream
+
+    return region_event_count_stream(spark, sf_dir)
+
 
 QUERIES = {
     "event_count_hourly": event_count_hourly,
@@ -620,6 +628,7 @@ QUERIES = {
     "trending_arrivals_batch": trending_arrivals_batch,
     "trending_arrivals_stream": _trending_arrivals_stream,
     "event_count_hourly_stream": _event_count_hourly_stream,
+    "region_event_count_stream": _region_event_count_stream,
     "events_json_stats": events_json_stats,
     "user_reach_approx": user_reach_approx,
     "heavy_users_topk": heavy_users_topk,

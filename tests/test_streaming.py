@@ -286,6 +286,16 @@ def test_event_count_hourly_stream_equals_batch(spark, sf_dir):
     assert got == want and got
 
 
+def test_region_event_count_stream_equals_batch(spark, sf_dir):
+    """Keyed-window streaming twin ≡ batch query (same one-update-per-
+    window argument as the hourly twin)."""
+    from hadoop_and_spark_spark.streaming.trending import region_event_count_stream
+
+    got = sorted(tuple(r) for r in region_event_count_stream(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in W.region_event_count(spark, sf_dir).collect())
+    assert got == want and got
+
+
 def test_streaming_geo_matches_batch(spark, tmp_path):
     """The taxi geo pipeline as a STREAM (CSV file source, one file
     per micro-batch) must produce exactly the batch query's windowed

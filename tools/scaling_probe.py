@@ -56,6 +56,17 @@ DEFAULT_QUERIES = (
     "cohort_retention",
     "kmeans_centroids",
     "knn_ivf_kmeans",
+    # round-5 additions (all memoized paths probe COLD — the memo is
+    # cleared per timed run; documents/events/embeddings only)
+    "dedup_survivors",
+    "doc_token_ids",
+    "embedding_quantize",
+    "embedding_pca",
+    "trending_arrivals_stream",
+    "event_count_hourly_stream",
+    "boolean_retrieval",
+    "knn_ivf",
+    "spam_train",
 )
 
 
