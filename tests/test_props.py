@@ -192,3 +192,46 @@ def test_connected_components_vs_union_find(spark, edges):
         comp_min[r] = min(comp_min.get(r, n), n)
     want = {(n, comp_min[find(n)]) for n in nodes}
     assert got == want
+
+
+def test_round6_signed_three_way_parity(spark):
+    """round6 (Spark expression), round6_sql (DuckDB), and the Python
+    reference must agree bit-for-bit on SIGNED values, including exact
+    .xxxxxx5 ties on both sides of zero — the half-away-from-zero
+    contract the round-4 advisory asked for."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.functions.portable import (
+        _lcg_stream,
+        round6,
+        round6_sql,
+    )
+
+    vals = [0.0, 1.0000005, -1.0000005, 2.5e-7, -2.5e-7, 3.14159265,
+            -3.14159265, 123456.789012349, -123456.789012349]
+    gen = _lcg_stream(99)
+    for _ in range(400):
+        x = (next(gen) % 10_000_000) / 499.0 - 10_000.0
+        vals.append(x)
+
+    def py_round6(x: float) -> float:
+        mag = math.floor(abs(x) * 1e6 + 0.5) / 1e6
+        return -mag if x < 0 else mag
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [r.y for r in sdf.select(round6(F.col("x")).alias("y")).collect()]
+    con = duckdb.connect()
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {round6_sql('x')} FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+            [vals],
+        ).fetchall()
+    ]
+    con.close()
+    want = [py_round6(v) for v in vals]
+    assert got_spark == want
+    assert got_duck == want
