@@ -13,6 +13,19 @@ The batch-checkable twin (lag() over event-time windows) lives in
 streaming/windows.py::trending_arrivals_batch; tests replay the same
 events through both and cross-check the alert semantics on scripted
 burst sequences.
+
+The module also hosts the WEEKLY REPLAY harness — the events table
+split into one parquet file per calendar week, mtime/name-ordered so
+a maxFilesPerTrigger=1 file source replays the weeks as deterministic
+micro-batches (the Structured-Streaming stand-in for the reference's
+manual-clock DStream batches) — and the three registered queries that
+run REAL streaming execution under the driver's hash gate on top of
+it: trending_arrivals_stream (T5, applyInPandasWithState),
+event_count_hourly_stream (T2) and region_event_count_stream (T3,
+both watermarked windowed aggregations whose update-mode sinks equal
+their batch twins because windows never straddle week boundaries).
+Each runs once per (session, corpus) via the session memo — a
+production stream executes continuously; re-invoking reads its sink.
 """
 
 from __future__ import annotations
