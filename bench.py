@@ -21,6 +21,17 @@ pause or page-cache eviction that lands on one query in one pass is
 uncorrelated with the others — back-to-back repeats on this host
 flap up to 7x on identical plans, while the min of interleaved
 passes tracks the plan's actual cost.
+
+Memoized queries: several registered queries serve a per-(session,
+corpus) derived artifact (dup pair graph, trained models, replay
+streams, IVF index) from a session memo, so their warm rows price the
+serving read, not the build — the deployment contract of an index or
+stream. To keep the artifact self-describing, bench detects memo
+usage mechanically (session_memo call counting during the warm-up
+pass + the known module-local caches) and re-times each such query
+COLD (all session caches cleared) after the timed passes; the cold
+numbers land under "memoized" in BENCH_QUERIES.json next to the warm
+rows.
 """
 
 from __future__ import annotations
@@ -36,10 +47,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hadoop_and_spark_spark.registry import collect
 from hadoop_and_spark_spark.session import get_spark
+from hadoop_and_spark_spark.sources import maintenance
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 N_SLOWEST_INLINE = 10  # per-query entries that fit the driver's tail window
+
+# Queries served from module-local model caches that do NOT route
+# through maintenance.session_memo (whose calls are detected
+# mechanically via MEMO_TOUCHES): IVF centroid/inverted-file memos,
+# the k-means model, converged PageRank ranks. Their warm rows also
+# need a cold twin in the artifact.
+EXTRA_MEMOIZED = {
+    "knn_ivf",
+    "knn_ivf_persisted",
+    "kmeans_centroids",
+    "knn_ivf_kmeans",
+    "personalized_pagerank",
+    "pagerank_top_nodes",
+}
 
 
 def main() -> None:
@@ -76,6 +102,7 @@ def main() -> None:
     # handles the rare GC flap instead.)
 
     failed: set[str] = set()
+    memo_users: set[str] = set(EXTRA_MEMOIZED)
 
     def one_pass(timed: bool) -> dict[str, float]:
         pass_t: dict[str, float] = {}
@@ -90,6 +117,7 @@ def main() -> None:
             # checkpoint blocks across 80 queries and heap pressure
             # inflates the tail of the run.
             gc.collect()
+            touches0 = maintenance.MEMO_TOUCHES
             try:
                 t0 = time.perf_counter()
                 queries[name](spark, SF_DIR).collect()
@@ -97,6 +125,8 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — record, keep benching
                 print(f"# bench FAILED {name}: {exc}", file=sys.stderr)
                 failed.add(name)
+            if maintenance.MEMO_TOUCHES != touches0:
+                memo_users.add(name)
         return pass_t
 
     one_pass(timed=False)  # warm-up: plan compilation + build-once artifacts
@@ -116,6 +146,23 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # Cold re-pricing of every memo-served query (detected
+    # mechanically via session_memo call counting during the warm-up
+    # pass, plus the module-local model caches): the warm rows above
+    # measure the serving contract (index built once, queries seek);
+    # cold_s measures the BUILD — both belong in the artifact so a
+    # 0.02 s cached read can't be mistaken for pipeline cost.
+    memoized_cold: dict[str, float] = {}
+    for name in sorted(memo_users - failed):
+        maintenance.clear_session_caches()
+        gc.collect()
+        try:
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).collect()
+            memoized_cold[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# bench cold-run FAILED {name}: {exc}", file=sys.stderr)
+
     detail = {
         "metric": "bench_total",
         "value": round(total, 3),
@@ -124,6 +171,8 @@ def main() -> None:
         "passes": [
             {k: round(v, 3) for k, v in p.items()} for p in passes
         ],
+        # warm (memo-served) rows in "queries"; their cold build cost:
+        "memoized": memoized_cold,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -147,6 +196,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": len(failed),
+                "n_memoized": len(memoized_cold),
                 "detail": "BENCH_QUERIES.json",
             },
             separators=(",", ":"),

@@ -78,6 +78,12 @@ SHINGLE_N = 3  # token trigrams
 JACCARD_T = 0.7  # near-dup threshold (planted dups sit at ≈0.97; the
 # corpus has no pairs between ~0.1 and 0.9, so 0.7 keeps every true
 # dup while giving the prefix filter a short prefix: |A|−⌈0.7|A|⌉+1)
+# Prune-side threshold, strictly slacker than the accept filter: the
+# verify accepts round6(J) >= JACCARD_T, which admits true Jaccard
+# down to JACCARD_T − 5e-7, so every PRUNE (prefix length, AllPairs
+# length filter) must use a bound <= that — otherwise a boundary pair
+# the DuckDB oracle keeps could be pruned before verification.
+JACCARD_T_PRUNE = JACCARD_T - 1e-6
 MINHASH_K = 64
 MINHASH_BANDS = 16
 MINHASH_ROWS = 4  # 16 × 4 = 64
@@ -246,7 +252,7 @@ def _verified_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -281,7 +287,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_copies"),
             F.min("doc_id").alias("keep_doc_id"),
         )
-        .orderBy("text_md5")
+        .sortWithinPartitions("text_md5")
     )
 
 
@@ -341,7 +347,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "arr",
                         1,
                         F.size("arr")
-                        - F.ceil(F.lit(JACCARD_T) * F.size("arr")).cast("int")
+                        - F.ceil(F.lit(JACCARD_T_PRUNE) * F.size("arr")).cast("int")
                         + 1,
                     ),
                     lambda x: x["s"],
@@ -352,6 +358,11 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AllPairs length filter: J(A,B) <= min/max, so J >= t requires
     # min(|A|,|B|) >= t*max(|A|,|B|) — prunes size-incompatible
     # collisions inside the join, before the distinct and the verify.
+    # Both prune sites use JACCARD_T_PRUNE (t − 1e-6), strictly
+    # slacker than the verify's round6(J) >= t (which admits true J
+    # down to t − 5e-7): pruning can never be tighter than the
+    # rounded accept filter, so no boundary pair the oracle keeps can
+    # be dropped Spark-side.
     cand = (
         prefix.alias("x")
         .join(
@@ -360,7 +371,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.doc_id") < F.col("y.doc_id"))
             & (
                 F.least(F.col("x.sz"), F.col("y.sz"))
-                >= F.lit(JACCARD_T) * F.greatest(F.col("x.sz"), F.col("y.sz"))
+                >= F.lit(JACCARD_T_PRUNE) * F.greatest(F.col("x.sz"), F.col("y.sz"))
             ),
         )
         .select(
@@ -623,7 +634,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").alias("cluster_id"),
         )
         .withColumn("cluster_size", F.count("*").over(wsize))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -655,7 +666,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("absorbed", F.lit(0).cast("long")).alias("absorbed"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -799,7 +810,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= HAMMING_MAX)
         .distinct()
-        .orderBy("doc_a", "doc_b")
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 
@@ -995,7 +1006,7 @@ def _embedding_pairs(
         .agg(F.first(cos_raw).alias("cos_raw"))
         .select("vec_a", "vec_b", round6(F.col("cos_raw")).alias("cosine"))
         .where(F.col("cosine") >= cosine_t)
-        .orderBy("vec_a", "vec_b")
+        .sortWithinPartitions("vec_a", "vec_b")
     )
 
 
@@ -1262,7 +1273,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 

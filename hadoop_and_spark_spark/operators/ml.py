@@ -183,7 +183,7 @@ def spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") / 500.0, 4).alias("score"),
             F.when(F.col("s") > 0, "spam").otherwise("ham").alias("prediction"),
         )
-        .orderBy("docid")
+        .sortWithinPartitions("docid")
     )
 
 
@@ -210,7 +210,7 @@ def spam_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         vote.alias("vote"),
         F.when(avg > 0, "spam").otherwise("ham").alias("pred_avg"),
         F.when(vote > 0, "spam").otherwise("ham").alias("pred_vote"),
-    ).orderBy("docid")
+    ).sortWithinPartitions("docid")
 
 
 def spam_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
-from ..session import fan_out_sorted
+from ..session import fan_out_local_sorted
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -277,7 +277,7 @@ def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape similarity/dedup operators consume (not registered with the
     driver: list cells break its pandas canonicalizer; pinned by
     tests/test_multimodal.py instead)."""
-    media = fan_out_sorted(_media_table(spark, sf_dir), "doc_id")
+    media = fan_out_local_sorted(_media_table(spark, sf_dir), "doc_id")
     return media.mapInPandas(_features_batches, schema=FEATURES_SCHEMA)
 
 
@@ -301,12 +301,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The doc_id sort happens on the cheap (scan + encode) input, not
     the kernel output: sorting after mapInPandas would make the
     range-partition sampling pass run the Python kernel a second
-    time. fan_out_sorted rather than orderBy, so the decode kernel
-    keeps one task per core instead of the single AQE-coalesced
-    post-sort partition. The kernel is 1-row-in/1-row-out, so it
-    preserves the sort.
+    time. fan_out_local_sorted rather than a global sort: the fan-out
+    keeps one task per core locally and disappears at scale (input
+    splits >> cores), and the within-partition doc_id order is all a
+    corpus-sized output should pay for. The kernel is
+    1-row-in/1-row-out, so it preserves the partition-local sort.
     """
-    media = fan_out_sorted(_media_table(spark, sf_dir), "doc_id")
+    media = fan_out_local_sorted(_media_table(spark, sf_dir), "doc_id")
     return media.mapInPandas(_decode_kernel(), schema=DECODE_SCHEMA)
 
 

@@ -180,7 +180,7 @@ def _session_ivf_index(
     the key invalidates the memo when the embeddings table is
     rewritten in-place. Cold build cost is published honestly by
     tools/scaling_probe.py, which clears this cache per timed run."""
-    from ..sources.maintenance import source_marker
+    from ..sources.maintenance import evict_superseded, source_marker
 
     key = (
         spark.sparkContext.applicationId,
@@ -198,6 +198,7 @@ def _session_ivf_index(
         # localCheckpoint is its in-session stand-in.
         assigned = _assign_rows(vec, cent_rows).localCheckpoint(eager=True)
         hit = (cent_rows, assigned)
+        evict_superseded(_IVF_CACHE, key)
         _IVF_CACHE[key] = hit
     return hit
 
@@ -449,7 +450,7 @@ def _trained_model(spark: SparkSession, sf_dir: str):
     build_once staleness discipline: rewriting the embeddings table
     in-place during a long-lived session invalidates the memo instead
     of serving a model trained on the old corpus."""
-    from ..sources.maintenance import source_marker
+    from ..sources.maintenance import evict_superseded, source_marker
 
     key = (
         spark.sparkContext.applicationId,
@@ -460,6 +461,7 @@ def _trained_model(spark: SparkSession, sf_dir: str):
         vec = _vectors(spark, sf_dir).localCheckpoint(eager=True)
         cents, hist = train_spherical_kmeans(vec)
         hit = (vec, cents, hist)
+        evict_superseded(_KMEANS_CACHE, key)
         _KMEANS_CACHE[key] = hit
     return hit
 
@@ -577,7 +579,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings-keyed marker is missing/stale (maintenance.build_once)
     — ANN serving builds the index once and every query seeks, so
     repeat invocations measure the probe path."""
-    from ..sources.maintenance import build_once, source_marker
+    from ..sources.maintenance import build_once, evict_superseded, source_marker
 
     out = ivf_index_path(sf_dir)
     marker = source_marker(sf_dir, "embeddings", "ivf_v1")
@@ -603,6 +605,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id")
             .collect()
         ]
+        evict_superseded(_PERSISTED_CENT_CACHE, ckey)
         _PERSISTED_CENT_CACHE[ckey] = cent_rows
     return _ivf_search(_cent_frame(spark, cent_rows), idx)
 
@@ -620,7 +623,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection + JVM-side posexplode — no shuffle, no Python; the
     rounding is the portable floor form, so the DuckDB oracle
     reproduces every cell bit-exactly and the driver hash-gates the
-    quantizer itself.
+    quantizer itself. Output order is within-partition only: the
+    ×EMB_DIM-exploded stream is the registry's biggest output, and a
+    global orderBy would range-partition-shuffle it purely for
+    presentation (the driver hash is order-insensitive).
     """
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     vec = emb.select(
@@ -650,7 +656,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.alias("q"),
             round6(F.col("scale")).alias("scale"),
         )
-        .orderBy("vec_id", "dim")
+        .sortWithinPartitions("vec_id", "dim")
     )
 
 
@@ -810,7 +816,7 @@ ORACLE_SQL: dict[str, str] = {
                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
             FROM scored
         )
-        SELECT query_id, rank, neighbor_id, (floor(cos_raw * 1000000 + 0.5) / 1000000) AS cosine
+        SELECT query_id, rank, neighbor_id, {round6_sql('cos_raw')} AS cosine
         FROM ranked WHERE rank <= {K_NN}
         ORDER BY query_id, rank
     """,
@@ -846,7 +852,7 @@ ORACLE_SQL: dict[str, str] = {
                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
             FROM scored
         )
-        SELECT query_id, rank, neighbor_id, (floor(cos_raw * 1000000 + 0.5) / 1000000) AS cosine
+        SELECT query_id, rank, neighbor_id, {round6_sql('cos_raw')} AS cosine
         FROM ranked WHERE rank <= {K_NN}
         ORDER BY query_id, rank
     """,

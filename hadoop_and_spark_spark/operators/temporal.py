@@ -131,7 +131,7 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(c_us, F.lit(NO_MATCH)).alias("click_us"),
             F.coalesce(p_us - c_us, F.lit(NO_MATCH)).alias("gap_us"),
         )
-        .orderBy("purchase_id")
+        .sortWithinPartitions("purchase_id")
     )
 
 
@@ -166,7 +166,7 @@ def sessionize(ev: DataFrame) -> DataFrame:
             "n_events",
             "session_value",
         )
-        .orderBy("user_id", "session_start_us")
+        .sortWithinPartitions("user_id", "session_start_us")
     )
 
 
@@ -223,7 +223,7 @@ def range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("purchase_id", "user_id", F.col("p_us").alias("purchase_us"))
         .agg(F.sum("hit").alias("n_clicks_24h"))
-        .orderBy("purchase_id")
+        .sortWithinPartitions("purchase_id")
     )
 
 
@@ -344,7 +344,7 @@ def next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_type").isNotNull() & (F.col("gap_us") <= PAIR_GAP_US)
         )
         .select("event_id", "user_id", "event_type", "next_type", "gap_us")
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 

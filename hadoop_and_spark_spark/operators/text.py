@@ -318,7 +318,7 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bigrams",
             round6(F.col("su") / F.col("n_bigrams") / 1e6).alias("surprisal"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 

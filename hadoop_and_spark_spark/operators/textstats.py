@@ -17,10 +17,12 @@ runs before filtering/sampling:
   et al., SIGMOD'03): rolling poly-hash over char 8-grams, min-hash
   per sliding window of 4, distinct sorted mins as the fingerprint.
 
-The first three are pure built-in-function projections — no UDFs, no
-shuffles except the orderBy (applied to the narrow scan, before the
-projection, so range-partition sampling never re-runs the heavy
-expressions) — so they run at scan speed inside whole-stage codegen.
+The first three are pure built-in-function projections — no UDFs, and
+no shuffle at scale (the round-robin fan-out disappears once the scan
+has enough input splits; output order is within-partition only — a
+global sort of a corpus-sized output would add a full range-partition
+shuffle for presentation) — so they run at scan speed inside
+whole-stage codegen.
 ``winnow_fingerprint`` is the measured exception: its nested
 higher-order functions execute interpreted, so it ships as an
 Arrow-batched numpy kernel instead (2.6× faster at sf0.1), with the
@@ -39,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
-from ..session import fan_out, fan_out_sorted
+from ..session import fan_out, fan_out_local_sorted
 from ..functions.portable import (
     HASH_P,
     let_col,
@@ -82,11 +84,10 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit_cols = [_hits(toks, STOPWORDS[lang]).alias(f"h_{lang}") for lang in _LANGS]
     # Sort the narrow scan first: orderBy after the projection would
     # re-execute the lexicon scoring in the range-sampling pass.
-    scored = (
-        docs.select("doc_id", F.col("lang").alias("lang_meta"), "text")
-        .orderBy("doc_id")
-        .select("doc_id", "lang_meta", *hit_cols)
-    )
+    scored = fan_out_local_sorted(
+        docs.select("doc_id", F.col("lang").alias("lang_meta"), "text"),
+        "doc_id",
+    ).select("doc_id", "lang_meta", *hit_cols)
     mx = F.greatest(*[F.col(f"h_{lang}") for lang in _LANGS])
     pred = F.when(mx == 0, "und")
     for lang in _LANGS:
@@ -110,17 +111,15 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     alnum = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).cast(
         "double"
     )
-    base = (
-        docs.select("doc_id", "text")
-        .orderBy("doc_id")  # sort narrow scan, not the feature projection
-        .select(
-            "doc_id",
-            n_chars.alias("n_chars"),
-            n_tok.alias("n_tokens"),
-            round6(n_dist / F.greatest(n_tok, F.lit(1.0))).alias("distinct_ratio"),
-            round6(sw / F.greatest(n_tok, F.lit(1.0))).alias("stopword_ratio"),
-            round6(alnum / F.greatest(n_chars, F.lit(1.0))).alias("alnum_ratio"),
-        )
+    base = fan_out_local_sorted(
+        docs.select("doc_id", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        round6(n_dist / F.greatest(n_tok, F.lit(1.0))).alias("distinct_ratio"),
+        round6(sw / F.greatest(n_tok, F.lit(1.0))).alias("stopword_ratio"),
+        round6(alnum / F.greatest(n_chars, F.lit(1.0))).alias("alnum_ratio"),
     )
     score = round6(
         0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
@@ -136,19 +135,17 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
-    return (
-        docs.select("doc_id", "text")
-        .orderBy("doc_id")  # sort narrow scan, not the token-count projection
-        .select(
-            "doc_id",
-            F.length("text").alias("n_chars"),
-            ws.alias("ws_tokens"),
-            bpe.alias("bpe_tokens"),
-            round6(
-                F.length("text").cast("double")
-                / F.greatest(ws.cast("double"), F.lit(1.0))
-            ).alias("chars_per_token"),
-        )
+    return fan_out_local_sorted(
+        docs.select("doc_id", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        round6(
+            F.length("text").cast("double")
+            / F.greatest(ws.cast("double"), F.lit(1.0))
+        ).alias("chars_per_token"),
     )
 
 
@@ -229,11 +226,10 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.3 s kernel — the one case in this module where the "built-ins
     first" rule loses. The kernel is a pure projection (no shuffle,
     no state), so it scales embarrassingly-parallel with input splits.
-    The sort sits on the narrow (doc_id, text) scan BEFORE the kernel
-    (sorting after would make the range-partition sampling pass
-    execute the kernel a second time), as fan_out_sorted — a plain
-    orderBy over a small scan gets AQE-coalesced to ONE post-shuffle
-    partition, serializing the kernel.
+    The narrow (doc_id, text) scan fans out round-robin before the
+    kernel (a no-op once the scan has real input splits) and sorts
+    within partitions only — corpus-sized output, so a global range
+    sort would be a pure-presentation full shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
 
@@ -252,7 +248,7 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return fan_out_sorted(docs.select("doc_id", "text"), "doc_id").mapInPandas(
+    return fan_out_local_sorted(docs.select("doc_id", "text"), "doc_id").mapInPandas(
         kernel, "doc_id bigint, n_fp int, fingerprint string"
     )
 
@@ -294,7 +290,8 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-sharding/re-iding of the corpus and stays reproducible across
     engines; bounding the hashed prefix keeps the per-row fold O(64)
     instead of O(doc length). Scan-bound projection with no shuffle
-    but the output orderBy (the higher-order hash fold itself runs
+    at scale (fan-out is split-count-guarded; ordering is
+    within-partition only; the higher-order hash fold runs
     interpreted — CodegenFallback — but bounded at 64 chars/row); at
     scale the split is a WHERE clause on this same expression (no
     materialization needed).
@@ -312,7 +309,7 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("bucket") < SPLIT_VAL_LT, "val")
             .otherwise("test"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -360,7 +357,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate_k"))
         .where(F.col("bucket") < F.col("rate_k"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -458,9 +455,9 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     are taken per-pattern on the ORIGINAL text; redaction chains
     email → IP → phone (phones can't span the dots of an IP, and
     placeholders contain no digits, so the chain is order-stable).
-    Pure regex projection, scan-bound, no shuffle but the output
-    orderBy — at scale this fuses into the corpus scan like the other
-    cleaning passes."""
+    Pure regex projection, scan-bound, shuffle-free (within-partition
+    output order only) — at scale this fuses into the corpus scan
+    like the other cleaning passes."""
     docs = spark.read.csv(
         PII_FIXTURE, sep="|", schema="doc_id bigint, text string"
     )
@@ -486,7 +483,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_pii",
             (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0,
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -579,7 +576,7 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup3_ratio") <= REP_MAX_DUP3)
             & (F.col("top_tok_share") <= REP_MAX_TOP),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -632,7 +629,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start",
         F.col("ch.n").alias("n_chunk_tokens"),
         F.col("ch.t").alias("chunk_text"),
-    ).orderBy("doc_id", "chunk_id")
+    ).sortWithinPartitions("doc_id", "chunk_id")
 
 
 PACK_BUCKETS = 8  # packing parallelism; sequences never span buckets
@@ -688,7 +685,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.floor(F.col("start_off") / SEQ_BUDGET)
             ).cast("long").alias("seq_id"),
         )
-        .orderBy("bucket", "doc_id")
+        .sortWithinPartitions("bucket", "doc_id")
     )
 
 
@@ -737,7 +734,7 @@ def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h.n").alias("n_features"),
             F.col("h.s").alias("features"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -770,7 +767,10 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     final broadcast-encode join: the vocabulary (≤ V rows at any
     corpus size) broadcasts, and documents encode in place without a
     shuffle — dictionary encoding at 100 TB is exactly this broadcast
-    hash join."""
+    hash join. The output is sorted only WITHIN partitions (training
+    shards locally ordered by (doc_id, pos)); a global orderBy here
+    would add a full range-partition shuffle+sort of the largest
+    output in the registry for nothing the consumer needs."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokenize("text").alias("toks")
     )
@@ -790,7 +790,7 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             F.coalesce("token_id", F.lit(OOV_ID)).alias("token_id"),
         )
-        .orderBy("doc_id", "pos")
+        .sortWithinPartitions("doc_id", "pos")
     )
 
 

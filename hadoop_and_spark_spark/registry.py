@@ -51,11 +51,13 @@ def _repo_root() -> str:
 
 
 def last_green_round() -> dict[str, int]:
-    """query name -> latest round whose committed CORRECTNESS_r{N}.json
-    records a GREEN driver row for it (hash green, or the rows-only
-    ``no_oracle`` form with a recorded row count). Red/errored rows do
-    NOT count — a regressed query must re-enter the driver window."""
-    out: dict[str, int] = {}
+    """query name -> round of its most recent committed driver row,
+    but ONLY if that most-recent row is GREEN (hash green, or the
+    rows-only ``no_oracle`` form with a recorded row count). A query
+    whose LATEST row is red/errored is omitted — it sorts as
+    never-verified (-1) and re-enters the driver window immediately,
+    even if some earlier round had a green row."""
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, green?)
     for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
@@ -71,9 +73,9 @@ def last_green_round() -> dict[str, int]:
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
             )
-            if green:
-                out[name] = max(out.get(name, 0), rnd)
-    return out
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, green)
+    return {name: rnd for name, (rnd, green) in latest.items() if green}
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -41,6 +41,16 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     return df
 
 
+def fan_out_local_sorted(df: DataFrame, *cols: str, parts: int | None = None) -> DataFrame:
+    """Parallel + WITHIN-PARTITION ordered — the scale-safe form for
+    corpus-sized outputs whose ordering is presentation-only: the
+    round-robin ``fan_out`` (a no-op once the scan has enough input
+    splits, i.e. always at 100 TB) followed by a local sort (no
+    exchange, no range-sampling pass). Use ``fan_out_sorted`` only
+    when downstream logic genuinely needs global range order."""
+    return fan_out(df, parts).sortWithinPartitions(*cols)
+
+
 def fan_out_sorted(df: DataFrame, col: str, parts: int | None = None) -> DataFrame:
     """Globally ordered AND parallel: range-partition on ``col`` into
     an explicit partition count (exempt from AQE coalescing, which

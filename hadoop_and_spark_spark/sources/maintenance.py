@@ -65,20 +65,86 @@ def build_once(out_path: str, marker: str, build) -> bool:
 
 _SESSION_MEMO: dict[tuple[str, str], object] = {}
 
+# Total session_memo calls (hits AND builds). bench.py diffs this
+# around each query to tag memo-served rows in BENCH_QUERIES.json, so
+# a 0.02 s cached-read timing can never be mistaken for pipeline cost.
+MEMO_TOUCHES = 0
+
+
+def clear_session_caches() -> None:
+    """Clear EVERY in-session derived-artifact cache: the central
+    session memo plus the module-local model caches (IVF centroids,
+    k-means models, converged PageRank). Used by bench.py and
+    tools/scaling_probe.py to price COLD runs honestly; persisted
+    on-disk artifacts (build_once markers) are deliberately left —
+    those are built once across sessions by contract."""
+    _SESSION_MEMO.clear()
+    from ..operators.graph import _RANKS_CACHE
+    from ..operators.similarity import (
+        _IVF_CACHE,
+        _KMEANS_CACHE,
+        _PERSISTED_CENT_CACHE,
+    )
+
+    _IVF_CACHE.clear()
+    _KMEANS_CACHE.clear()
+    _PERSISTED_CENT_CACHE.clear()
+    _RANKS_CACHE.clear()
+
+
+def _try_unpersist(obj) -> None:
+    """Best-effort release of a superseded memo value's cached blocks:
+    DataFrames (incl. localCheckpoint results) unpersist; tuples are
+    walked; driver-side lists have nothing to free."""
+    if isinstance(obj, tuple):
+        for part in obj:
+            _try_unpersist(part)
+        return
+    unp = getattr(obj, "unpersist", None)
+    if callable(unp):
+        try:
+            unp()
+        except Exception:  # noqa: BLE001 — release is advisory
+            pass
+
+
+def evict_superseded(cache: dict, key: tuple[str, str]) -> None:
+    """Drop cache entries for the same (applicationId, table path,
+    artifact version) as ``key`` but a DIFFERENT source mtime/size —
+    i.e. entries superseded by an in-place table rewrite. Without this
+    every rewrite would leak the old entry (and its localCheckpoint
+    blocks) for the application lifetime. Shared by the central
+    session_memo and the similarity-module model caches."""
+    app, marker = key
+    parts = marker.split("|")
+    if len(parts) != 4:
+        return
+    path, _mt, _sz, version = parts
+    for k in [k for k in cache if k != key and k[0] == app]:
+        kp = k[1].split("|")
+        if len(kp) == 4 and kp[0] == path and kp[3] == version:
+            _try_unpersist(cache.pop(k))
+
 
 def session_memo(spark: SparkSession, sf_dir: str, table: str, version: str, build):
     """In-session twin of ``build_once``: memoize a derived artifact
     (checkpointed frame, trained model, pair graph) per
     (applicationId, source_marker) — the phase-handoff pattern the
     PageRank/k-means/IVF memos share, centralized. The source marker
-    (path + mtime + size) invalidates the memo when the source table
-    is rewritten in-place; a new session starts cold (checkpoint
-    blocks die with the application). tools/scaling_probe.py clears
-    this dict so published cold numbers include the build."""
+    (path + mtime_ns + size) invalidates the memo when the source
+    table is rewritten in-place, and inserting the fresh entry EVICTS
+    the superseded one (same app/table/version, older marker) so dead
+    checkpoint blocks don't accumulate across rewrites; a new session
+    starts cold (checkpoint blocks die with the application).
+    tools/scaling_probe.py clears this dict so published cold numbers
+    include the build."""
+    global MEMO_TOUCHES
+    MEMO_TOUCHES += 1
     key = (spark.sparkContext.applicationId, source_marker(sf_dir, table, version))
     hit = _SESSION_MEMO.get(key)
     if hit is None:
         hit = build()
+        evict_superseded(_SESSION_MEMO, key)
         _SESSION_MEMO[key] = hit
     return hit
 

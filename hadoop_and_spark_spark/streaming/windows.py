@@ -388,7 +388,7 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(stats), "event_type")
         .where((var > 0) & (F.abs(z) > Z_THRESHOLD))
         .select("event_id", "event_type", "value", round6(z).alias("z"))
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -418,7 +418,7 @@ def pseudonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "value",
         )
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 

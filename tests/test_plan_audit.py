@@ -38,6 +38,47 @@ RANK_AFTER_LIMIT = {
 # cardinality is the score domain (bounded ints), never row count.
 DISTINCT_VALUE_WINDOW = {"spam_eval", "spam_eval_trained"}
 
+# Queries whose OUTPUT row count is corpus-proportional (≥ ~1 row per
+# input document/event/vector, or an exploded multiple of it). These
+# must never plan a range-partitioning Exchange (global Sort): the
+# driver hash is order-insensitive, consumers need at most
+# within-partition order, and at 100× a global sort of the largest
+# outputs in the registry is a full extra shuffle bought purely for
+# presentation. Small/domain-bounded outputs (vocab tables, hourly
+# rollups, top-k) may keep their presentation orderBy — not listed.
+CORPUS_SIZED_OUTPUT = {
+    "corpus_split",
+    "decontaminate",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_survivors",
+    "dedup_clusters",
+    "doc_chunks",
+    "doc_hashed_features",
+    "doc_perplexity",
+    "doc_quality",
+    "doc_token_ids",
+    "embedding_quantize",
+    "langid_heuristic",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "next_event_pairs",
+    "pack_sequences",
+    "pii_scrub",
+    "pseudonymize_events",
+    "repetition_filter",
+    "spam_ensemble",
+    "spam_score",
+    "stratified_sample",
+    "token_stats",
+    "user_sessions",
+    "value_outliers",
+    "winnow_fingerprint",
+    "asof_attribution",
+    "range_join_counts",
+}
+
 
 def _unpartitioned_window_lines(plan: str) -> list[str]:
     # Window node format: `Window [exprs], [partition], [order]`
@@ -66,6 +107,11 @@ def test_no_query_plans_an_antipattern(spark, sf_dir):
             failures.append(f"{name}: CartesianProduct")
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time Python UDF")
+        if name in CORPUS_SIZED_OUTPUT and "rangepartitioning" in plan:
+            failures.append(
+                f"{name}: range-partition Exchange (global sort) on a "
+                "corpus-sized output — use sortWithinPartitions"
+            )
         unpart = _unpartitioned_window_lines(plan)
         if unpart:
             if name in RANK_AFTER_LIMIT:
@@ -83,6 +129,14 @@ def test_no_query_plans_an_antipattern(spark, sf_dir):
                     f"{name}: unbounded unpartitioned window: {unpart[0].strip()[:120]}"
                 )
     assert not failures, "\n".join(failures)
+
+
+def test_corpus_sized_set_is_not_stale(spark, sf_dir):
+    """Every CORPUS_SIZED_OUTPUT query must still be registered — a
+    renamed/dropped query would quietly stop auditing its plan."""
+    queries, _ = collect()
+    missing = CORPUS_SIZED_OUTPUT - set(queries)
+    assert not missing, f"audit set names unregistered queries: {missing}"
 
 
 def test_allowlists_are_not_stale(spark, sf_dir):

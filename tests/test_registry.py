@@ -38,3 +38,27 @@ def test_red_rows_do_not_count_as_verified(tmp_path, monkeypatch):
     monkeypatch.setattr(reg, "_repo_root", lambda: str(tmp_path))
     green = reg.last_green_round()
     assert green == {"good": 9, "rows_only": 9}
+
+
+def test_later_red_row_supersedes_earlier_green(tmp_path, monkeypatch):
+    """A query green in round 3 but red in round 5 must sort as
+    NEVER-verified (-1), not at position 3: its most recent driver
+    evidence is a regression, so it must re-enter the ~50-row driver
+    window immediately."""
+    import hadoop_and_spark_spark.registry as reg
+
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        '{"regressed": {"hash_match": true, "err": null, "spark_rows": 3},'
+        ' "stable": {"hash_match": true, "err": null, "spark_rows": 3}}'
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        '{"regressed": {"hash_match": false, "err": null, "spark_rows": 3},'
+        ' "stable": {"hash_match": true, "err": null, "spark_rows": 3}}'
+    )
+    monkeypatch.setattr(reg, "_repo_root", lambda: str(tmp_path))
+    green = reg.last_green_round()
+    assert "regressed" not in green, (
+        "a query whose LATEST driver row is red must be treated as "
+        "never-verified so it re-enters the verification window"
+    )
+    assert green["stable"] == 5

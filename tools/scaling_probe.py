@@ -140,29 +140,14 @@ def build_probe_corpus(spark) -> None:
         fh.write(marker)
 
 
-# Queries whose cost is memoized per (session, corpus) — the probe
-# clears their caches before every run so the published growth number
-# includes the iterative compute (training / convergence), not just
-# the cached extract.
-def _clear_memo_caches(name: str) -> None:
-    # The centralized session memo (postings, dup pair graph, trained
-    # spam models, weekly replay handles) — cleared for every probed
-    # query so cold numbers include artifact builds.
-    from hadoop_and_spark_spark.sources.maintenance import _SESSION_MEMO
+# Queries whose cost is memoized per (session, corpus) have EVERY
+# in-session cache cleared before each timed run, so the published
+# growth number includes the iterative compute (training /
+# convergence / pair mining), not just the cached extract.
+def _clear_memo_caches(name: str) -> None:  # noqa: ARG001 — kept for call sites
+    from hadoop_and_spark_spark.sources.maintenance import clear_session_caches
 
-    _SESSION_MEMO.clear()
-    if name in ("kmeans_centroids", "knn_ivf_kmeans"):
-        from hadoop_and_spark_spark.operators.similarity import _KMEANS_CACHE
-
-        _KMEANS_CACHE.clear()
-    if name == "knn_ivf":
-        from hadoop_and_spark_spark.operators.similarity import _IVF_CACHE
-
-        _IVF_CACHE.clear()
-    if name in ("personalized_pagerank", "pagerank_top_nodes"):
-        from hadoop_and_spark_spark.operators.graph import _RANKS_CACHE
-
-        _RANKS_CACHE.clear()
+    clear_session_caches()
 
 
 def steady_state(name, fn, spark, sf_dir: str) -> float:
