@@ -341,7 +341,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("arr").alias("sz"),
-            F.explode(
+            F.posexplode(
                 F.transform(
                     F.slice(
                         "arr",
@@ -352,17 +352,42 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     lambda x: x["s"],
                 )
-            ).alias("s"),
+            ).alias("p0", "s"),
         )
     )
     # AllPairs length filter: J(A,B) <= min/max, so J >= t requires
     # min(|A|,|B|) >= t*max(|A|,|B|) — prunes size-incompatible
     # collisions inside the join, before the distinct and the verify.
-    # Both prune sites use JACCARD_T_PRUNE (t − 1e-6), strictly
-    # slacker than the verify's round6(J) >= t (which admits true J
-    # down to t − 5e-7): pruning can never be tighter than the
+    # PPJoin+ positional filter (Xiao et al., WWW'08): a prefix entry
+    # matching at canonical positions (px, py) (1-based) bounds the
+    # whole-set overlap at
+    #   ub = min(px−1, py−1) + 1 + min(|A|−px, |B|−py)
+    # (elements before the match can overlap at most min(px−1, py−1)
+    # because both sides are sorted in the SAME global (df, shingle)
+    # order; elements after at most min of the remaining lengths).
+    # Jaccard ≥ t needs overlap ≥ t·(|A|+|B|)/(1+t), so entry pairs
+    # whose ub falls short generate no candidate — this prunes the
+    # replica-family collisions whose shared shingles sit DEEP in both
+    # prefixes before they ever reach the distinct/verify stages. A
+    # pair survives if ANY of its matching prefix entries passes
+    # (every ub is a valid bound, so pruning only all-fail pairs is
+    # exact). Both prune sites use JACCARD_T_PRUNE (t − 1e-6),
+    # strictly slacker than the verify's round6(J) >= t (which admits
+    # true J down to t − 5e-7): pruning can never be tighter than the
     # rounded accept filter, so no boundary pair the oracle keeps can
     # be dropped Spark-side.
+    px = F.col("x.p0") + 1
+    py = F.col("y.p0") + 1
+    overlap_ub = (
+        F.least(px - 1, py - 1)
+        + 1
+        + F.least(F.col("x.sz") - px, F.col("y.sz") - py)
+    )
+    overlap_needed = (
+        F.lit(JACCARD_T_PRUNE)
+        * (F.col("x.sz") + F.col("y.sz"))
+        / F.lit(1.0 + JACCARD_T_PRUNE)
+    )
     cand = (
         prefix.alias("x")
         .join(
@@ -372,7 +397,8 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.least(F.col("x.sz"), F.col("y.sz"))
                 >= F.lit(JACCARD_T_PRUNE) * F.greatest(F.col("x.sz"), F.col("y.sz"))
-            ),
+            )
+            & (overlap_ub.cast("double") >= overlap_needed),
         )
         .select(
             F.col("x.doc_id").alias("doc_a"),

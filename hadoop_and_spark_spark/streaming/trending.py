@@ -101,24 +101,42 @@ def _trend_fn_week(
 _STREAM_SEQ = [0]  # unique memory-sink names across repeat invocations
 
 
-def weekly_replay_path(sf_dir: str) -> str:
+def weekly_replay_path(sf_dir: str, tag: str = "") -> str:
     """Canonical on-disk location of the week-per-file replay source
-    for a corpus (the ivf_index_path marker pattern)."""
+    for a corpus (the ivf_index_path marker pattern). ``tag``
+    separates delivery-order variants (e.g. the late-data replay)."""
     import hashlib
     import os
     import tempfile
 
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"hs_trendwk_{digest}")
+    return os.path.join(tempfile.gettempdir(), f"hs_trendwk_{tag}{digest}")
 
 
-def write_weekly_replay(spark, sf_dir: str, out_path: str) -> None:
+# Delivery-order script for the late-data replay: the SECOND
+# chronological week's file is delivered LAST — long after the
+# watermark has advanced past its windows — so its rows must be
+# dropped by watermark eviction for the oracle to match.
+LATE_WEEK_IDX = 1
+
+
+def write_weekly_replay(
+    spark, sf_dir: str, out_path: str, displace_idx: int | None = None
+) -> None:
     """Split the events table into ONE parquet file per calendar week,
     named and mtime-ordered so the file stream source replays the
     weeks in order — each file becomes exactly one micro-batch under
     maxFilesPerTrigger=1 (the deterministic stand-in for the
     reference's manual-clock DStream batches,
-    a7/TrendingArrivalsTest.scala's scripted batch sequence)."""
+    a7/TrendingArrivalsTest.scala's scripted batch sequence).
+
+    ``displace_idx`` scripts OUT-OF-ORDER delivery: that week (by
+    chronological index) is moved to the END of the delivery sequence
+    — its file gets the latest name and mtime — so by the time its
+    micro-batch runs, every watermarked consumer's watermark sits at
+    (global max event time − delay), far past the displaced week's
+    windows. Requires ≥3 weeks so a displaced week-1 is genuinely
+    beyond the watermark when it arrives."""
     import glob
     import os
     import shutil
@@ -134,9 +152,18 @@ def write_weekly_replay(spark, sf_dir: str, out_path: str) -> None:
         "ts",  # event time, for the windowed-aggregation replay twin
     )
     weeks = sorted(r.wk for r in ev.select("wk").distinct().collect())
+    delivery = list(weeks)
+    if displace_idx is not None:
+        if len(weeks) < 3 or displace_idx >= len(weeks) - 1:
+            raise ValueError(
+                f"late-data replay needs >=3 weeks with the displaced week "
+                f"before the last; got {len(weeks)} weeks, idx {displace_idx}"
+            )
+        delivery = [w for i, w in enumerate(weeks) if i != displace_idx]
+        delivery.append(weeks[displace_idx])
     os.makedirs(out_path, exist_ok=True)
     base = time.time()
-    for i, wk in enumerate(weeks):
+    for i, wk in enumerate(delivery):
         stage = os.path.join(out_path, "_stage")
         ev.where(F.col("wk") == wk).coalesce(1).write.mode(
             "overwrite"
@@ -145,9 +172,9 @@ def write_weekly_replay(spark, sf_dir: str, out_path: str) -> None:
         dest = os.path.join(out_path, f"wk{i:03d}.parquet")
         os.replace(part, dest)
         shutil.rmtree(stage)
-        # mtime strictly increasing in week order (path order agrees),
-        # so the file source's oldest-first admission replays weeks
-        # chronologically.
+        # mtime strictly increasing in DELIVERY order (path order
+        # agrees), so the file source's oldest-first admission replays
+        # the scripted sequence.
         os.utime(dest, (base + i, base + i))
 
 
@@ -238,6 +265,73 @@ def _run_hourly_stream(spark, sf_dir: str) -> DataFrame:
         .queryName(qname)
         .outputMode("update")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_hourly_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).orderBy("window_start")
+
+
+def event_count_hourly_late(spark, sf_dir: str) -> DataFrame:
+    """T2 under OUT-OF-ORDER delivery — the watermark-EVICTION pin the
+    in-order replay can't provide: the second chronological week's
+    file is delivered LAST (write_weekly_replay displace_idx), so when
+    its micro-batch finally runs, the 1-hour watermark has advanced to
+    (global max event time − 1 h), every one of its hourly windows
+    ends weeks earlier, and the engine must DROP all its rows. The
+    registered oracle counts hours EXCLUDING the displaced week — the
+    driver row is green only if the late data is actually evicted, so
+    this query hash-gates lateness handling itself, not just state
+    bounding. (tests/test_streaming.py's watermark pin covers the same
+    semantics at unit level; this puts it under the driver gate.)
+
+    Scale: identical to event_count_hourly_stream — watermark-bounded
+    state, update-mode sink; the only difference is the scripted
+    delivery order. Runs once per (session, corpus) via the session
+    memo, like every registered stream."""
+    from ..sources.maintenance import session_memo
+
+    return session_memo(
+        spark, sf_dir, "events", "hourlylate_run_v1",
+        lambda: _run_hourly_late(spark, sf_dir),
+    )
+
+
+def _run_hourly_late(spark, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.maintenance import build_once, source_marker
+    from .windows import _WINDOW_FMT
+
+    src = weekly_replay_path(sf_dir, tag="late_")
+    build_once(
+        src,
+        source_marker(sf_dir, "events", "trendwk_late_v1"),
+        lambda: write_weekly_replay(
+            spark, sf_dir, src, displace_idx=LATE_WEEK_IDX
+        ),
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/wk*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", _WINDOW_FMT).alias("window_start"),
+            "cnt",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    qname = f"hourly_late_{_STREAM_SEQ[0]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_late_ck_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -616,6 +616,35 @@ ORACLE_SQL["event_count_hourly_stream"] = ORACLE_SQL["event_count_hourly"]
 ORACLE_SQL["region_event_count_stream"] = ORACLE_SQL["region_event_count"]
 
 
+def _event_count_hourly_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .trending import event_count_hourly_late
+
+    return event_count_hourly_late(spark, sf_dir)
+
+
+# Late-data replay: the SECOND chronological week arrives after every
+# other week, far past the 1-hour watermark, so the engine must DROP
+# its rows — the oracle counts hours EXCLUDING that week. A green
+# driver row therefore witnesses watermark EVICTION: if the late rows
+# were aggregated (no eviction), every displaced-week hour would
+# appear and the hash would flap red. date_trunc('week') is
+# Monday-start in both engines, so the excluded bucket is identical.
+ORACLE_SQL["event_count_hourly_late"] = """
+    WITH wks AS (
+        SELECT DISTINCT date_trunc('week', ts) AS w FROM events
+    ), displaced AS (
+        SELECT w FROM (
+            SELECT w, row_number() OVER (ORDER BY w) AS rn FROM wks
+        ) WHERE rn = 2
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+           count(*) AS cnt
+    FROM events
+    WHERE date_trunc('week', ts) NOT IN (SELECT w FROM displaced)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 def _region_event_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .trending import region_event_count_stream
 
@@ -628,6 +657,7 @@ QUERIES = {
     "trending_arrivals_batch": trending_arrivals_batch,
     "trending_arrivals_stream": _trending_arrivals_stream,
     "event_count_hourly_stream": _event_count_hourly_stream,
+    "event_count_hourly_late": _event_count_hourly_late,
     "region_event_count_stream": _region_event_count_stream,
     "events_json_stats": events_json_stats,
     "user_reach_approx": user_reach_approx,

@@ -554,3 +554,41 @@ def test_streaming_hll_reach_matches_batch_sketch(spark, sf_dir, tmp_path):
     assert set(got) == set(exact)
     for t, e in exact.items():
         assert abs(got[t] - e) / e <= 5 * W.HLL_RSD, (t, got[t], e)
+
+
+def test_late_replay_evicts_exactly_the_displaced_week(spark, sf_dir):
+    """event_count_hourly_late delivers chronological week #2 LAST;
+    by then the 1-hour watermark sits at (global max ts − 1 h), so
+    every displaced-week row must be DROPPED. Pin: the late result is
+    the in-order hourly result minus precisely the displaced week's
+    windows — if eviction failed, the counts would be identical."""
+    from hadoop_and_spark_spark.streaming.trending import (
+        LATE_WEEK_IDX,
+        event_count_hourly_late,
+    )
+    from hadoop_and_spark_spark.streaming.windows import event_count_hourly
+
+    full = {
+        r.window_start: r.cnt
+        for r in event_count_hourly(spark, sf_dir).collect()
+    }
+    late = {
+        r.window_start: r.cnt
+        for r in event_count_hourly_late(spark, sf_dir).collect()
+    }
+    weeks = sorted(
+        r.w
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("w"))
+        .distinct()
+        .collect()
+    )
+    displaced = weeks[LATE_WEEK_IDX]
+    nxt = weeks[LATE_WEEK_IDX + 1]
+    dropped = {
+        ws for ws in full if displaced <= ws[:10] and ws[:10] < nxt
+    }
+    assert dropped, "displaced week must cover at least one window"
+    assert set(late) == set(full) - dropped
+    for ws, cnt in late.items():
+        assert cnt == full[ws], ws
