@@ -80,35 +80,93 @@ _TYPES = ("image", "audio", "video")
 REAL_DECODE_ENV = "SPARK_GRAFT_REAL_DECODE"  # "1" → decode real headers
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers carrying dimensions: C0–CF minus the
+# non-SOF members DHT (C4), JPG (C8), DAC (CC).
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _png_dims(b: bytes) -> tuple[int, int] | None:
+    """PNG width/height from the IHDR chunk (must be first by spec):
+    big-endian u32 pair at offsets 16/20 after the 8-byte signature
+    and the IHDR length/type words."""
+    import struct
+
+    if b[:8] != _PNG_SIG or len(b) < 24 or b[12:16] != b"IHDR":
+        return None
+    return struct.unpack_from(">II", b, 16)
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """JPEG width/height from the first SOFn segment: walk the marker
+    stream (length-prefixed segments, standalone RST/SOI/EOI/TEM skip
+    bare) up to start-of-scan; SOFn payload is precision u8, height
+    u16be, width u16be."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        return None
+    off, n = 2, len(b)
+    while off + 4 <= n:
+        if b[off] != 0xFF:
+            return None  # marker desync — not a parseable stream
+        marker = b[off + 1]
+        if marker == 0xFF:  # fill byte
+            off += 1
+            continue
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2  # standalone marker, no length word
+            continue
+        (seg_len,) = struct.unpack_from(">H", b, off + 2)
+        if marker in _JPEG_SOF and off + 9 <= n:
+            height, width = struct.unpack_from(">HH", b, off + 5)
+            return width, height
+        if marker == 0xDA:  # start of scan — SOF must precede it
+            return None
+        off += 2 + seg_len
+    return None
+
+
 def _decode_real(media: bytes, media_type: str) -> dict:
-    """Real decoder for the two uncompressed container formats whose
-    layouts are fully public and parseable without media libraries:
+    """Real decoder for the container formats whose header layouts are
+    fully public and parseable without media libraries:
 
     - BMP (``image``): width / |height| as little-endian int32 at
       offsets 18 / 22 of the BITMAPINFOHEADER (height negative for
       top-down files).
+    - PNG (``image``): big-endian u32 width/height from the mandatory
+      leading IHDR chunk.
+    - JPEG (``image``): u16be height/width from the first SOFn
+      (start-of-frame) marker segment.
     - RIFF/WAVE PCM (``audio``): walk the chunk list; duration_ms =
       data-chunk bytes · 1000 / byte-rate from the fmt chunk.
 
     feature = mean payload byte / 255 (a real embedding model slots in
-    here). Compressed formats (JPEG/PNG/MP4) still need PIL/ffmpeg —
-    this raises for them, keeping the production hook explicit."""
+    here). Video containers (MP4/MKV) still need ffmpeg — this raises
+    for them, keeping the production hook explicit."""
     import struct
 
     b = bytes(media)
     n = len(b)
     feature = (sum(b) / n / 255.0) if n else 0.0
-    if media_type == "image" and b[:2] == b"BM" and n >= 26:
-        width = struct.unpack_from("<i", b, 18)[0]
-        height = abs(struct.unpack_from("<i", b, 22)[0])
-        return {
-            "n_bytes": n,
-            "width": width,
-            "height": height,
-            "duration_ms": 0,
-            "n_frames": 1,
-            "feature": feature,
-        }
+    if media_type == "image":
+        dims = None
+        if b[:2] == b"BM" and n >= 26:
+            dims = (
+                struct.unpack_from("<i", b, 18)[0],
+                abs(struct.unpack_from("<i", b, 22)[0]),
+            )
+        else:
+            dims = _png_dims(b) or _jpeg_dims(b)
+        if dims is not None:
+            return {
+                "n_bytes": n,
+                "width": dims[0],
+                "height": dims[1],
+                "duration_ms": 0,
+                "n_frames": 1,
+                "feature": feature,
+            }
     if media_type == "audio" and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         byte_rate = data_len = 0
         off = 12

@@ -28,10 +28,17 @@ def test_media_column_is_binary(spark, sf_dir):
 
 
 def test_decode_real_raises_on_unsupported_formats():
+    # truncated PNG magic without an IHDR is malformed, not decodable
     with pytest.raises(NotImplementedError):
         multimodal._decode_real(b"\x89PNG", "image")
+    # video containers still need ffmpeg — the documented hook
     with pytest.raises(NotImplementedError):
         multimodal._decode_real(b"\x00\x00\x00 ftypmp4", "video")
+    # JPEG stream whose scan starts before any SOF has no dimensions
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_real(
+            b"\xff\xd8\xff\xda\x00\x04\x01\x00\xff\xd9", "image"
+        )
 
 
 def _fixture(name: str) -> bytes:
@@ -56,6 +63,20 @@ def test_decode_real_parses_committed_bmp_and_wav_fixtures():
         assert 0.0 <= d["feature"] <= 1.0
 
 
+def test_decode_real_parses_committed_png_and_jpeg_fixtures():
+    """IHDR (PNG) and SOF0 (JPEG) dimension parsing, byte-identical to
+    the committed fixtures (5x3 RGB PNG with valid chunk CRCs; JPEG
+    marker stream with SOF0 before the scan)."""
+    png = multimodal._decode_real(_fixture("sample.png"), "image")
+    assert (png["width"], png["height"], png["n_frames"]) == (5, 3, 1)
+    assert png["duration_ms"] == 0 and png["n_bytes"] == 113
+    jpg = multimodal._decode_real(_fixture("sample.jpg"), "image")
+    assert (jpg["width"], jpg["height"], jpg["n_frames"]) == (8, 5, 1)
+    assert jpg["duration_ms"] == 0 and jpg["n_bytes"] == 138
+    for d in (png, jpg):
+        assert 0.0 <= d["feature"] <= 1.0
+
+
 def test_real_decode_flag_drives_spark_kernel(spark, monkeypatch):
     """Flag-on, the registered kernel path (mapInPandas over a binary
     column) runs the real header parsers on the fixtures — the
@@ -67,6 +88,8 @@ def test_real_decode_flag_drives_spark_kernel(spark, monkeypatch):
         [
             (1, bytearray(_fixture("sample.bmp")), "image"),
             (2, bytearray(_fixture("sample.wav")), "audio"),
+            (3, bytearray(_fixture("sample.png")), "image"),
+            (4, bytearray(_fixture("sample.jpg")), "image"),
         ],
         "doc_id long, media binary, media_type string",
     )
@@ -78,6 +101,8 @@ def test_real_decode_flag_drives_spark_kernel(spark, monkeypatch):
     }
     assert (rows[1].width, rows[1].height, rows[1].n_frames) == (6, 4, 1)
     assert rows[2].duration_ms == 50 and rows[2].width == 0
+    assert (rows[3].width, rows[3].height) == (5, 3)
+    assert (rows[4].width, rows[4].height) == (8, 5)
     monkeypatch.delenv(multimodal.REAL_DECODE_ENV)
     assert multimodal._decode_kernel() is multimodal._decode_batches
 
