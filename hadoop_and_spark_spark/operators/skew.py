@@ -23,8 +23,11 @@ cost of a SALT× blowup of the (small, but not broadcastable) side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import round6, round6_sql
 
 SALT_COL = "__salt"
 
@@ -53,3 +56,88 @@ def salted_equi_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return left.join(right, [key, SALT_COL], how).drop(SALT_COL)
+
+
+# ------------------------------------------- registered demonstration
+
+HOT_MOD = 20  # user_id % HOT_MOD != 0 folds onto hot key 0 (~95% of rows)
+SALT_DEMO = 8
+
+
+def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under GENUINE hot-key skew, end-to-end through the
+    driver gate: fold ~95% of the event stream onto one hot user key
+    (every user_id not divisible by HOT_MOD maps to key 0 — the
+    one-celebrity-account shape), join it to a per-key dimension, and
+    aggregate per tier.
+
+    Without salting, a shuffle join on hot_user lands 95% of the fact
+    table in ONE task — the partition AQE's skew-join can split for
+    sort-merge but a state-keyed or bucketed plan cannot. The
+    ``salted_equi_join`` construction spreads the hot key across
+    SALT_DEMO sub-keys (deterministic pmod(hash(event_id))) while the
+    dimension replicates SALT_DEMO×, so every shuffle partition
+    carries ≤ ~1/SALT of the hot key and the result equals the plain
+    join row-for-row — which is exactly what the DuckDB oracle runs
+    (no salt: the salt must be invisible in the result to be correct).
+    The dimension side carries a shuffle_hash hint: a broadcastable
+    dim needs no salt (broadcast joins never shuffle the fact side);
+    the demo models the production case where the dim is
+    shuffle-joined. tests/test_plans.py pins the salt spread in the
+    physical plan (hashpartitioning on (hot_user, __salt), no
+    broadcast on the salted join).
+
+    At 100 TB: the fact side shuffles once on (key, salt) — same
+    volume as the unsalted join, minus the straggler — and the dim
+    side grows SALT×, the standard trade. The dim here derives from
+    the fact stream for self-containedness; a real deployment joins a
+    stored dimension table through the identical plan."""
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("user_id") % HOT_MOD != 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("hot_user"),
+        "event_id",
+        "value",
+    )
+    dim = (
+        fact.select("hot_user")
+        .distinct()
+        .select(
+            "hot_user",
+            (F.floor(F.col("hot_user") / HOT_MOD) % 5).alias("tier"),
+        )
+        .hint("shuffle_hash")
+    )
+    joined = salted_equi_join(
+        fact, dim, key="hot_user", spread="event_id", salt=SALT_DEMO
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            round6(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+QUERIES = {"salted_hot_key_join": salted_hot_key_join}
+
+ORACLE_SQL = {
+    "salted_hot_key_join": f"""
+        WITH fact AS (
+            SELECT CASE WHEN user_id % {HOT_MOD} <> 0 THEN 0
+                        ELSE user_id END AS hot_user,
+                   event_id, value
+            FROM events
+        ), dim AS (
+            SELECT DISTINCT hot_user, (hot_user // {HOT_MOD}) % 5 AS tier
+            FROM fact
+        )
+        SELECT d.tier, count(*) AS n_events,
+               {round6_sql('sum(f.value)')} AS sum_value
+        FROM fact f JOIN dim d USING (hot_user)
+        GROUP BY d.tier ORDER BY d.tier
+    """,
+}

@@ -73,3 +73,76 @@ def test_hierarchical_topk_equals_naive_window(spark, sf_dir):
         for r in heavy_users_topk(spark, sf_dir).collect()
     }
     assert got == naive and got
+
+
+def test_salted_hot_key_join_plan_spreads_the_hot_key(spark, sf_dir):
+    """The registered skew demo must actually plan the salt: both join
+    inputs exchange on (hot_user, __salt) — so the 95%-hot key spreads
+    over SALT_DEMO shuffle sub-keys — and the salted join is a shuffle
+    join, never a broadcast (a broadcastable dim would make the salt
+    dead weight)."""
+    from hadoop_and_spark_spark.operators.skew import salted_hot_key_join
+
+    plan = (
+        salted_hot_key_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    salted_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "hashpartitioning" in l and "__salt" in l and "hot_user" in l
+    ]
+    assert len(salted_exchanges) >= 2, plan
+    assert not any(
+        "BroadcastHashJoin" in l and "__salt" in l for l in plan.splitlines()
+    ), plan
+
+
+def test_salted_hot_key_join_equals_unsalted(spark, sf_dir):
+    """Salting must be invisible in the result: the demo equals the
+    plain (unsalted) join+aggregate row-for-row."""
+    from hadoop_and_spark_spark.operators.skew import (
+        HOT_MOD,
+        salted_hot_key_join,
+    )
+    from hadoop_and_spark_spark.functions.portable import round6
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("user_id") % HOT_MOD != 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("hot_user"),
+        "value",
+    )
+    dim = fact.select("hot_user").distinct().select(
+        "hot_user", (F.floor(F.col("hot_user") / HOT_MOD) % 5).alias("tier")
+    )
+    plain = {
+        (r.tier, r.n_events, r.sum_value)
+        for r in fact.join(dim, "hot_user")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            round6(F.sum("value")).alias("sum_value"),
+        )
+        .collect()
+    }
+    got = {
+        (r.tier, r.n_events, r.sum_value)
+        for r in salted_hot_key_join(spark, sf_dir).collect()
+    }
+    assert got == plain and got
+
+
+def test_hot_key_distribution_is_actually_skewed(spark, sf_dir):
+    """Staleness pin for the demo's premise: the folded key must hold
+    the overwhelming majority of rows (else the demo stops
+    demonstrating skew)."""
+    from hadoop_and_spark_spark.operators.skew import HOT_MOD
+
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    hot = ev.where(F.col("user_id") % HOT_MOD != 0).count()
+    assert hot / total > 0.9, (hot, total)
