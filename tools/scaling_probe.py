@@ -1,15 +1,18 @@
-"""10x scaling probe (reproducible form of the README's table).
+"""10x scaling probe — generates the repo's ONE cold-scaling table.
 
 Builds a 10x `documents` corpus from the bench scale dir — each of 10
 replicas gets per-replica filler tokens appended so replicas are
 NEAR-dups (they collide in shingle space) but not exact dups, keeping
-true-pair volumes controlled — then times selected document-family
-queries steady-state (untimed warm-up, min of two timed runs) at 1x
-and 10x.
+true-pair volumes controlled — then times every probed query COLD
+(every in-session artifact cache cleared before each timed run;
+untimed warm-up, min of two timed runs) at 1x and 10x.
 
 Usage: python tools/scaling_probe.py [query ...]
-Defaults to the operators added in round 3. Writes the 10x corpus to
-/tmp/sfprobe10x (rebuilt only if absent).
+With no arguments probes the full default set AND (re)writes
+`PROBE.md` at the repo root — the single generated markdown table the
+README points at, replacing the per-round hand-maintained tables that
+went stale section-by-section. Writes the 10x corpus to
+/tmp/sfprobe10x (rebuilt only if absent or stale by marker).
 """
 
 from __future__ import annotations
@@ -36,38 +39,119 @@ PROBE_GEN = 3  # bump when the replica-generation recipe changes
 # stream structure — sessions, as-of, range windows — is preserved
 # while the corpus 10x-es along the realistic axis (more users).
 DEFAULT_QUERIES = (
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "dedup_minhash_lsh",
+    # text / index / ML families (documents)
+    "wordcount",
+    "bigram_relative_frequency",
+    "pmi_pairs",
+    "winnow_fingerprint",
+    "boolean_retrieval",
+    "boolean_retrieval_persisted",
     "tfidf_retrieval",
+    "bm25_retrieval",
+    "hybrid_retrieval",
+    "spam_train",
+    "spam_eval_trained",
+    # dedup family (documents / embeddings)
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "dedup_clusters",
+    "dedup_survivors",
+    "decontaminate",
+    # corpus-prep family (documents)
     "corpus_split",
     "stratified_sample",
+    "repetition_filter",
+    "doc_chunks",
+    "doc_perplexity",
+    "doc_hashed_features",
+    "doc_token_ids",
+    "pack_sequences",
+    "token_freq_sketch",
     "multimodal_features",
-    "boolean_retrieval_persisted",
-    "spam_eval_trained",
+    # similarity family (embeddings)
+    "knn_bruteforce",
+    "knn_ivf",
+    "kmeans_centroids",
+    "knn_ivf_kmeans",
+    "embedding_quantize",
+    "embedding_pca",
+    # temporal / event family (events)
     "asof_attribution",
     "user_sessions",
     "range_join_counts",
-    # round-4 session additions (documents/events/embeddings only)
-    "pack_sequences",
+    "next_event_pairs",
     "value_outliers",
+    "value_moving_avg",
+    "events_pivot",
     "funnel_counts",
     "cohort_retention",
-    "kmeans_centroids",
-    "knn_ivf_kmeans",
-    # round-5 additions (all memoized paths probe COLD — the memo is
-    # cleared per timed run; documents/events/embeddings only)
-    "dedup_survivors",
-    "doc_token_ids",
-    "embedding_quantize",
-    "embedding_pca",
+    "heavy_users_topk",
+    "pseudonymize_events",
+    "salted_hot_key_join",
+    # streaming replays (events)
     "trending_arrivals_stream",
     "event_count_hourly_stream",
-    "boolean_retrieval",
-    "knn_ivf",
-    "spam_train",
+    "event_count_hourly_late",
 )
+
+# One-line scale rationale per probed query, rendered into PROBE.md —
+# the "why" column of the generated table (kept next to the query list
+# so adding a probe without its rationale is a visible gap).
+WHY = {
+    "wordcount": "scan-bound, partial agg; shuffle is vocabulary-sized",
+    "bigram_relative_frequency": "array-side pair formation, vocab-sized shuffles",
+    "pmi_pairs": "emitted pairs bounded 40x39 per doc (the reference's window rule)",
+    "winnow_fingerprint": "embarrassingly-parallel Arrow kernel, no shuffle",
+    "boolean_retrieval": "postings build grows; retrieval stays per-term seeks",
+    "boolean_retrieval_persisted": "index write grows, retrieval stays pushed-predicate seeks",
+    "tfidf_retrieval": "postings seek on 3 terms + footer-only N; work scales with df(term)",
+    "bm25_retrieval": "postings seek + candidate-pruned dl pass; scales with df(term)",
+    "hybrid_retrieval": "both towers bounded; fusion joins two 50-row frames",
+    "spam_train": "sequential SGD pass (inherently serial per shard)",
+    "spam_eval_trained": "SGD per-shard pass dominates; AUC is grouped-score",
+    "dedup_exact": "hash agg on (md5, id); payload never shuffles",
+    "dedup_simhash": "projection sketch + popcount band join",
+    "dedup_ngram_jaccard": "PPJoin prefix + length + positional filters; residual growth is true-pair output",
+    "dedup_minhash_lsh": "true-dup pair volume grows ~x1000 by construction",
+    "dedup_embedding": "capped band buckets bound candidates at any corpus size",
+    "dedup_clusters": "pair graph ~x1000; CC rounds stay at component diameter",
+    "dedup_survivors": "pair mining dominates; survivor anti-join ships doc_id only",
+    "decontaminate": "eval shingles fixed-size broadcast; corpus side scan-bound",
+    "corpus_split": "bounded 64-char hash fold per row, scan-bound",
+    "stratified_sample": "scan-bound hash filter, no shuffle",
+    "repetition_filter": "array dup-ratio + explode/partial-agg; only (id, scalar) shuffles",
+    "doc_chunks": "explode-over-sequence projection; output grows by design",
+    "doc_perplexity": "bigram volume grows by design; LM stays vocab2-bounded broadcast",
+    "doc_hashed_features": "hashing inside token-array HOFs, scan-bound",
+    "doc_token_ids": "output grows by design; vocab stays a <=V-row broadcast",
+    "pack_sequences": "per-bucket cumsum window; packing parallel across buckets",
+    "token_freq_sketch": "fixed width x depth sketch state, partial merges map-side",
+    "multimodal_features": "Arrow kernel over payload bytes, no shuffle",
+    "knn_bruteforce": "fixed 64-query broadcast; only (query, vec, cos) rows shuffle",
+    "knn_ivf": "cold incl. inverted-file build; probe set fixed, NPROBE unchanged",
+    "kmeans_centroids": "cold incl. training; k*64 sufficient-stat cells per task",
+    "knn_ivf_kmeans": "cold incl. training; probe/search identical to knn_ivf",
+    "embedding_quantize": "pure projection; growth is the x64-exploded output itself",
+    "embedding_pca": "d2-cell sufficient statistics are corpus-size-independent",
+    "asof_attribution": "one shuffle on user_id; window carries one row per user",
+    "user_sessions": "one session_window shuffle; sessions per user unchanged",
+    "range_join_counts": "bin-join candidates grow with per-(user, bin) activity only",
+    "next_event_pairs": "one lead() shuffle on user_id; output grows by design",
+    "value_outliers": "one exact-moment agg + broadcast comparison projection",
+    "value_moving_avg": "pre-aggregated to days x types before the window",
+    "events_pivot": "one conditional-count agg; state = days x declared types",
+    "funnel_counts": "cascading filtered aggs; stages shrink down the funnel",
+    "cohort_retention": "(user, day) deduped before the cohort join",
+    "heavy_users_topk": "partial-agg counts + bounded salted windows",
+    "pseudonymize_events": "pure projection; growth is the hashed output itself",
+    "salted_hot_key_join": "hot key spread over 8 salt sub-keys; dim replicates 8x",
+    "trending_arrivals_stream": "micro-batch count fixed; state one long per key",
+    "event_count_hourly_stream": "watermark-bounded window state; replay machinery fixed cost",
+    "event_count_hourly_late": "same as hourly stream + scripted late week dropped by eviction",
+}
 
 
 def _probe_marker() -> str:
@@ -162,16 +246,56 @@ def steady_state(name, fn, spark, sf_dir: str) -> float:
     return best
 
 
+PROBE_MD = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PROBE.md"
+)
+
+_MD_HEADER = """# Cold 10x scaling probe (generated — do not hand-edit)
+
+Generated by `python tools/scaling_probe.py` (no arguments). Method:
+the bench corpus (`documents`/`events`/`embeddings` at
+$SPARK_GRAFT_SF_DIR, default sf0.1) is replicated 10x — documents get
+per-replica filler tokens so replicas are NEAR-dups, events replicate
+by user (per-user stream structure preserved), embeddings replicate
+with offset ids — and every probed query is timed COLD at 1x and 10x:
+all in-session artifact caches (pair graphs, postings, trained
+models, replay streams, IVF/k-means/PageRank memos) are cleared
+before each timed run, so the numbers INCLUDE the artifact builds the
+steady-state bench (`BENCH_QUERIES.json`, key `memoized`) amortizes.
+min of two timed runs, untimed warm-up first, local[32].
+
+Reading the growth column: ~1-3x = scan/partial-agg bound; larger
+growth is either output volume the harness collects (stated in the
+why column) or data-inherent pair volume (dedup on a 10x-replicated
+corpus has ~x1000 true pairs by construction).
+
+| Query | 1x | 10x | Growth | Why |
+|---|---|---|---|---|
+"""
+
+
 def main() -> None:
     names = sys.argv[1:] or list(DEFAULT_QUERIES)
+    write_md = not sys.argv[1:]  # full default run regenerates PROBE.md
     spark = get_spark("scaling-probe")
     build_probe_corpus(spark)
     queries, _ = collect()
     print(f"{'query':32s} {'1x':>7s} {'10x':>7s} {'growth':>7s}")
+    rows = []
     for name in names:
         one = steady_state(name, queries[name], spark, BASE_SF)
         ten = steady_state(name, queries[name], spark, PROBE_DIR)
-        print(f"{name:32s} {one:6.2f}s {ten:6.2f}s {ten / one:6.1f}x")
+        print(f"{name:32s} {one:6.2f}s {ten:6.2f}s {ten / one:6.1f}x", flush=True)
+        rows.append((name, one, ten))
+    if write_md:
+        with open(PROBE_MD, "w") as fh:
+            fh.write(_MD_HEADER)
+            for name, one, ten in rows:
+                fh.write(
+                    f"| {name} | {one:.2f} s | {ten:.2f} s "
+                    f"| {ten / one:.1f}x | {WHY.get(name, '')} |\n"
+                )
+        print(f"wrote {PROBE_MD}")
     spark.stop()
 
 
