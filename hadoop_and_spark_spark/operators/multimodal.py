@@ -127,6 +127,86 @@ def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in b[start:end] as (type, body_start,
+    body_end). Handles 64-bit largesize (size==1); stops on size 0
+    (box extends to end) or malformed lengths."""
+    import struct
+
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, off)
+        typ = b[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", b, off + 8)
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < 8 or off + size > end:
+            return
+        yield typ, body, off + size
+        off += size
+
+
+def _mp4_meta(b: bytes) -> tuple[int, int] | None:
+    """(duration_ms, n_frames) from an ISO-BMFF (MP4) header:
+    moov/mvhd carries timescale + duration (version 0: u32 pair at
+    offsets 12/16 of the box body; version 1: u32 timescale at 20,
+    u64 duration at 24); n_frames = max over traks of the stts
+    sample-count sum (0 if no stts — duration-only files parse too).
+    Requires a leading ftyp box — the MP4 signature."""
+    import struct
+
+    n = len(b)
+    if n < 12 or b[4:8] != b"ftyp":
+        return None
+    duration_ms = None
+    frames = 0
+    for typ, s, e in _mp4_boxes(b, 0, n):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _mp4_boxes(b, s, e):
+            if t2 == b"mvhd" and s2 + 4 <= e2:
+                version = b[s2]
+                if version == 1 and s2 + 32 <= e2:
+                    (scale,) = struct.unpack_from(">I", b, s2 + 20)
+                    (dur,) = struct.unpack_from(">Q", b, s2 + 24)
+                elif version == 0 and s2 + 20 <= e2:
+                    scale, dur = struct.unpack_from(">II", b, s2 + 12)
+                else:
+                    continue
+                if scale:
+                    duration_ms = dur * 1000 // scale
+            elif t2 == b"trak":
+                for t3, s3, e3 in _mp4_boxes(b, s2, e2):
+                    if t3 != b"mdia":
+                        continue
+                    for t4, s4, e4 in _mp4_boxes(b, s3, e3):
+                        if t4 != b"minf":
+                            continue
+                        for t5, s5, e5 in _mp4_boxes(b, s4, e4):
+                            if t5 != b"stbl":
+                                continue
+                            for t6, s6, e6 in _mp4_boxes(b, s5, e5):
+                                if t6 != b"stts" or s6 + 8 > e6:
+                                    continue
+                                (n_ent,) = struct.unpack_from(">I", b, s6 + 4)
+                                tot = 0
+                                for i in range(n_ent):
+                                    p = s6 + 8 + 8 * i
+                                    if p + 8 > e6:
+                                        break
+                                    (cnt,) = struct.unpack_from(">I", b, p)
+                                    tot += cnt
+                                frames = max(frames, tot)
+    if duration_ms is None:
+        return None
+    return duration_ms, frames
+
+
 def _decode_real(media: bytes, media_type: str) -> dict:
     """Real decoder for the container formats whose header layouts are
     fully public and parseable without media libraries:
@@ -140,10 +220,14 @@ def _decode_real(media: bytes, media_type: str) -> dict:
       (start-of-frame) marker segment.
     - RIFF/WAVE PCM (``audio``): walk the chunk list; duration_ms =
       data-chunk bytes · 1000 / byte-rate from the fmt chunk.
+    - MP4/ISO-BMFF (``video``): box walk to moov/mvhd for
+      timescale+duration; n_frames = stts sample-count sum (METADATA
+      only — actual frame pixel decode still needs ffmpeg; the
+      frame-sampling query consumes exactly these header fields).
 
     feature = mean payload byte / 255 (a real embedding model slots in
-    here). Video containers (MP4/MKV) still need ffmpeg — this raises
-    for them, keeping the production hook explicit."""
+    here). Codecs outside these containers (MKV, frame pixel data)
+    raise — the explicit production hook."""
     import struct
 
     b = bytes(media)
@@ -185,6 +269,18 @@ def _decode_real(media: bytes, media_type: str) -> dict:
                 "height": 0,
                 "duration_ms": data_len * 1000 // byte_rate,
                 "n_frames": 0,
+                "feature": feature,
+            }
+    if media_type == "video":
+        meta = _mp4_meta(b)
+        if meta is not None:
+            duration_ms, frames = meta
+            return {
+                "n_bytes": n,
+                "width": 0,  # per-track tkhd parse is the next hook
+                "height": 0,
+                "duration_ms": duration_ms,
+                "n_frames": frames,
                 "feature": feature,
             }
     raise NotImplementedError(

@@ -31,9 +31,12 @@ def test_decode_real_raises_on_unsupported_formats():
     # truncated PNG magic without an IHDR is malformed, not decodable
     with pytest.raises(NotImplementedError):
         multimodal._decode_real(b"\x89PNG", "image")
-    # video containers still need ffmpeg — the documented hook
+    # an ftyp box alone has no moov/mvhd — malformed, not decodable
     with pytest.raises(NotImplementedError):
-        multimodal._decode_real(b"\x00\x00\x00 ftypmp4", "video")
+        multimodal._decode_real(b"\x00\x00\x00\x10ftypmp42mp42", "video")
+    # non-ISO-BMFF video containers (MKV) remain the ffmpeg hook
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_real(b"\x1a\x45\xdf\xa3matroska", "video")
     # JPEG stream whose scan starts before any SOF has no dimensions
     with pytest.raises(NotImplementedError):
         multimodal._decode_real(
@@ -75,6 +78,15 @@ def test_decode_real_parses_committed_png_and_jpeg_fixtures():
     assert jpg["duration_ms"] == 0 and jpg["n_bytes"] == 138
     for d in (png, jpg):
         assert 0.0 <= d["feature"] <= 1.0
+
+
+def test_decode_real_parses_committed_mp4_fixture():
+    """ISO-BMFF box walk: mvhd timescale 1000 / duration 2500 →
+    2500 ms; stts entries (30×100, 45×100) → 75 frames."""
+    mp4 = multimodal._decode_real(_fixture("sample.mp4"), "video")
+    assert mp4["duration_ms"] == 2500
+    assert mp4["n_frames"] == 75
+    assert mp4["n_bytes"] == 260 and 0.0 <= mp4["feature"] <= 1.0
 
 
 def test_real_decode_flag_drives_spark_kernel(spark, monkeypatch):
