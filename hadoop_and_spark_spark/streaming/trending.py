@@ -153,7 +153,11 @@ def write_weekly_replay(
     )
     weeks = sorted(r.wk for r in ev.select("wk").distinct().collect())
     delivery = list(weeks)
-    if displace_idx is not None:
+    if displace_idx is not None and weeks:
+        # An EMPTY corpus degenerates to an empty replay (the
+        # engine-wide empty-input contract); 1–2 weeks is a
+        # mis-scripted scenario — the displaced week would not be
+        # genuinely late — so that still raises.
         if len(weeks) < 3 or displace_idx >= len(weeks) - 1:
             raise ValueError(
                 f"late-data replay needs >=3 weeks with the displaced week "
