@@ -301,7 +301,28 @@ def event_count_hourly_late(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_hourly_late(spark, sf_dir: str) -> DataFrame:
+def event_count_hourly_late_tolerated(spark, sf_dir: str) -> DataFrame:
+    """The acceptance half of the lateness matrix: IDENTICAL
+    out-of-order delivery to event_count_hourly_late, but the
+    watermark delay (60 days) exceeds the displaced week's lateness —
+    so the engine must KEEP the window state alive and aggregate the
+    late rows when they finally arrive. The oracle is the full
+    in-order hourly count: green iff nothing was dropped. Together
+    with the eviction twin, the driver gate now pins that the
+    watermark HORIZON — not delivery order — decides late-data fate.
+
+    Scale note: tolerating 60-day lateness means 60 days of window
+    state; the production trade the pair of queries demonstrates is
+    exactly state size vs completeness."""
+    from ..sources.maintenance import session_memo
+
+    return session_memo(
+        spark, sf_dir, "events", "hourlylatetol_run_v1",
+        lambda: _run_hourly_late(spark, sf_dir, delay="60 days"),
+    )
+
+
+def _run_hourly_late(spark, sf_dir: str, delay: str = "1 hour") -> DataFrame:
     import tempfile
 
     from ..sources.maintenance import build_once, source_marker
@@ -321,7 +342,7 @@ def _run_hourly_late(spark, sf_dir: str) -> DataFrame:
         .parquet(src + "/wk*.parquet")
     )
     agg = (
-        stream.withWatermark("ts", "1 hour")
+        stream.withWatermark("ts", delay)
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("cnt"))
         .select(

@@ -622,6 +622,12 @@ def _event_count_hourly_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_count_hourly_late(spark, sf_dir)
 
 
+def _event_count_hourly_late_tolerated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .trending import event_count_hourly_late_tolerated
+
+    return event_count_hourly_late_tolerated(spark, sf_dir)
+
+
 # Late-data replay: the SECOND chronological week arrives after every
 # other week, far past the 1-hour watermark, so the engine must DROP
 # its rows — the oracle counts hours EXCLUDING that week. A green
@@ -629,6 +635,14 @@ def _event_count_hourly_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 # were aggregated (no eviction), every displaced-week hour would
 # appear and the hash would flap red. date_trunc('week') is
 # Monday-start in both engines, so the excluded bucket is identical.
+# The TOLERATED twin runs the SAME out-of-order delivery under a
+# watermark wide enough to accept the displaced week, so it must
+# reproduce the full in-order counts — the pair pins that the
+# watermark horizon (not delivery order) decides late-data fate.
+ORACLE_SQL["event_count_hourly_late_tolerated"] = ORACLE_SQL[
+    "event_count_hourly"
+]
+
 ORACLE_SQL["event_count_hourly_late"] = """
     WITH wks AS (
         SELECT DISTINCT date_trunc('week', ts) AS w FROM events
@@ -658,6 +672,7 @@ QUERIES = {
     "trending_arrivals_stream": _trending_arrivals_stream,
     "event_count_hourly_stream": _event_count_hourly_stream,
     "event_count_hourly_late": _event_count_hourly_late,
+    "event_count_hourly_late_tolerated": _event_count_hourly_late_tolerated,
     "region_event_count_stream": _region_event_count_stream,
     "events_json_stats": events_json_stats,
     "user_reach_approx": user_reach_approx,

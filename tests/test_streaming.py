@@ -592,3 +592,24 @@ def test_late_replay_evicts_exactly_the_displaced_week(spark, sf_dir):
     assert set(late) == set(full) - dropped
     for ws, cnt in late.items():
         assert cnt == full[ws], ws
+
+
+def test_tolerated_late_replay_keeps_every_row(spark, sf_dir):
+    """Same scripted out-of-order delivery, 60-day watermark: the
+    displaced week must be AGGREGATED, not dropped — the tolerated
+    result equals the in-order batch result exactly, proving the
+    watermark horizon (not delivery order) decides late-data fate."""
+    from hadoop_and_spark_spark.streaming.trending import (
+        event_count_hourly_late_tolerated,
+    )
+    from hadoop_and_spark_spark.streaming.windows import event_count_hourly
+
+    full = {
+        (r.window_start, r.cnt)
+        for r in event_count_hourly(spark, sf_dir).collect()
+    }
+    tol = {
+        (r.window_start, r.cnt)
+        for r in event_count_hourly_late_tolerated(spark, sf_dir).collect()
+    }
+    assert tol == full and full
