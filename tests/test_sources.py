@@ -314,3 +314,71 @@ def test_persisted_queries_reuse_fresh_index(spark, sf_dir):
         similarity.ivf_index_path(sf_dir)
     )
     assert before == after and all(before)
+
+
+def test_session_memo_evicts_superseded_entries(spark, sf_dir, tmp_path):
+    """Rewriting a source table in-place must EVICT the old memo entry
+    when the fresh one is inserted — otherwise every rewrite leaks the
+    superseded checkpoint for the application lifetime."""
+    import os
+    import shutil
+
+    from hadoop_and_spark_spark.sources import maintenance as m
+
+    sfx = str(tmp_path / "sfx")
+    os.makedirs(sfx)
+    shutil.copy2(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(sfx, "documents.parquet"),
+    )
+    built = []
+
+    def build():
+        built.append(1)
+        return spark.range(len(built)).localCheckpoint(eager=True)
+
+    v1 = m.session_memo(spark, sfx, "documents", "evict_test_v1", build)
+    assert m.session_memo(spark, sfx, "documents", "evict_test_v1", build) is v1
+    assert len(built) == 1
+
+    # in-place rewrite: bump the table directory's mtime → new marker
+    p = os.path.join(sfx, "documents.parquet")
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    v2 = m.session_memo(spark, sfx, "documents", "evict_test_v1", build)
+    assert len(built) == 2 and v2 is not v1
+
+    matching = [
+        k
+        for k in m._SESSION_MEMO
+        if k[0] == spark.sparkContext.applicationId
+        and k[1].startswith(os.path.abspath(p))
+        and k[1].endswith("evict_test_v1")
+    ]
+    assert len(matching) == 1, matching  # superseded entry evicted
+
+
+def test_evict_superseded_unpersists_stale_values():
+    """The eviction helper must release the superseded value's cached
+    blocks (DataFrames directly or inside tuples) and leave unrelated
+    entries alone."""
+    from hadoop_and_spark_spark.sources.maintenance import evict_superseded
+
+    class Frame:
+        def __init__(self):
+            self.released = False
+
+        def unpersist(self):
+            self.released = True
+
+    stale, fresh, other = Frame(), Frame(), Frame()
+    cache = {
+        ("app", "/t/docs.parquet|1|10|v1"): ("model", stale),
+        ("app", "/t/other.parquet|1|10|v1"): other,
+    }
+    new_key = ("app", "/t/docs.parquet|2|11|v1")
+    evict_superseded(cache, new_key)
+    cache[new_key] = fresh
+    assert stale.released and not other.released and not fresh.released
+    assert ("app", "/t/docs.parquet|1|10|v1") not in cache
+    assert ("app", "/t/other.parquet|1|10|v1") in cache
