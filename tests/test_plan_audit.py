@@ -50,6 +50,7 @@ CORPUS_SIZED_OUTPUT = {
     "corpus_split",
     "decontaminate",
     "dedup_exact",
+    "dedup_exact_stream",
     "dedup_simhash",
     "dedup_survivors",
     "dedup_clusters",

@@ -613,3 +613,29 @@ def test_tolerated_late_replay_keeps_every_row(spark, sf_dir):
         for r in event_count_hourly_late_tolerated(spark, sf_dir).collect()
     }
     assert tol == full and full
+
+
+def test_dedup_stream_suppresses_scripted_rearrivals(spark, sf_dir):
+    """The document replay re-delivers bucket 0's lowest doc_ids in
+    every later batch (staleness pin: the re-arrival set is
+    non-empty), and the streaming dedup emits each content hash
+    exactly once across all batches — per-batch-only dedup would emit
+    the re-arrivals again."""
+    from hadoop_and_spark_spark.streaming.dedup import (
+        DOC_REPLAY_BUCKETS,
+        REARRIVAL_IDS_LT,
+        dedup_exact_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_rearrivals = docs.where(
+        (F.col("doc_id") % DOC_REPLAY_BUCKETS == 0)
+        & (F.col("doc_id") < REARRIVAL_IDS_LT)
+    ).count()
+    assert n_rearrivals > 0, "replay must actually re-deliver documents"
+
+    emitted = dedup_exact_stream(spark, sf_dir).collect()
+    hashes = [r.text_md5 for r in emitted]
+    assert len(hashes) == len(set(hashes)), "a hash was emitted twice"
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert len(hashes) == n_distinct
