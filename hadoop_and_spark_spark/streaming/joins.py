@@ -22,9 +22,11 @@ Two shapes a production event pipeline needs that windowed aggregation
   watermark passes `ts + 24 h` — without the bound the click state
   grows forever. Inner join ⇒ append-mode output per match.
 
-Neither is driver-registrable (streaming plans have no DuckDB twin);
-each is pinned by a batch↔stream duality test over the same parquet
-feed (`tests/test_stream_joins.py`), the module's standing pattern.
+Both are REGISTERED driver queries (round 6): the weekly replay makes
+each deterministic and finite, so `tier_counts_stream` (T8) and
+`purchase_click_pairs` (T9) run real incremental execution under the
+driver's hash gate with full DuckDB oracles; the batch↔stream duality
+tests (`tests/test_stream_joins.py`) remain as the unit-level pins.
 """
 
 from __future__ import annotations
@@ -131,3 +133,151 @@ def purchase_click_pairs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(c, cond, "inner").select(
         "purchase_id", "click_id", F.col("p_user").alias("user_id")
     )
+
+
+# ------------------------------------------ registered driver queries
+#
+# The weekly replay (streaming/trending.py) makes both join shapes
+# deterministic and finite, so T8/T9 are now driver-registrable after
+# all — each runs REAL incremental execution under the hash gate with
+# a full DuckDB oracle, not just the batch-duality unit test.
+
+_JOIN_SEQ = [0]
+
+
+def tier_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 under the driver gate: the events stream (weekly replay)
+    joins the BROADCAST static profile dimension per micro-batch, then
+    aggregates hourly counts per tier (watermarked, update sink).
+    Windows never straddle week batches, so each (tier, window)
+    updates exactly once and the sink equals the batch
+    enriched_tier_counts — whose SQL the oracle runs. The stream side
+    never shuffles for the join (broadcast), the streaming analogue of
+    the J2 broadcast dim join; aggregation state is bounded by
+    tiers x watermark-horizon windows. Runs once per (session,
+    corpus) via the session memo like every registered stream."""
+    from ..sources.maintenance import session_memo
+
+    return session_memo(
+        spark, sf_dir, "events", "tierstream_run_v1",
+        lambda: _run_tier_stream(spark, sf_dir),
+    )
+
+
+def _run_tier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.maintenance import build_once, source_marker
+    from .trending import weekly_replay_path, write_weekly_replay
+
+    src = weekly_replay_path(sf_dir)
+    build_once(
+        src,
+        source_marker(sf_dir, "events", "trendwk_v3"),
+        lambda: write_weekly_replay(spark, sf_dir, src),
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/wk*.parquet")
+        .withWatermark("ts", "1 hour")
+    )
+    agg = enriched_tier_counts(stream, user_profiles(spark, sf_dir))
+    _JOIN_SEQ[0] += 1
+    qname = f"tier_stream_{_JOIN_SEQ[0]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_tier_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).orderBy("tier", "window_start")
+
+
+def purchase_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 under the driver gate: the watermarked stream-stream
+    interval self-join over the weekly replay, append-mode sink.
+
+    Why the streamed pair set is EXACTLY the batch join's: a click can
+    only match purchases within 24 h after it; the join's time bound
+    plus the 1 h watermark keeps click state alive for 25 h past each
+    week's end, which covers every cross-boundary match (a click
+    older than that can match no future purchase), and in-order
+    weekly delivery means no match's inputs are ever separated by
+    more than one batch boundary. So append-mode emits each matching
+    (purchase, click) pair exactly once and the DuckDB interval-join
+    oracle gates the state store's buffering AND eviction. Output is
+    event-proportional: within-partition order only."""
+    from ..sources.maintenance import session_memo
+
+    return session_memo(
+        spark, sf_dir, "events", "pairstream_run_v1",
+        lambda: _run_pair_stream(spark, sf_dir),
+    )
+
+
+def _run_pair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.maintenance import build_once, source_marker
+    from .trending import weekly_replay_path, write_weekly_replay
+
+    src = weekly_replay_path(sf_dir)
+    build_once(
+        src,
+        source_marker(sf_dir, "events", "trendwk_v3"),
+        lambda: write_weekly_replay(spark, sf_dir, src),
+    )
+    stream = spark.readStream.schema(
+        "event_id bigint, event_type string, ts timestamp, user_id bigint"
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/wk*.parquet")
+    pairs = purchase_click_pairs_stream(stream)
+    _JOIN_SEQ[0] += 1
+    qname = f"pair_stream_{_JOIN_SEQ[0]}"
+    query = (
+        pairs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_pair_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).sortWithinPartitions("purchase_id", "click_id")
+
+
+QUERIES = {
+    "tier_counts_stream": tier_counts_stream,
+    "purchase_click_pairs": purchase_click_pairs,
+}
+
+ORACLE_SQL = {
+    "tier_counts_stream": f"""
+        WITH prof AS (
+            SELECT user_id,
+                   CASE WHEN avg(value) < {TIER_SPLIT} THEN 'low'
+                        ELSE 'high' END AS tier
+            FROM events GROUP BY user_id
+        )
+        SELECT prof.tier,
+               strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M') AS window_start,
+               count(*) AS cnt
+        FROM events e JOIN prof USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "purchase_click_pairs": f"""
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id AS user_id
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts > p.ts - INTERVAL '24 hours'
+         AND c.ts <= p.ts
+        WHERE p.event_type = '{ASOF_LEFT_TYPE}'
+          AND c.event_type = '{ASOF_RIGHT_TYPE}'
+        ORDER BY 1, 2
+    """,
+}

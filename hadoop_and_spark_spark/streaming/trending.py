@@ -147,9 +147,11 @@ def write_weekly_replay(
     from ..catalog import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
+        "event_id",  # for the stream-stream pair join (T9)
         "event_type",
         F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("wk"),
         "ts",  # event time, for the windowed-aggregation replay twin
+        "user_id",  # for the stream-static enrich (T8) and T9
     )
     weeks = sorted(r.wk for r in ev.select("wk").distinct().collect())
     delivery = list(weeks)
@@ -245,7 +247,7 @@ def _run_hourly_stream(spark, sf_dir: str) -> DataFrame:
     src = weekly_replay_path(sf_dir)
     build_once(
         src,
-        source_marker(sf_dir, "events", "trendwk_v2"),
+        source_marker(sf_dir, "events", "trendwk_v3"),
         lambda: write_weekly_replay(spark, sf_dir, src),
     )
     stream = (
@@ -331,7 +333,7 @@ def _run_hourly_late(spark, sf_dir: str, delay: str = "1 hour") -> DataFrame:
     src = weekly_replay_path(sf_dir, tag="late_")
     build_once(
         src,
-        source_marker(sf_dir, "events", "trendwk_late_v1"),
+        source_marker(sf_dir, "events", "trendwk_late_v2"),
         lambda: write_weekly_replay(
             spark, sf_dir, src, displace_idx=LATE_WEEK_IDX
         ),
@@ -392,7 +394,7 @@ def _run_region_stream(spark, sf_dir: str) -> DataFrame:
     src = weekly_replay_path(sf_dir)
     build_once(
         src,
-        source_marker(sf_dir, "events", "trendwk_v2"),
+        source_marker(sf_dir, "events", "trendwk_v3"),
         lambda: write_weekly_replay(spark, sf_dir, src),
     )
     stream = (
@@ -433,7 +435,7 @@ def _run_weekly_replay(spark, sf_dir: str) -> DataFrame:
     src = weekly_replay_path(sf_dir)
     build_once(
         src,
-        source_marker(sf_dir, "events", "trendwk_v2"),
+        source_marker(sf_dir, "events", "trendwk_v3"),
         lambda: write_weekly_replay(spark, sf_dir, src),
     )
     stream = (

@@ -68,6 +68,7 @@ CORPUS_SIZED_OUTPUT = {
     "pack_sequences",
     "pii_scrub",
     "pseudonymize_events",
+    "purchase_click_pairs",
     "repetition_filter",
     "spam_ensemble",
     "spam_score",

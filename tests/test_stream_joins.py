@@ -86,3 +86,24 @@ def test_stream_stream_pairs_agree_with_range_join(spark, sf_dir):
     # and every zero-count purchase in the range join has no pairs
     zeros = [p for p, n in ranged.items() if n == 0]
     assert all(p not in pair_counts for p in zeros)
+
+
+def test_registered_pair_stream_equals_batch_join(spark, sf_dir):
+    """The driver-registered replay form of the stream-stream join
+    must emit exactly the batch interval join's pairs — including
+    matches whose click and purchase arrive in DIFFERENT weekly
+    micro-batches (the state-store buffering the oracle gates)."""
+    from hadoop_and_spark_spark.streaming.joins import (
+        purchase_click_pairs,
+        purchase_click_pairs_batch,
+    )
+
+    got = {
+        (r.purchase_id, r.click_id, r.user_id)
+        for r in purchase_click_pairs(spark, sf_dir).collect()
+    }
+    want = {
+        (r.purchase_id, r.click_id, r.user_id)
+        for r in purchase_click_pairs_batch(spark, sf_dir).collect()
+    }
+    assert got == want and got
