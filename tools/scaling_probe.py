@@ -91,10 +91,13 @@ DEFAULT_QUERIES = (
     "heavy_users_topk",
     "pseudonymize_events",
     "salted_hot_key_join",
-    # streaming replays (events)
+    # streaming replays (events / documents)
     "trending_arrivals_stream",
     "event_count_hourly_stream",
     "event_count_hourly_late",
+    "tier_counts_stream",
+    "purchase_click_pairs",
+    "dedup_exact_stream",
 )
 
 # One-line scale rationale per probed query, rendered into PROBE.md —
@@ -151,6 +154,9 @@ WHY = {
     "trending_arrivals_stream": "micro-batch count fixed; state one long per key",
     "event_count_hourly_stream": "watermark-bounded window state; replay machinery fixed cost",
     "event_count_hourly_late": "same as hourly stream + scripted late week dropped by eviction",
+    "tier_counts_stream": "broadcast dim join per micro-batch; agg state tiers x horizon",
+    "purchase_click_pairs": "stream-stream join; click state evicts 25 h past each week",
+    "dedup_exact_stream": "state one hash per distinct doc; payload never stored",
 }
 
 
