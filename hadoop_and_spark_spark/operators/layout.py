@@ -1,0 +1,343 @@
+"""Data-layout and runtime-pruning operators.
+
+The reference never had to think about layout — its corpora fit one
+teaching host (`/root/reference/assignment0.md` §Q3: 14 mappers).
+At 100 TB the dominant costs are (a) rows that enter a shuffle only
+to be discarded by the join on the other side, and (b) scans that
+cannot skip files because the interesting rows are scattered across
+all of them. This module implements the two standard answers as
+first-class, oracle-checked operators:
+
+- ``bloom_prune_join`` — a declarative Bloom-style bitmap semi-filter
+  applied to the fact side BEFORE its shuffle, the manual form of
+  Spark's own runtime row-level filtering
+  (``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled``), for
+  the plans the optimizer cannot reach (pre-aggregated inputs,
+  foreachBatch sinks, hand-built pipelines).
+- ``zorder_key`` / ``zorder_layout`` — Morton (Z-order) interleaving
+  of two clustering dimensions so a single range-partitioned sort
+  bounds BOTH dimensions per output bucket, which is what makes
+  parquet min/max footer stats prunable on either predicate.
+- ``latest_snapshot`` — changelog → current-state snapshot (latest
+  row per key with tombstone removal) via ``max(struct(...))``
+  partial aggregation instead of a window sort: the map-side combine
+  reduces each partition to one candidate row per key before the
+  shuffle, where ``row_number() = 1`` would shuffle every row.
+
+All three are pure built-in-function plans (no Python in the hot
+path) and each registered query has a DuckDB oracle expressing the
+same semantics the naive way — the layout machinery must be invisible
+in the result to be correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import round6, round6_sql
+
+# --------------------------------------------------------------- bloom
+
+# Bitmap sizing for the demo: 2^18 bits. With ~1.1k keys at sf0.1 the
+# false-positive rate of the k=1 filter is ~keys/M ≈ 0.4% — false
+# positives only cost work (they are removed by the exact join), never
+# correctness. At a real 100 TB build-side, size M at ~10 bits/key and
+# raise K_HASHES; the construction below is parameterized on both.
+M_BITS = 1 << 18
+K_HASHES = 2
+
+URGENT_CUTOFF = "1995-04-01"
+
+
+def bloom_bitmap(keys: DataFrame, key: str, m_bits: int = M_BITS,
+                 k_hashes: int = K_HASHES) -> DataFrame:
+    """Build a Bloom filter over ``keys[key]`` as a DataFrame of
+    occupied 64-bit words: ``(word_idx BIGINT, bits BIGINT)``.
+
+    Hash i is ``pmod(xxhash64(key, seed=i), m_bits)``; each key sets
+    k bits via ``bit_or`` partial aggregation, so the build is one
+    map-side-combined shuffle of at most ``m_bits/64`` rows — tiny and
+    always broadcastable even when the key SET itself is not. Only
+    occupied words are materialized (absent word ⇒ all-zero bits)."""
+    per_hash = []
+    for seed in range(k_hashes):
+        h = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(m_bits))
+        per_hash.append(
+            keys.select(
+                (h / 64).cast("long").alias("word_idx"),
+                F.expr(
+                    f"shiftleft(1L, cast(pmod(xxhash64({key}, {seed}),"
+                    f" {m_bits}) % 64 as int))"
+                ).alias("bit"),
+            )
+        )
+    stacked = per_hash[0]
+    for extra in per_hash[1:]:
+        stacked = stacked.unionAll(extra)
+    return stacked.groupBy("word_idx").agg(F.bit_or("bit").alias("bits"))
+
+
+def bloom_might_contain(probe: DataFrame, key: str, bitmap: DataFrame,
+                        m_bits: int = M_BITS,
+                        k_hashes: int = K_HASHES) -> DataFrame:
+    """Keep only ``probe`` rows whose ``key`` passes the Bloom filter
+    (every one of the k bits set). Broadcast-joins the occupied-words
+    table k times on ``word_idx`` — each a map-side hash lookup, no
+    shuffle of the probe side — and filters ``bits & bit != 0``. A
+    LEFT join treats missing words as definite-absent."""
+    out = probe
+    for seed in range(k_hashes):
+        h = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(m_bits))
+        bm = bitmap.withColumnRenamed("bits", f"__bits{seed}")
+        out = (
+            out.withColumn("__w", (h / 64).cast("long"))
+            .withColumn(
+                "__b",
+                F.expr(
+                    f"shiftleft(1L, cast(pmod(xxhash64({key}, {seed}),"
+                    f" {m_bits}) % 64 as int))"
+                ),
+            )
+            .join(F.broadcast(bm), F.col("__w") == bm.word_idx, "left")
+            .where(
+                F.col(f"__bits{seed}").isNotNull()
+                & (F.col(f"__bits{seed}").bitwiseAND(F.col("__b")) != 0)
+            )
+            .drop("__w", "__b", "word_idx", f"__bits{seed}")
+        )
+    return out
+
+
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag for lineitems of urgent early-1995
+    orders, with the fact side pre-pruned by a Bloom bitmap BEFORE
+    the exact join (SURVEY §2.4 "not present": runtime filters).
+
+    Build side: o_orderkey of orders with priority 1-URGENT placed
+    before 1995-04-01 (~1% of orders). The KEY SET may be large at
+    100 TB, but its Bloom bitmap is ≤ m_bits/64 rows by construction
+    — always broadcastable. Probe side: every lineitem checks the
+    bitmap via broadcast word lookups (no shuffle), so only the ~1%
+    true matches plus ~0.4% false positives ever reach the exact
+    sort-merge join; shuffle volume drops ~99% versus joining first.
+    The final join is hinted ``merge`` to model the production case
+    where the build side exceeds the broadcast threshold — when it
+    fits, a plain broadcast join subsumes all of this.
+
+    Oracle: the same aggregate with a naive join — the Bloom must be
+    result-invisible (false positives eliminated, no false negatives).
+    tests/test_layout.py pins the plan: probe-side scan feeds the
+    bitmap filter below the SortMergeJoin's exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.lit(URGENT_CUTOFF))
+    ).select("o_orderkey")
+    bitmap = bloom_bitmap(urgent, "o_orderkey")
+    candidates = bloom_might_contain(li, "l_orderkey", bitmap)
+    urgent_smj = urgent.hint("merge")
+    exact = candidates.join(
+        urgent_smj,
+        candidates.l_orderkey == urgent_smj.o_orderkey,
+        "left_semi",
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            round6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ------------------------------------------------------------- z-order
+
+Z_BITS = 8          # bits per dimension
+Z_BUCKETS_SHIFT = 11  # 16-bit z-key >> 11 = 32 buckets
+
+
+def zorder_key(x: Column, y: Column, bits: int = Z_BITS) -> Column:
+    """Morton-interleave two ``bits``-bit non-negative ints: x's bit i
+    lands at position 2i+1, y's at 2i. Pure integer arithmetic —
+    whole-stage-codegen'd, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def zorder_key_sql(x: str, y: str, bits: int = Z_BITS) -> str:
+    """DuckDB expression computing the identical Morton key."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(df: DataFrame, x: str, y: str, path: str,
+                   buckets: int = 32) -> None:
+    """Materialize ``df`` clustered by z-order over (x, y): range-
+    partition on the Morton key into ``buckets`` files, sort within
+    each, write parquet. Every output file's parquet footer then
+    carries TIGHT min/max for BOTH x and y, so a later scan with a
+    predicate on either dimension skips most files — the property a
+    single-column sort only gives one dimension."""
+    keyed = df.withColumn("__z", zorder_key(F.col(x), F.col(y)))
+    (
+        keyed.repartitionByRange(buckets, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket clustering statistics of a z-ordered events layout
+    (SURVEY §2.4 "not present": multi-dimensional clustering).
+
+    Dimensions: x = pmod(user_id, 256) (the access-path key), y =
+    six-minute-of-day slot / 240 scaled to 8 bits (the time key).
+    Bucket = top 5 bits of the 16-bit Morton key — exactly the file
+    boundary ``write_zordered`` produces with 32 range partitions.
+    The returned min/max spans per bucket are the parquet-footer
+    stats a reader would prune on: the top-5 z-bits fix x's bits
+    7..5 and y's bits 7..6, so every bucket provably spans ≤ 32 of
+    256 x-values and ≤ 64 of 256 y-values — a predicate on either
+    dimension skips ≥ 7/8 (x) or ≥ 3/4 (y) of the files, where a
+    ts-only sort gives x no pruning at all.
+
+    The whole computation is one scan + one 32-group partial
+    aggregate; at 100 TB the same plan computes the layout manifest
+    (no shuffle of data rows, only of 32-key partials)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    slot = (F.hour("ts") * 60 + F.minute("ts")) / F.lit(6)
+    y = ((slot.cast("long")) * 256 / 240).cast("long")
+    z = zorder_key(x, y)
+    return (
+        ev.select(
+            F.shiftright(z, Z_BUCKETS_SHIFT).alias("bucket"),
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ------------------------------------------------- changelog snapshot
+
+TOMBSTONE = "error"  # event_type marking a deleted key in the demo
+
+
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current-state snapshot: the most recent event per
+    user (ordered by ts, then event_id for uniqueness), dropping keys
+    whose latest record is a tombstone (SURVEY §2.4 "not present":
+    CDC snapshot read; the batch dual of ``sources/maintenance.py``'s
+    ``merge_upsert`` foreachBatch sink).
+
+    Implemented as ``max(struct(ts, event_id, event_type, value))``
+    — struct comparison is lexicographic, and (ts, event_id) is a
+    unique total order per key, so the max struct IS the latest row.
+    Unlike the textbook ``row_number() OVER (PARTITION BY key ORDER
+    BY ts DESC) = 1`` (which must shuffle and sort EVERY changelog
+    row), the aggregate partial-combines map-side: each input
+    partition ships exactly one candidate struct per key it has seen.
+    At a 100 TB changelog with ~10^9 keys that is the difference
+    between shuffling the full log and shuffling ~one row per key
+    per partition. The oracle states the window form; results are
+    identical by the uniqueness argument above."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias(
+                "last"
+            )
+        )
+        .select(
+            "user_id",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_type").alias("last_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
+    # Within-partition order only: the output is keyed-cardinality
+    # (one row per live user — 10^9 at 100 TB), so a global sort is
+    # presentation-only cost; the driver compare canonicalizes rows.
+    return (
+        latest.where(F.col("last_type") != TOMBSTONE)
+        .sortWithinPartitions("user_id")
+    )
+
+
+QUERIES = {
+    "bloom_prune_join": bloom_prune_join,
+    "zorder_layout": zorder_layout,
+    "latest_snapshot": latest_snapshot,
+}
+
+ORACLE_SQL = {
+    "bloom_prune_join": f"""
+        SELECT l_returnflag, count(*) AS n_items,
+               {round6_sql('sum(l_extendedprice * (1 - l_discount))')}
+                   AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_orderdate < TIMESTAMP '{URGENT_CUTOFF} 00:00:00'
+        )
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "zorder_layout": f"""
+        WITH pts AS (
+            SELECT user_id % 256 AS x,
+                   (((extract(hour FROM ts) * 60
+                      + extract(minute FROM ts)) // 6) * 256 // 240) AS y
+            FROM events
+        ), keyed AS (
+            SELECT x, y,
+                   {zorder_key_sql('x', 'y')} >> {Z_BUCKETS_SHIFT} AS bucket
+            FROM pts
+        )
+        SELECT bucket, count(*) AS n,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM keyed GROUP BY bucket ORDER BY bucket
+    """,
+    "latest_snapshot": f"""
+        WITH ranked AS (
+            SELECT user_id, ts AS last_ts, event_type AS last_type,
+                   value AS last_value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id, last_ts, last_type, last_value
+        FROM ranked WHERE rn = 1 AND last_type <> '{TOMBSTONE}'
+        ORDER BY user_id
+    """,
+}

@@ -427,6 +427,80 @@ def _run_region_stream(spark, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("region", "window_start")
 
 
+def event_count_sliding_stream(spark, sf_dir: str) -> DataFrame:
+    """The HOPPING window through the incremental engine — the state
+    shape the tumbling twins can't pin: each event belongs to
+    len/hop = 2 live windows, and a 2-hour window straddling a weekly
+    micro-batch boundary receives rows in TWO batches, so the
+    update-mode sink legitimately holds multiple rows for it (one per
+    update, each the window's running total). The consolidation is
+    the standard update-sink read: counts are monotone under
+    accumulation, so max(cnt) per window is the final value — which
+    must equal the batch hopping query, whose DuckDB oracle this
+    shares. A green driver row therefore witnesses that overlapping-
+    window state survives across micro-batches and that the last
+    update per window carries the complete count.
+
+    Scale: state = (len/hop) × windows inside the watermark horizon;
+    the 1-hour watermark evicts a window one hour after its end, and
+    the straddling windows are exactly the ones whose state must
+    outlive a batch boundary to be evicted only after their second
+    update."""
+    from ..sources.maintenance import session_memo
+
+    return session_memo(
+        spark, sf_dir, "events", "slidingstream_run_v1",
+        lambda: _run_sliding_stream(spark, sf_dir),
+    )
+
+
+def _run_sliding_stream(spark, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.maintenance import build_once, source_marker
+    from .windows import _WINDOW_FMT, SLIDE_HOP, SLIDE_LEN
+
+    src = weekly_replay_path(sf_dir)
+    build_once(
+        src,
+        source_marker(sf_dir, "events", "trendwk_v3"),
+        lambda: write_weekly_replay(spark, sf_dir, src),
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/wk*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", SLIDE_LEN, SLIDE_HOP).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", _WINDOW_FMT).alias("window_start"),
+            "cnt",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    qname = f"sliding_stream_{_STREAM_SEQ[0]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="hs_sliding_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("window_start")
+        .agg(F.max("cnt").alias("cnt"))
+        .orderBy("window_start")
+    )
+
+
 def _run_weekly_replay(spark, sf_dir: str) -> DataFrame:
     import tempfile
 

@@ -98,6 +98,39 @@ def region_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDE_LEN = "2 hours"
+SLIDE_HOP = "1 hour"
+
+
+def event_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time window — the overlapping-window
+    family T2/T3's tumbling windows don't exercise: 2-hour windows
+    every 1 hour, so each event lands in exactly len/hop = 2 windows.
+
+    Spark plans this as a single Expand (one row per covering window)
+    feeding the same partial+final hash aggregate as a tumbling count
+    — one shuffle of (window, partial) pairs, map-side combined, with
+    the len/hop ratio as the Expand multiplier. The DuckDB oracle
+    states the expansion explicitly (each event contributes to the
+    windows starting at trunc_hour(ts) and trunc_hour(ts) − 1 h; both
+    engines align windows to the epoch, i.e. to hour boundaries).
+
+    At 100 TB the cost scales with len/hop — keep the ratio small and
+    pre-aggregate to hop-sized tumbling buckets first if it isn't
+    (the classic two-level hopping optimization; unnecessary at
+    ratio 2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", SLIDE_LEN, SLIDE_HOP).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), _WINDOW_FMT).alias("window_start"),
+            "cnt",
+        )
+        .orderBy("window_start")
+    )
+
+
 def trending_arrivals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 batch twin: per-type hourly counts, alert when a window at
     least doubles the previous existing window and reaches the floor
@@ -665,6 +698,29 @@ def _region_event_count_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region_event_count_stream(spark, sf_dir)
 
 
+def _event_count_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .trending import event_count_sliding_stream
+
+    return event_count_sliding_stream(spark, sf_dir)
+
+
+# Hopping windows: every event covers the windows starting at
+# trunc_hour(ts) and trunc_hour(ts) − 1 h (len 2 h, hop 1 h, both
+# engines epoch-aligned). The streaming twin consolidates its
+# update-mode sink by max(cnt) — counts are monotone — so it shares
+# the batch oracle.
+ORACLE_SQL["event_count_sliding"] = """
+    WITH starts AS (
+        SELECT date_trunc('hour', ts) AS s FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+    )
+    SELECT strftime(s, '%Y-%m-%d %H:%M') AS window_start, count(*) AS cnt
+    FROM starts GROUP BY 1 ORDER BY 1
+"""
+ORACLE_SQL["event_count_sliding_stream"] = ORACLE_SQL["event_count_sliding"]
+
+
 QUERIES = {
     "event_count_hourly": event_count_hourly,
     "region_event_count": region_event_count,
@@ -674,6 +730,8 @@ QUERIES = {
     "event_count_hourly_late": _event_count_hourly_late,
     "event_count_hourly_late_tolerated": _event_count_hourly_late_tolerated,
     "region_event_count_stream": _region_event_count_stream,
+    "event_count_sliding": event_count_sliding,
+    "event_count_sliding_stream": _event_count_sliding_stream,
     "events_json_stats": events_json_stats,
     "user_reach_approx": user_reach_approx,
     "heavy_users_topk": heavy_users_topk,

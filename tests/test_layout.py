@@ -1,0 +1,200 @@
+"""Layout/pruning operator tests: Bloom prefilter equivalence + plan,
+z-order clustering invariants, latest-snapshot differential."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from hadoop_and_spark_spark.catalog import load_table
+from hadoop_and_spark_spark.operators import layout as L
+from hadoop_and_spark_spark.operators import relational as R
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+# --------------------------------------------------------------- bloom
+
+
+def test_bloom_prefilter_is_result_invisible(spark, sf_dir):
+    """The Bloom-pruned semi-join must equal the naive semi-join
+    row-for-row: no false negatives ever, false positives removed by
+    the exact join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.lit(L.URGENT_CUTOFF))
+    ).select("o_orderkey")
+    naive = li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
+    )
+    bitmap = L.bloom_bitmap(urgent, "o_orderkey")
+    pruned = L.bloom_might_contain(li, "l_orderkey", bitmap)
+    exact = pruned.join(
+        urgent, pruned.l_orderkey == urgent.o_orderkey, "left_semi"
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.l_orderkey, r.l_linenumber) for r in df.collect()
+    )
+    assert key(exact) == key(naive) and naive.count() > 0
+
+
+def test_bloom_filter_actually_prunes(spark, sf_dir):
+    """The bitmap pass must reject the vast majority of non-matching
+    fact rows (k=2 hashes, m=2^18 bits, ~100 keys at sf0.001 ⇒ FP
+    rate well under 1%)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.lit(L.URGENT_CUTOFF))
+    ).select("o_orderkey")
+    bitmap = L.bloom_bitmap(urgent, "o_orderkey")
+    survivors = L.bloom_might_contain(li, "l_orderkey", bitmap).count()
+    true_matches = li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
+    ).count()
+    total = li.count()
+    false_pos = survivors - true_matches
+    assert false_pos >= 0
+    assert false_pos <= max(5, total * 0.01)
+
+
+def test_bloom_plan_filters_below_the_smj_exchange(spark, sf_dir):
+    """Plan shape: the registered query must contain the exact
+    SortMergeJoin (LeftSemi) AND the broadcast bitmap lookups feeding
+    it — i.e. the probe rows are filtered BEFORE the join's shuffle,
+    which is the entire point at 100 TB."""
+    p = plan(L.bloom_prune_join(spark, sf_dir))
+    assert "SortMergeJoin" in p and "LeftSemi" in p
+    assert p.count("BroadcastHashJoin") >= L.K_HASHES
+    # the bitmap filter predicate survives into the physical plan
+    assert "xxhash64" in p
+
+
+# ------------------------------------------------------------- z-order
+
+
+def test_zorder_key_is_a_bijection_on_the_grid(spark):
+    n = 32  # 5-bit demo grid; full 8-bit would be 65536 rows
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    keys = grid.select(L.zorder_key(F.col("x"), F.col("y")).alias("z"))
+    assert keys.distinct().count() == n * n
+    lo, hi = keys.agg(F.min("z"), F.max("z")).first()
+    assert lo == 0 and hi == n * n - 1  # dense on [0, 4^5)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """Top-5-bit buckets fix x bits 7..5 and y bits 7..6, so every
+    bucket spans ≤ 32 x-values and ≤ 64 y-values — the min/max
+    footer-stat tightness that makes 2-D file skipping work."""
+    rows = L.zorder_layout(spark, sf_dir).collect()
+    assert rows and sum(r.n for r in rows) == load_table(
+        spark, sf_dir, "events"
+    ).count()
+    for r in rows:
+        assert r.max_x - r.min_x < 32
+        assert r.max_y - r.min_y < 64
+
+
+def test_write_zordered_round_trips_and_ranges(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod("user_id", F.lit(256)).alias("x"),
+        F.pmod("event_id", F.lit(256)).alias("y"),
+    )
+    out = str(tmp_path / "zordered")
+    L.write_zordered(ev, "x", "y", out, buckets=8)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+    # file-level x ranges must be tighter than the global range for
+    # most files (clustering actually happened)
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg((F.max("x") - F.min("x")).alias("span"))
+        .collect()
+    )
+    assert len(per_file) > 1
+    assert sum(1 for r in per_file if r.span < 255) >= len(per_file) // 2
+
+
+# ----------------------------------------------------------- snapshot
+
+
+def test_latest_snapshot_matches_window_form(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    windowed = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != L.TOMBSTONE))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    got = {tuple(r) for r in L.latest_snapshot(spark, sf_dir).collect()}
+    want = {tuple(r) for r in windowed.collect()}
+    assert got == want and want
+
+
+def test_latest_snapshot_partial_aggregates_no_window_sort(spark, sf_dir):
+    """The plan must be a two-phase hash/sort aggregate (map-side
+    combine), with NO Window node and no per-row sort of the full
+    changelog."""
+    p = plan(L.latest_snapshot(spark, sf_dir))
+    assert "Window" not in p
+    assert "partial_max" in p or "partial_first" in p
+
+
+# ------------------------------------------------------- grouping sets
+
+
+def test_grouping_sets_equals_unioned_groupbys(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(R.Q6_CUTOFF)
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(disc), 2).alias("revenue"), F.count("*").alias("cnt")
+    )
+    coarse = li.groupBy("l_linestatus").agg(
+        F.round(F.sum(disc), 2).alias("revenue"), F.count("*").alias("cnt")
+    )
+    want = {
+        (r.l_returnflag, r.l_linestatus, r.revenue, r.cnt)
+        for r in fine.collect()
+    } | {
+        (None, r.l_linestatus, r.revenue, r.cnt) for r in coarse.collect()
+    }
+    got = {
+        (r.l_returnflag, r.l_linestatus, r.revenue, r.cnt)
+        for r in R.q8c_pricing_grouping_sets(spark, sf_dir).collect()
+    }
+    assert got == want
+    gids = {
+        r.gid for r in R.q8c_pricing_grouping_sets(spark, sf_dir).collect()
+    }
+    assert gids == {0, 2}
+
+
+def test_grouping_sets_single_expand_single_aggregate(spark, sf_dir):
+    p = plan(R.q8c_pricing_grouping_sets(spark, sf_dir))
+    assert p.count("Expand") >= 1
+    assert "HashAggregate" in p

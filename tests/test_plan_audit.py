@@ -79,6 +79,9 @@ CORPUS_SIZED_OUTPUT = {
     "winnow_fingerprint",
     "asof_attribution",
     "range_join_counts",
+    # keyed-cardinality, not strictly per-event, but ~one row per user
+    # (10^9 at 100 TB): same no-global-sort rule applies
+    "latest_snapshot",
 }
 
 

@@ -639,3 +639,53 @@ def test_dedup_stream_suppresses_scripted_rearrivals(spark, sf_dir):
     assert len(hashes) == len(set(hashes)), "a hash was emitted twice"
     n_distinct = docs.select(F.md5("text")).distinct().count()
     assert len(hashes) == n_distinct
+
+
+def test_sliding_stream_equals_batch_and_straddles_batches(spark, sf_dir):
+    """Hopping-window streaming twin ≡ batch hopping query, AND the
+    raw update-mode sink must contain at least one window with >1
+    update row — the witness that overlapping-window state survived a
+    micro-batch boundary (every multi-update window is one whose
+    2-hour span straddles a weekly batch edge). Without the second
+    batch's update, max-consolidation would under-count and the
+    equality half would fail too."""
+    from hadoop_and_spark_spark.streaming.trending import (
+        _STREAM_SEQ,
+        event_count_sliding_stream,
+    )
+
+    got = sorted(
+        tuple(r) for r in event_count_sliding_stream(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in W.event_count_sliding(spark, sf_dir).collect()
+    )
+    assert got == want and got
+
+    # the consolidated result comes from a memory sink named
+    # sliding_stream_<seq>; find the most recent one and inspect the
+    # raw (pre-consolidation) update rows
+    raw = None
+    for seq in range(_STREAM_SEQ[0], 0, -1):
+        name = f"sliding_stream_{seq}"
+        try:
+            raw = spark.table(name)
+            break
+        except Exception:  # noqa: BLE001 — table from an older stream
+            continue
+    assert raw is not None
+    multi = (
+        raw.groupBy("window_start")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert multi >= 1, "no window updated across two micro-batches"
+
+
+def test_sliding_counts_cover_each_event_twice(spark, sf_dir):
+    """len/hop = 2 ⇒ the hopping counts sum to exactly 2× the event
+    count (every event lies in exactly two epoch-aligned windows)."""
+    total = sum(r.cnt for r in W.event_count_sliding(spark, sf_dir).collect())
+    n = load_table(spark, sf_dir, "events").count()
+    assert total == 2 * n
