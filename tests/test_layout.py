@@ -198,3 +198,53 @@ def test_grouping_sets_single_expand_single_aggregate(spark, sf_dir):
     p = plan(R.q8c_pricing_grouping_sets(spark, sf_dir))
     assert p.count("Expand") >= 1
     assert "HashAggregate" in p
+
+
+# ------------------------------------------------ partition pruning
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The date predicate must become PartitionFilters (plan-time
+    directory pruning), and the pruned scan must touch ~7/30 of the
+    partitions."""
+    df = L.partitioned_scan(spark, sf_dir)
+    p = plan(df)
+    assert "PartitionFilters: [" in p
+    # the filter is ON the partition column, not pushed as a data filter
+    assert "event_date" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    path = L.partitioned_events_path(sf_dir)
+    week = spark.read.parquet(path).where(
+        (F.col("event_date") >= F.lit(L.PARTITION_WEEK).cast("date"))
+        & (
+            F.col("event_date")
+            < F.date_add(F.lit(L.PARTITION_WEEK).cast("date"), 7)
+        )
+    )
+    scanned = week.select(F.input_file_name()).distinct().count()
+    total = (
+        spark.read.parquet(path)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert scanned < total / 2, (scanned, total)
+
+
+def test_partitioned_scan_matches_unpartitioned_filter(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    start = F.lit(L.PARTITION_WEEK).cast("date")
+    want = sorted(
+        tuple(r)
+        for r in ev.where(
+            (F.to_date("ts") >= start) & (F.to_date("ts") < F.date_add(start, 7))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .collect()
+    )
+    got = sorted(tuple(r) for r in L.partitioned_scan(spark, sf_dir).collect())
+    assert got == want and got
