@@ -689,3 +689,58 @@ def test_sliding_counts_cover_each_event_twice(spark, sf_dir):
     total = sum(r.cnt for r in W.event_count_sliding(spark, sf_dir).collect())
     n = load_table(spark, sf_dir, "events").count()
     assert total == 2 * n
+
+
+def test_stream_restart_recovers_state_from_checkpoint(spark, tmp_path):
+    """T6 as an actual stop/restart, not just a checkpointLocation
+    option: run an hourly count over file A to completion, START A NEW
+    QUERY from the SAME checkpoint over newly-arrived file B with more
+    rows in the SAME hour, and require the re-emitted window total to
+    include file A's rows — which is only possible if the aggregation
+    state was recovered from the checkpoint (a fresh query would emit
+    2, not 5)."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    h = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_file(name, minutes):
+        spark.createDataFrame(
+            [(h + dt.timedelta(minutes=m),) for m in minutes], "ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once(qname):
+        # foreachBatch, not the memory sink: memory sinks refuse
+        # checkpoint recovery, and recovery is the thing under test
+        emitted = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                emitted[r.ws] = r.cnt
+
+        stream = spark.readStream.schema("ts timestamp").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "cnt")
+        )
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    write_file("a", [1, 2, 3])
+    first = run_once("ckpt_run_1")
+    assert first == {h: 3}
+
+    write_file("b", [10, 20])
+    second = run_once("ckpt_run_2")
+    assert second == {h: 5}, second

@@ -91,6 +91,10 @@ DEFAULT_QUERIES = (
     "heavy_users_topk",
     "pseudonymize_events",
     "salted_hot_key_join",
+    "latest_snapshot",
+    "zorder_layout",
+    "partitioned_scan",
+    "event_count_sliding",
     # streaming replays (events / documents)
     "trending_arrivals_stream",
     "event_count_hourly_stream",
@@ -98,6 +102,7 @@ DEFAULT_QUERIES = (
     "tier_counts_stream",
     "purchase_click_pairs",
     "dedup_exact_stream",
+    "event_count_sliding_stream",
 )
 
 # One-line scale rationale per probed query, rendered into PROBE.md —
@@ -157,6 +162,11 @@ WHY = {
     "tier_counts_stream": "broadcast dim join per micro-batch; agg state tiers x horizon",
     "purchase_click_pairs": "stream-stream join; click state evicts 25 h past each week",
     "dedup_exact_stream": "state one hash per distinct doc; payload never stored",
+    "latest_snapshot": "max(struct) partial agg; one candidate row per key per partition shuffles",
+    "zorder_layout": "codegen bit math + 32-group partial agg; no data-row shuffle",
+    "partitioned_scan": "layout persisted on disk (build-once); read prunes to 7/30 partitions",
+    "event_count_sliding": "Expand x(len/hop)=2 into one partial+final agg shuffle",
+    "event_count_sliding_stream": "overlapping-window state = 2x windows in horizon; replay fixed cost",
 }
 
 
