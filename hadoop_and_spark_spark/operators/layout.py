@@ -289,6 +289,9 @@ def partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_layout.py pins PartitionFilters in the plan and that
     the scanned-file count shrinks). The oracle runs the same filter
     over the unpartitioned source table."""
+    import glob as _glob
+    import os as _os
+
     from ..sources.maintenance import build_once, source_marker
 
     path = partitioned_events_path(sf_dir)
@@ -300,7 +303,15 @@ def partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     start = F.lit(PARTITION_WEEK).cast("date")
-    part = spark.read.parquet(path)
+    if not _glob.glob(_os.path.join(path, "event_date=*")):
+        # empty corpus ⇒ the partitioned write produced no partition
+        # directories (schema not inferable); degenerate to the
+        # schema-preserving empty plan over the source table
+        part = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+    else:
+        part = spark.read.parquet(path)
     return (
         part.where(
             (F.col("event_date") >= start)

@@ -82,6 +82,7 @@ CORPUS_SIZED_OUTPUT = {
     # keyed-cardinality, not strictly per-event, but ~one row per user
     # (10^9 at 100 TB): same no-global-sort rule applies
     "latest_snapshot",
+    "cdc_upsert_stream",
 }
 
 

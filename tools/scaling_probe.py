@@ -103,6 +103,7 @@ DEFAULT_QUERIES = (
     "purchase_click_pairs",
     "dedup_exact_stream",
     "event_count_sliding_stream",
+    "cdc_upsert_stream",
 )
 
 # One-line scale rationale per probed query, rendered into PROBE.md —
@@ -167,6 +168,7 @@ WHY = {
     "partitioned_scan": "layout persisted on disk (build-once); read prunes to 7/30 partitions",
     "event_count_sliding": "Expand x(len/hop)=2 into one partial+final agg shuffle",
     "event_count_sliding_stream": "overlapping-window state = 2x windows in horizon; replay fixed cost",
+    "cdc_upsert_stream": "per-batch merge shuffles table+batch once; table stays keyed-cardinality",
 }
 
 
