@@ -244,6 +244,138 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ z-order read-side (scan)
+
+# Probe predicate: a 4-wide x-slice, populated at every test SF (the
+# smallest corpus only has user_ids 0..14). On a corpus whose x
+# values cover the full 8-bit range, a z-ordered layout confines each
+# file's x-span to ~32 of 256 values, so a narrow slice opens ~1/8 of
+# the files (tests/test_layout.py pins the factor on a dense grid
+# where the bound is deterministic); a ts-sorted layout would open
+# every file.
+ZSCAN_X_LO, ZSCAN_X_HI = 8, 12
+
+
+def zordered_events_path(sf_dir: str) -> str:
+    """Canonical location of the z-ordered events layout for a corpus
+    (the weekly_replay_path marker pattern); the skipping manifest
+    lives at ``<path>_mf``."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"hs_evz_{digest}")
+
+
+def write_zordered_events(spark: SparkSession, sf_dir: str,
+                          path: str) -> None:
+    """Materialize the z-ordered events layout AND its skipping
+    manifest: per output file, the min/max of both clustering
+    dimensions — exactly the parquet footer stats, lifted into a
+    metadata table so planning can prune files without opening any
+    footer (the Iceberg/Delta data-skipping design: manifest rows
+    scale with FILE count, not row count)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    slot = (F.hour("ts") * 60 + F.minute("ts")) / F.lit(6)
+    y = ((slot.cast("long")) * 256 / 240).cast("long")
+    df = ev.select(
+        x.alias("x"), y.alias("y"), "event_type", "value"
+    )
+    write_zordered(df, "x", "y", path)
+    back = spark.read.parquet(path)
+    (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "_mf")
+    )
+
+
+def zscan_candidate_files(spark: SparkSession, path: str,
+                          lo: int, hi: int) -> tuple[list, int]:
+    """Manifest-driven planning: (files whose x-span intersects
+    [lo, hi), total file count). Driver-side by design — the manifest
+    has one row per FILE (≤ tens of thousands at 100 TB, vs 10^9+
+    data rows), the same metadata-scale read every table format's
+    planner performs."""
+    mf = spark.read.parquet(path + "_mf").collect()
+    keep = [r.f for r in mf
+            if r.max_x >= lo and r.min_x < hi]
+    return keep, len(mf)
+
+
+def zordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type stats for one 16-wide x-slice, read FROM the z-ordered
+    layout with manifest-driven file skipping — the read-side proof of
+    ``write_zordered``'s claim (SURVEY §2.4 "not present":
+    multi-dimensional clustering; ``zorder_layout`` verifies the
+    bucket spans, this query actually prunes on them).
+
+    Planning consults the per-file manifest and opens only files whose
+    x-span intersects the slice. Because the layout is range-
+    partitioned on the Morton key, every file's x-span is confined to
+    a ~32-of-256-value window once the corpus covers the full x range
+    (boundaries are sampled from data, so the window is approximate,
+    unlike ``zorder_layout``'s exact bit-derived buckets) — a narrow
+    x-slice opens ~1/8 of the files, and the SAME manifest prunes a
+    y-slice too (tests/test_layout.py pins both factors on a dense
+    deterministic grid, plus that the corpus layout skips files at
+    every SF). The exact predicate is re-applied after the coarse
+    file cut, so false inclusions cost I/O, never correctness.
+    Oracle: the same filter and aggregate over the unpartitioned
+    source table — the layout must be result-invisible."""
+    from ..sources.maintenance import build_once, source_marker
+
+    path = zordered_events_path(sf_dir)
+    build_once(
+        path,
+        source_marker(sf_dir, "events", "evz_v1"),
+        lambda: write_zordered_events(spark, sf_dir, path),
+    )
+    import glob as _glob
+    import os as _os
+
+    agg_cols = [
+        F.count("*").alias("n_events"),
+        round6(F.sum("value")).alias("sum_value"),
+    ]
+    if not _glob.glob(_os.path.join(path + "_mf", "part-*.parquet")):
+        # empty corpus ⇒ no layout files were produced; degenerate to
+        # the schema-preserving empty plan over the source table
+        ev = load_table(spark, sf_dir, "events")
+        part = ev.select(
+            F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("x"),
+            "event_type", "value",
+        )
+    else:
+        files, _total = zscan_candidate_files(
+            spark, path, ZSCAN_X_LO, ZSCAN_X_HI
+        )
+        if files:
+            part = spark.read.parquet(*files).select(
+                "x", "event_type", "value"
+            )
+        else:  # no file intersects the slice ⇒ provably empty result
+            part = spark.read.parquet(path).select(
+                "x", "event_type", "value"
+            ).where(F.lit(False))
+    return (
+        part.where(
+            (F.col("x") >= ZSCAN_X_LO) & (F.col("x") < ZSCAN_X_HI)
+        )
+        .groupBy("event_type")
+        .agg(*agg_cols)
+        .orderBy("event_type")
+    )
+
+
 # ----------------------------------------------- partitioned layout
 
 
@@ -376,6 +508,7 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "bloom_prune_join": bloom_prune_join,
     "zorder_layout": zorder_layout,
+    "zordered_scan": zordered_scan,
     "latest_snapshot": latest_snapshot,
     "partitioned_scan": partitioned_scan,
 }
@@ -408,6 +541,14 @@ ORACLE_SQL = {
                min(x) AS min_x, max(x) AS max_x,
                min(y) AS min_y, max(y) AS max_y
         FROM keyed GROUP BY bucket ORDER BY bucket
+    """,
+    "zordered_scan": f"""
+        SELECT event_type, count(*) AS n_events,
+               {round6_sql('sum(value)')} AS sum_value
+        FROM events
+        WHERE (user_id % 256) >= {ZSCAN_X_LO}
+          AND (user_id % 256) < {ZSCAN_X_HI}
+        GROUP BY event_type ORDER BY event_type
     """,
     "partitioned_scan": f"""
         SELECT event_type, count(*) AS n_events,

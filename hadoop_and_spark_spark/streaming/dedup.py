@@ -133,9 +133,6 @@ def dedup_exact_stream(spark, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_SEQ = [0]
-
-
 def _run_dedup_stream(spark, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -153,8 +150,9 @@ def _run_dedup_stream(spark, sf_dir: str) -> DataFrame:
         .parquet(src + "/b*.parquet")
     )
     out = streaming_dedup_exact(stream).select("text_md5")
-    _DEDUP_SEQ[0] += 1
-    qname = f"dedup_stream_{_DEDUP_SEQ[0]}"
+    from .trending import register_sink
+
+    qname = register_sink("dedup_stream", sf_dir)
     query = (
         out.writeStream.format("memory")
         .queryName(qname)

@@ -142,7 +142,7 @@ def purchase_click_pairs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all — each runs REAL incremental execution under the hash gate with
 # a full DuckDB oracle, not just the batch-duality unit test.
 
-_JOIN_SEQ = [0]
+from .trending import register_sink  # noqa: E402 — after module docs
 
 
 def tier_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,8 +183,7 @@ def _run_tier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
     )
     agg = enriched_tier_counts(stream, user_profiles(spark, sf_dir))
-    _JOIN_SEQ[0] += 1
-    qname = f"tier_stream_{_JOIN_SEQ[0]}"
+    qname = register_sink("tier_stream", sf_dir)
     query = (
         agg.writeStream.format("memory")
         .queryName(qname)
@@ -235,8 +234,7 @@ def _run_pair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, event_type string, ts timestamp, user_id bigint"
     ).option("maxFilesPerTrigger", 1).parquet(src + "/wk*.parquet")
     pairs = purchase_click_pairs_stream(stream)
-    _JOIN_SEQ[0] += 1
-    qname = f"pair_stream_{_JOIN_SEQ[0]}"
+    qname = register_sink("pair_stream", sf_dir)
     query = (
         pairs.writeStream.format("memory")
         .queryName(qname)

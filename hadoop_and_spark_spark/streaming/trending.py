@@ -100,6 +100,42 @@ def _trend_fn_week(
 
 _STREAM_SEQ = [0]  # unique memory-sink names across repeat invocations
 
+# Newest memory-sink name per (tag, corpus): replay streams run once
+# per (session, corpus), but the TOTALITY sweeps run every registered
+# query against OTHER corpora (e.g. an empty dir), each starting its
+# own stream with a fresh seq. A test that wants "the raw sink for MY
+# corpus" must therefore resolve by (tag, corpus), not by newest seq —
+# scanning seqs downward finds whichever corpus ran last (the round-6
+# full-suite ordering failure). Latest registration wins per key,
+# which is exactly the session_memo invariant (one live replay per
+# session+corpus).
+_SINKS: dict[tuple[str, str], str] = {}
+
+
+def _corpus_digest(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+
+
+def register_sink(tag: str, sf_dir: str) -> str:
+    """Allocate a unique memory-sink name for a replay stream over
+    ``sf_dir`` and record it as the newest sink for (tag, corpus).
+    The name embeds the corpus digest so sinks from different corpora
+    can never shadow each other."""
+    _STREAM_SEQ[0] += 1
+    qname = f"{tag}_{_corpus_digest(sf_dir)}_{_STREAM_SEQ[0]}"
+    _SINKS[(tag, _corpus_digest(sf_dir))] = qname
+    return qname
+
+
+def sink_table(spark, sf_dir: str, tag: str) -> DataFrame:
+    """The raw (pre-consolidation) memory sink of the newest ``tag``
+    stream run over ``sf_dir`` in this session. Raises KeyError if no
+    such stream has run — callers invoke the query first."""
+    return spark.table(_SINKS[(tag, _corpus_digest(sf_dir))])
+
 
 def weekly_replay_path(sf_dir: str, tag: str = "") -> str:
     """Canonical on-disk location of the week-per-file replay source
@@ -264,8 +300,7 @@ def _run_hourly_stream(spark, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    _STREAM_SEQ[0] += 1
-    qname = f"hourly_stream_{_STREAM_SEQ[0]}"
+    qname = register_sink("hourly_stream", sf_dir)
     query = (
         agg.writeStream.format("memory")
         .queryName(qname)
@@ -352,8 +387,7 @@ def _run_hourly_late(spark, sf_dir: str, delay: str = "1 hour") -> DataFrame:
             "cnt",
         )
     )
-    _STREAM_SEQ[0] += 1
-    qname = f"hourly_late_{_STREAM_SEQ[0]}"
+    qname = register_sink("hourly_late", sf_dir)
     query = (
         agg.writeStream.format("memory")
         .queryName(qname)
@@ -413,8 +447,7 @@ def _run_region_stream(spark, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    _STREAM_SEQ[0] += 1
-    qname = f"region_stream_{_STREAM_SEQ[0]}"
+    qname = register_sink("region_stream", sf_dir)
     query = (
         agg.writeStream.format("memory")
         .queryName(qname)
@@ -480,8 +513,7 @@ def _run_sliding_stream(spark, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    _STREAM_SEQ[0] += 1
-    qname = f"sliding_stream_{_STREAM_SEQ[0]}"
+    qname = register_sink("sliding_stream", sf_dir)
     query = (
         agg.writeStream.format("memory")
         .queryName(qname)
@@ -528,8 +560,7 @@ def _run_weekly_replay(spark, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    _STREAM_SEQ[0] += 1
-    qname = f"trend_weekly_{_STREAM_SEQ[0]}"
+    qname = register_sink("trend_weekly", sf_dir)
     query = (
         out.writeStream.format("memory")
         .queryName(qname)

@@ -131,6 +131,74 @@ def test_write_zordered_round_trips_and_ranges(spark, sf_dir, tmp_path):
     assert sum(1 for r in per_file if r.span < 255) >= len(per_file) // 2
 
 
+def test_zordered_scan_matches_unclustered_filter(spark, sf_dir):
+    """The layout must be result-invisible: reading the pruned file
+    subset + exact predicate equals the naive filter over the source
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    naive = (
+        ev.where(
+            (F.pmod("user_id", F.lit(256)) >= L.ZSCAN_X_LO)
+            & (F.pmod("user_id", F.lit(256)) < L.ZSCAN_X_HI)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    got = {tuple(r) for r in L.zordered_scan(spark, sf_dir).collect()}
+    want = {
+        (r.event_type, r.n_events, r.sum_value) for r in naive.collect()
+    }
+    assert got and got == want
+
+
+def test_zordered_scan_skips_corpus_files(spark, sf_dir):
+    """The corpus layout must skip at least one file for the
+    registered slice at every SF (the strong, deterministic factor is
+    pinned on the dense grid below — corpus boundaries are sampled,
+    so only the weak bound is data-independent)."""
+    L.zordered_scan(spark, sf_dir).collect()  # ensure layout built
+    path = L.zordered_events_path(sf_dir)
+    x_files, total = L.zscan_candidate_files(
+        spark, path, L.ZSCAN_X_LO, L.ZSCAN_X_HI
+    )
+    assert total >= 8, "layout produced too few files to demonstrate"
+    assert 1 <= len(x_files) < total, (len(x_files), total)
+
+
+def test_zordered_grid_skips_both_dimensions(spark, tmp_path):
+    """The 2-D skipping pin on a DENSE 256×256 grid, where range
+    boundaries are predictable: every file's x-span and y-span are
+    bounded (~32 and ~64 of 256), so a 16-wide x-slice opens ≤ 1/3 of
+    the files AND a 32-wide y-slice opens ≤ 1/3 — the
+    either-dimension property a single-column sort cannot give."""
+    n = 256
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    out = str(tmp_path / "zgrid")
+    L.write_zordered(grid, "x", "y", out, buckets=32)
+    per_file = (
+        spark.read.parquet(out)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+        )
+        .collect()
+    )
+    total = len(per_file)
+    assert total >= 16
+    x_keep = [r for r in per_file if r.max_x >= 32 and r.min_x < 48]
+    y_keep = [r for r in per_file if r.max_y >= 0 and r.min_y < 32]
+    assert 1 <= len(x_keep) <= total / 3, (len(x_keep), total)
+    assert 1 <= len(y_keep) <= total / 3, (len(y_keep), total)
+
+
 # ----------------------------------------------------------- snapshot
 
 

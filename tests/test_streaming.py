@@ -650,8 +650,8 @@ def test_sliding_stream_equals_batch_and_straddles_batches(spark, sf_dir):
     batch's update, max-consolidation would under-count and the
     equality half would fail too."""
     from hadoop_and_spark_spark.streaming.trending import (
-        _STREAM_SEQ,
         event_count_sliding_stream,
+        sink_table,
     )
 
     got = sorted(
@@ -662,18 +662,11 @@ def test_sliding_stream_equals_batch_and_straddles_batches(spark, sf_dir):
     )
     assert got == want and got
 
-    # the consolidated result comes from a memory sink named
-    # sliding_stream_<seq>; find the most recent one and inspect the
-    # raw (pre-consolidation) update rows
-    raw = None
-    for seq in range(_STREAM_SEQ[0], 0, -1):
-        name = f"sliding_stream_{seq}"
-        try:
-            raw = spark.table(name)
-            break
-        except Exception:  # noqa: BLE001 — table from an older stream
-            continue
-    assert raw is not None
+    # the consolidated result comes from a memory sink; resolve THIS
+    # corpus's sink via the (tag, corpus)-keyed registry — newest-seq
+    # scanning would find whichever corpus ran a sliding stream last
+    # (e.g. the empty-dir totality sweep) and inspect zero rows
+    raw = sink_table(spark, sf_dir, "sliding_stream")
     multi = (
         raw.groupBy("window_start")
         .count()
