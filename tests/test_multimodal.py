@@ -27,21 +27,36 @@ def test_media_column_is_binary(spark, sf_dir):
     ) == set(multimodal._TYPES)
 
 
-def test_decode_real_raises_on_unsupported_formats():
+def test_decode_real_rejects_out_of_scope_payloads():
+    """The documented scope boundary: payloads no built-in parser (or
+    optional Pillow, when present) can read raise the typed data
+    error — never a silent fake-decode."""
     # truncated PNG magic without an IHDR is malformed, not decodable
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(multimodal.UnsupportedMediaError):
         multimodal._decode_real(b"\x89PNG", "image")
     # an ftyp box alone has no moov/mvhd — malformed, not decodable
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(multimodal.UnsupportedMediaError):
         multimodal._decode_real(b"\x00\x00\x00\x10ftypmp42mp42", "video")
-    # non-ISO-BMFF video containers (MKV) remain the ffmpeg hook
-    with pytest.raises(NotImplementedError):
+    # non-ISO-BMFF video containers (MKV) are out of scope by design
+    with pytest.raises(multimodal.UnsupportedMediaError):
         multimodal._decode_real(b"\x1a\x45\xdf\xa3matroska", "video")
     # JPEG stream whose scan starts before any SOF has no dimensions
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(multimodal.UnsupportedMediaError):
         multimodal._decode_real(
             b"\xff\xd8\xff\xda\x00\x04\x01\x00\xff\xd9", "image"
         )
+
+
+def test_pil_pixel_decode_when_library_present():
+    """The optional Pillow path decodes PIXELS (true dims + mean-pixel
+    feature) for the committed fixtures; skipped where the library is
+    absent (this container ships without media libs)."""
+    pytest.importorskip("PIL")
+    d = multimodal._pil_decode(_fixture("sample.png"))
+    assert d is not None and (d["width"], d["height"]) == (5, 3)
+    assert 0.0 <= d["feature"] <= 1.0
+    # undecodable bytes → None (caller raises the scope error)
+    assert multimodal._pil_decode(b"not an image") is None
 
 
 def _fixture(name: str) -> bytes:
@@ -91,8 +106,8 @@ def test_decode_real_parses_committed_mp4_fixture():
 
 def test_real_decode_flag_drives_spark_kernel(spark, monkeypatch):
     """Flag-on, the registered kernel path (mapInPandas over a binary
-    column) runs the real header parsers on the fixtures — the
-    production hook is live plumbing, not a stub."""
+    column) runs the real header parsers on the fixtures — the real-
+    decode path is live plumbing, not a stub."""
     monkeypatch.setenv(multimodal.REAL_DECODE_ENV, "1")
     kernel = multimodal._decode_kernel()
     assert kernel is multimodal._decode_batches_real

@@ -25,6 +25,22 @@ def test_every_query_name_is_registered_once_and_oracle_keys_subset():
     assert not stray, f"oracle entries without a registered query: {stray}"
 
 
+def test_registry_fits_two_driver_windows():
+    """Freshness invariant: the driver verifies ~50 queries per round,
+    least-recently-verified first, so with ≤100 registered queries
+    every query is re-verified within 2 rounds. Registry growth past
+    2×50 would silently stretch that bound — adding query #101+ must
+    come with either retiring a query or consciously widening this
+    pin (and accepting a 3-round staleness horizon)."""
+    queries, _ = collect()
+    window = 50  # driver rows per CORRECTNESS_r{N}.json, observed r1–r6
+    assert len(queries) - window <= window + 5, (
+        f"{len(queries)} registered queries no longer fit two ~50-row "
+        "driver windows; retire queries or widen the freshness bound "
+        "deliberately"
+    )
+
+
 def test_red_rows_do_not_count_as_verified(tmp_path, monkeypatch):
     import hadoop_and_spark_spark.registry as reg
 
