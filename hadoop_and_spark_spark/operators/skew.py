@@ -19,6 +19,15 @@ per-row spread column; the other side replicates each row SALT times
 so every sub-key still finds its match. The join result is EXACTLY
 the plain join's — replication is keyed, never cross-joined — at the
 cost of a SALT× blowup of the (small, but not broadcastable) side.
+
+Measured boundary (tools/skew_compare.py, 20M rows ~95% on one key):
+where OptimizeSkewedJoin engages it beats the salt — 1.1–1.3 s vs
+2.4 s, no replication to pay — but it pattern-matches only joins fed
+by BARE shuffle stages; a dim whose ``distinct()`` final aggregate
+fuses before the join is silently declined (7.99 s, same as skew-off)
+while the salt holds its 3.3×. Its detector also reads COMPRESSED
+shuffle sizes against a 256 MB default threshold, so well-compressed
+hot partitions can evade detection entirely.
 """
 
 from __future__ import annotations
