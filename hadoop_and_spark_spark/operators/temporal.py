@@ -147,7 +147,15 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sessionize(ev: DataFrame) -> DataFrame:
     """The shared batch/streaming session aggregation (identical
-    expression under IncrementalExecution — the T5 duality pattern)."""
+    expression under IncrementalExecution — the T5 duality pattern),
+    plus the batch presentation sort (streaming plans sort on the
+    sink read instead — append mode forbids Sort nodes)."""
+    return _session_agg(ev).sortWithinPartitions(
+        "user_id", "session_start_us"
+    )
+
+
+def _session_agg(ev: DataFrame) -> DataFrame:
     return (
         ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
         .agg(
@@ -166,7 +174,6 @@ def sessionize(ev: DataFrame) -> DataFrame:
             "n_events",
             "session_value",
         )
-        .sortWithinPartitions("user_id", "session_start_us")
     )
 
 
@@ -232,9 +239,10 @@ def streaming_user_sessions(events_stream: DataFrame, watermark: str = "1 day") 
     state merges open sessions per user and the watermark closes and
     evicts them — bounded state on an unbounded stream. Watermarks
     require TIMESTAMP (not NTZ); the cast is the identity instant
-    under the UTC-pinned session."""
+    under the UTC-pinned session. No presentation sort here: append
+    mode forbids Sort nodes; consumers sort the sink."""
     ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return sessionize(ev.withWatermark("ts", watermark))
+    return _session_agg(ev.withWatermark("ts", watermark))
 
 
 ORACLE_SQL: dict[str, str] = {

@@ -157,7 +157,12 @@ LATE_WEEK_IDX = 1
 
 
 def write_weekly_replay(
-    spark, sf_dir: str, out_path: str, displace_idx: int | None = None
+    spark,
+    sf_dir: str,
+    out_path: str,
+    displace_idx: int | None = None,
+    include_value: bool = False,
+    flush_days: int | None = None,
 ) -> None:
     """Split the events table into ONE parquet file per calendar week,
     named and mtime-ordered so the file stream source replays the
@@ -172,7 +177,18 @@ def write_weekly_replay(
     micro-batch runs, every watermarked consumer's watermark sits at
     (global max event time − delay), far past the displaced week's
     windows. Requires ≥3 weeks so a displaced week-1 is genuinely
-    beyond the watermark when it arrives."""
+    beyond the watermark when it arrives.
+
+    ``include_value`` carries the value column (session aggregation
+    needs it). ``flush_days`` appends a FINAL one-row sentinel file
+    (user_id = −1) ``flush_days`` past the corpus max event time: the
+    event-time flush marker that pushes every consumer's watermark
+    beyond all real windows/sessions so append-mode sinks emit the
+    tail — availableNow replays otherwise end with the watermark
+    one delay short of the last real rows, leaving final sessions
+    unflushed. The sentinel's OWN session stays open (never emitted),
+    so it is invisible in any append sink by construction."""
+    import datetime as dt
     import glob
     import os
     import shutil
@@ -182,13 +198,16 @@ def write_weekly_replay(
 
     from ..catalog import load_table
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",  # for the stream-stream pair join (T9)
-        "event_type",
+    cols = [
+        F.col("event_id"),  # for the stream-stream pair join (T9)
+        F.col("event_type"),
         F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("wk"),
-        "ts",  # event time, for the windowed-aggregation replay twin
-        "user_id",  # for the stream-static enrich (T8) and T9
-    )
+        F.col("ts"),  # event time, for the windowed-aggregation replay twin
+        F.col("user_id"),  # for the stream-static enrich (T8) and T9
+    ]
+    if include_value:
+        cols.append(F.col("value"))
+    ev = load_table(spark, sf_dir, "events").select(*cols)
     weeks = sorted(r.wk for r in ev.select("wk").distinct().collect())
     delivery = list(weeks)
     if displace_idx is not None and weeks:
@@ -218,6 +237,28 @@ def write_weekly_replay(
         # agrees), so the file source's oldest-first admission replays
         # the scripted sequence.
         os.utime(dest, (base + i, base + i))
+    if flush_days is not None and weeks:
+        # TWO sentinel files, each its own micro-batch: the watermark
+        # computed at the END of sentinel batch 1 only takes effect
+        # DURING the next batch, so a single trailing sentinel would
+        # advance the watermark with no batch left to emit the closed
+        # sessions (observed: the whole final week stays unflushed).
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        for j in range(2):
+            sentinel = spark.createDataFrame(
+                [(-1 - j, "flush", "9999-01-01",
+                  max_ts + dt.timedelta(days=flush_days + j), -1 - j)
+                 + ((0.0,) if include_value else ())],
+                ev.schema,
+            )
+            stage = os.path.join(out_path, "_stage")
+            sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            seq = len(delivery) + j
+            dest = os.path.join(out_path, f"wk{seq:03d}.parquet")
+            os.replace(part, dest)
+            shutil.rmtree(stage)
+            os.utime(dest, (base + seq, base + seq))
 
 
 def trending_arrivals_stream(spark, sf_dir: str) -> DataFrame:
@@ -530,6 +571,88 @@ def _run_sliding_stream(spark, sf_dir: str) -> DataFrame:
         .groupBy("window_start")
         .agg(F.max("cnt").alias("cnt"))
         .orderBy("window_start")
+    )
+
+
+def user_sessions_stream(spark, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization through the incremental engine — the
+    SESSION-WINDOW state store under the driver gate (the one stateful
+    operator family the tumbling/hopping twins can't pin): unlike
+    fixed windows, a session's extent is DATA-DEFINED, so an open
+    session at a weekly micro-batch boundary must be held in the state
+    store and MERGED with next batch's events (26+ sessions straddle a
+    week boundary in every test corpus — tests pin that at least one
+    merged session's events arrived in different batches). The sink
+    runs APPEND mode: a session is emitted exactly once, when the
+    watermark passes its close — so a green driver row witnesses both
+    the merge and the watermark-close semantics against the batch
+    sessionization oracle (operators/temporal.py user_sessions).
+
+    The replay source carries TWO trailing event-time flush sentinels
+    (users −1/−2, 30/31 days past the corpus max): availableNow
+    replays otherwise end with the watermark one delay short of the
+    last events, leaving the final week's sessions unflushed — and
+    the watermark a batch computes only takes effect in the NEXT
+    batch, so one sentinel alone advances it with no batch left to
+    emit. Sentinel rows are excluded on the batch-side sink read
+    (never on the stream side, where the filter would push down to
+    the scan and starve the watermark of the sentinel timestamps).
+
+    Scale: state = open sessions per user inside the watermark
+    horizon (one row each), evicted at close; the memory sink holds
+    the emitted sessions (keyed cardinality). Runs once per (session,
+    corpus) like every registered stream."""
+    from ..sources.maintenance import session_memo
+
+    return session_memo(
+        spark, sf_dir, "events", "sessstream_run_v1",
+        lambda: _run_sessions_stream(spark, sf_dir),
+    )
+
+
+def _run_sessions_stream(spark, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.temporal import streaming_user_sessions
+    from ..sources.maintenance import build_once, source_marker
+
+    src = weekly_replay_path(sf_dir, tag="sess_")
+    build_once(
+        src,
+        source_marker(sf_dir, "events", "sesswk_v2"),
+        lambda: write_weekly_replay(
+            spark, sf_dir, src, include_value=True, flush_days=30
+        ),
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/wk*.parquet")
+    )
+    # NO user_id >= 0 filter on the STREAM side: Catalyst pushes such
+    # a filter through the aggregate to the scan (user_id is a
+    # grouping key), which drops the sentinel rows BEFORE they can
+    # advance the watermark — un-flushing the exact tail the sentinel
+    # exists to flush. The sentinels are filtered on the batch-side
+    # sink read below instead (sentinel 2's watermark closes sentinel
+    # 1's session, so exactly one sentinel row does reach the sink).
+    sess = streaming_user_sessions(stream, watermark="1 hour")
+    qname = register_sink("sessions_stream", sf_dir)
+    query = (
+        sess.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_sess_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # within-partition order only: output is corpus-proportional
+    # (sessions per user), same presentation policy as the batch twin
+    return (
+        spark.table(qname)
+        .where(F.col("user_id") >= 0)
+        .sortWithinPartitions("user_id", "session_start_us")
     )
 
 

@@ -721,8 +721,29 @@ ORACLE_SQL["event_count_sliding"] = """
 ORACLE_SQL["event_count_sliding_stream"] = ORACLE_SQL["event_count_sliding"]
 
 
+def _user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .trending import user_sessions_stream
+
+    return user_sessions_stream(spark, sf_dir)
+
+
+# Session-window state under the gate: append mode emits each session
+# exactly once at watermark close, and sessions straddling a weekly
+# micro-batch boundary exist in every corpus, so the final sink equals
+# the batch sessionization — whose oracle it shares — only if the
+# state store merged open sessions across batches correctly.
+def _register_session_stream_oracle() -> None:
+    from ..operators.temporal import ORACLE_SQL as _TEMPORAL
+
+    ORACLE_SQL["user_sessions_stream"] = _TEMPORAL["user_sessions"]
+
+
+_register_session_stream_oracle()
+
+
 QUERIES = {
     "event_count_hourly": event_count_hourly,
+    "user_sessions_stream": _user_sessions_stream,
     "region_event_count": region_event_count,
     "trending_arrivals_batch": trending_arrivals_batch,
     "trending_arrivals_stream": _trending_arrivals_stream,

@@ -75,6 +75,7 @@ CORPUS_SIZED_OUTPUT = {
     "stratified_sample",
     "token_stats",
     "user_sessions",
+    "user_sessions_stream",
     "value_outliers",
     "winnow_fingerprint",
     "asof_attribution",

@@ -676,6 +676,44 @@ def test_sliding_stream_equals_batch_and_straddles_batches(spark, sf_dir):
     assert multi >= 1, "no window updated across two micro-batches"
 
 
+def test_session_stream_equals_batch_and_merges_across_batches(spark, sf_dir):
+    """Session-window state through the incremental engine: the
+    append-mode replay must equal batch sessionization exactly, AND
+    the corpus must contain sessions whose first and last events lie
+    in different calendar weeks — such a session's events arrive in
+    different weekly micro-batches, so its single emitted row is the
+    witness that the state store held the open session across the
+    batch boundary and merged it (a lost merge would split the
+    session and the equality half would fail)."""
+    import datetime as dt
+
+    from hadoop_and_spark_spark.operators.temporal import (
+        SESSION_GAP,
+        user_sessions,
+    )
+    from hadoop_and_spark_spark.streaming.trending import (
+        user_sessions_stream,
+    )
+
+    got = sorted(
+        tuple(r) for r in user_sessions_stream(spark, sf_dir).collect()
+    )
+    want = sorted(tuple(r) for r in user_sessions(spark, sf_dir).collect())
+    assert got == want and got
+
+    assert SESSION_GAP == "6 hours"  # last event = end − gap, used below
+    gap_us = 6 * 3600 * 1_000_000
+
+    def week(us: int) -> dt.date:
+        d = dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).date()
+        return d - dt.timedelta(days=d.weekday())
+
+    straddling = [
+        r for r in got if week(r[1]) != week(r[2] - gap_us)
+    ]
+    assert straddling, "no session spans a weekly micro-batch boundary"
+
+
 def test_sliding_counts_cover_each_event_twice(spark, sf_dir):
     """len/hop = 2 ⇒ the hopping counts sum to exactly 2× the event
     count (every event lies in exactly two epoch-aligned windows)."""
