@@ -676,6 +676,36 @@ def test_sliding_stream_equals_batch_and_straddles_batches(spark, sf_dir):
     assert multi >= 1, "no window updated across two micro-batches"
 
 
+def test_sink_registry_resolves_per_corpus(spark, sf_dir, tmp_path):
+    """The round-6 failure class, pinned directly: after a sliding
+    stream runs against a SECOND corpus (here: an empty one, the
+    totality-sweep shape), sink_table for the FIRST corpus must still
+    return the first corpus's sink — newest-seq scanning would find
+    the second corpus's zero-row sink."""
+    import os
+
+    from hadoop_and_spark_spark.catalog import TABLES
+    from hadoop_and_spark_spark.streaming.trending import (
+        event_count_sliding_stream,
+        sink_table,
+    )
+
+    n_real = event_count_sliding_stream(spark, sf_dir).count()
+    assert n_real > 0
+
+    ed = str(tmp_path / "sf_empty")
+    os.makedirs(ed)
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).write.parquet(
+            os.path.join(ed, f"{t}.parquet")
+        )
+    event_count_sliding_stream(spark, ed).count()  # newer stream, 0 rows
+
+    raw = sink_table(spark, sf_dir, "sliding_stream")
+    assert raw.count() > 0, "empty-corpus sink shadowed the real one"
+    assert sink_table(spark, ed, "sliding_stream").count() == 0
+
+
 def test_session_stream_equals_batch_and_merges_across_batches(spark, sf_dir):
     """Session-window state through the incremental engine: the
     append-mode replay must equal batch sessionization exactly, AND

@@ -93,8 +93,10 @@ DEFAULT_QUERIES = (
     "salted_hot_key_join",
     "latest_snapshot",
     "zorder_layout",
+    "zordered_scan",
     "partitioned_scan",
     "event_count_sliding",
+    "user_sessions_stream",
     # streaming replays (events / documents)
     "trending_arrivals_stream",
     "event_count_hourly_stream",
@@ -165,6 +167,8 @@ WHY = {
     "dedup_exact_stream": "state one hash per distinct doc; payload never stored",
     "latest_snapshot": "max(struct) partial agg; one candidate row per key per partition shuffles",
     "zorder_layout": "codegen bit math + 32-group partial agg; no data-row shuffle",
+    "zordered_scan": "cold incl. z-ordered layout + manifest build (build-once); read opens only manifest-matched files",
+    "user_sessions_stream": "cold incl. replay-source build; state = open sessions per user in watermark horizon, append-emitted at close",
     "partitioned_scan": "layout persisted on disk (build-once); read prunes to 7/30 partitions",
     "event_count_sliding": "Expand x(len/hop)=2 into one partial+final agg shuffle",
     "event_count_sliding_stream": "overlapping-window state = 2x windows in horizon; replay fixed cost",
