@@ -165,10 +165,152 @@ def _run_dedup_stream(spark, sf_dir: str) -> DataFrame:
     return spark.table(qname).sortWithinPartitions("text_md5")
 
 
-QUERIES = {"dedup_exact_stream": dedup_exact_stream}
+# ------------------------------- bounded-state (watermarked) variant
+
+DEDUP_WM_DELAY = "60 minutes"
+# Delivery script for the bounded variant: 5 hourly micro-batches
+# (bucket k of doc_id % 5 at event time T0 + k hours). The rearrival
+# set (bucket 0's lowest ids, first delivered at H0 with state expiry
+# H0 + 60 min) is re-delivered TWICE:
+#   batch 1 (H1): watermark at its start is H0 − 60 min < expiry —
+#     state alive, duplicates SUPPRESSED;
+#   batch 4 (H4): watermark at its start is H3 − 60 min = H0 + 120 min
+#     > expiry — state EVICTED, duplicates RE-ADMITTED and re-emitted.
+# The oracle counts every distinct hash once PLUS the rearrival set
+# once more, so the row is green only if eviction happened exactly at
+# the watermark horizon: keeping state too long loses the re-emission
+# (row count short), evicting too early re-emits batch 1's copies too
+# (row count over).
+REDELIVER_WITHIN_IDX = 1
+REDELIVER_BEYOND_IDX = 4
+
+
+def timed_doc_replay_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"hs_docdedupwm_{digest}")
+
+
+def write_doc_timed_replay(spark, sf_dir: str, out_path: str) -> None:
+    """The doc replay with EVENT TIME: bucket k delivered at
+    T0 + k hours; the rearrival set re-delivered per the schedule
+    above (re-deliveries carry their DELIVERY batch's event time —
+    that is what makes the second one late)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rearrivals = docs.where(
+        (F.col("doc_id") % DOC_REPLAY_BUCKETS == 0)
+        & (F.col("doc_id") < REARRIVAL_IDS_LT)
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    os.makedirs(out_path, exist_ok=True)
+    base = time.time()
+    for k in range(DOC_REPLAY_BUCKETS):
+        part = docs.where(F.col("doc_id") % DOC_REPLAY_BUCKETS == k)
+        if k in (REDELIVER_WITHIN_IDX, REDELIVER_BEYOND_IDX):
+            part = part.unionByName(rearrivals)
+        part = part.withColumn(
+            "ts", F.lit(t0 + dt.timedelta(hours=k)).cast("timestamp")
+        )
+        stage = os.path.join(out_path, "_stage")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (pf,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(out_path, f"b{k:03d}.parquet")
+        os.replace(pf, dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (base + k, base + k))
+
+
+def dedup_bounded_stream(spark, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state —
+    ``dropDuplicatesWithinWatermark`` under the driver gate, the
+    operator distinction dedup_exact_stream cannot pin: the unbounded
+    form's state grows with every distinct key ever seen (forever, on
+    a 100 TB/day stream), while the watermarked form evicts a key's
+    state once the watermark passes its arrival + delay — the
+    production trade of bounded state for re-admitting sufficiently
+    late duplicates. The scripted replay exercises BOTH sides of the
+    horizon (see the schedule above), so the oracle — every distinct
+    hash plus the rearrival set once more — is green only if
+    suppression AND eviction both happen exactly at the watermark.
+
+    Scale: state = distinct keys inside the watermark horizon, not
+    stream history; only (md5, ts) is stored. Runs once per (session,
+    corpus) via the session memo like every registered stream."""
+    from ..sources.maintenance import session_memo
+
+    return session_memo(
+        spark, sf_dir, "documents", "docdedupwm_run_v1",
+        lambda: _run_bounded_stream(spark, sf_dir),
+    )
+
+
+def _run_bounded_stream(spark, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.maintenance import build_once, source_marker
+    from .trending import register_sink
+
+    src = timed_doc_replay_path(sf_dir)
+    build_once(
+        src,
+        source_marker(sf_dir, "documents", "docdedupwm_v1"),
+        lambda: write_doc_timed_replay(spark, sf_dir, src),
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*.parquet")
+    )
+    out = streaming_dedup_exact(
+        stream, watermark=("ts", DEDUP_WM_DELAY)
+    ).select("text_md5")
+    qname = register_sink("dedupwm_stream", sf_dir)
+    query = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="hs_dedupwm_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).sortWithinPartitions("text_md5")
+
+
+QUERIES = {
+    "dedup_exact_stream": dedup_exact_stream,
+    "dedup_bounded_stream": dedup_bounded_stream,
+}
 
 ORACLE_SQL = {
     "dedup_exact_stream": """
         SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY 1
+    """,
+    # every distinct hash once (first arrival) + the rearrival set's
+    # hashes once more (their beyond-watermark re-delivery re-admits
+    # them); the within-watermark re-delivery must NOT re-emit.
+    "dedup_bounded_stream": f"""
+        SELECT text_md5 FROM (
+            SELECT DISTINCT md5(text) AS text_md5 FROM documents
+            UNION ALL
+            SELECT DISTINCT md5(text) AS text_md5 FROM documents
+            WHERE doc_id % {DOC_REPLAY_BUCKETS} = 0
+              AND doc_id < {REARRIVAL_IDS_LT}
+        ) ORDER BY 1
     """,
 }

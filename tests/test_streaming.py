@@ -676,6 +676,38 @@ def test_sliding_stream_equals_batch_and_straddles_batches(spark, sf_dir):
     assert multi >= 1, "no window updated across two micro-batches"
 
 
+def test_bounded_dedup_suppresses_within_and_readmits_beyond(spark, sf_dir):
+    """dropDuplicatesWithinWatermark, both sides of the horizon: every
+    hash in the rearrival set is emitted EXACTLY twice (first arrival
+    + the beyond-watermark re-admission after state eviction; the
+    within-watermark re-delivery must not add a third), every other
+    hash exactly once."""
+    from hadoop_and_spark_spark.streaming.dedup import (
+        DOC_REPLAY_BUCKETS,
+        REARRIVAL_IDS_LT,
+        dedup_bounded_stream,
+    )
+
+    emitted = dedup_bounded_stream(spark, sf_dir).collect()
+    counts: dict[str, int] = {}
+    for r in emitted:
+        counts[r.text_md5] = counts.get(r.text_md5, 0) + 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    rearrival = {
+        r[0]
+        for r in docs.where(
+            (F.col("doc_id") % DOC_REPLAY_BUCKETS == 0)
+            & (F.col("doc_id") < REARRIVAL_IDS_LT)
+        )
+        .select(F.md5("text"))
+        .collect()
+    }
+    assert rearrival and rearrival <= set(counts)
+    for h, n in counts.items():
+        assert n == (2 if h in rearrival else 1), (h, n)
+
+
 def test_sink_registry_resolves_per_corpus(spark, sf_dir, tmp_path):
     """The round-6 failure class, pinned directly: after a sliding
     stream runs against a SECOND corpus (here: an empty one, the

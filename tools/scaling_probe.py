@@ -104,6 +104,7 @@ DEFAULT_QUERIES = (
     "tier_counts_stream",
     "purchase_click_pairs",
     "dedup_exact_stream",
+    "dedup_bounded_stream",
     "event_count_sliding_stream",
     "cdc_upsert_stream",
 )
@@ -165,6 +166,7 @@ WHY = {
     "tier_counts_stream": "broadcast dim join per micro-batch; agg state tiers x horizon",
     "purchase_click_pairs": "cold cost is replay machinery, not state: source build 1.5 s, rest is 5 checkpointed micro-batches x fixed planning/state-commit overhead on both join sides (10x data adds ~0.5 s; click state evicts 25 h past each week)",
     "dedup_exact_stream": "state one hash per distinct doc; payload never stored",
+    "dedup_bounded_stream": "state = keys inside watermark horizon only (evicted after delay); scripted rearrivals fixed-size",
     "latest_snapshot": "max(struct) partial agg; one candidate row per key per partition shuffles",
     "zorder_layout": "codegen bit math + 32-group partial agg; no data-row shuffle",
     "zordered_scan": "cold incl. z-ordered layout + manifest build (build-once); read opens only manifest-matched files",
