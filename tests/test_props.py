@@ -235,3 +235,142 @@ def test_round6_signed_three_way_parity(spark):
     want = [py_round6(v) for v in vals]
     assert got_spark == want
     assert got_duck == want
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.integers(min_value=0, max_value=60),         # hour slot
+            st.integers(min_value=0, max_value=1),          # sub-offset
+            st.integers(min_value=1, max_value=99),         # value cents
+        ),
+        min_size=5,
+        max_size=40,
+    )
+)
+def test_session_window_vs_python_reference(spark, raw):
+    """F.session_window's half-open gap rule against a pure-Python
+    fold on arbitrary event sets. Timestamps are drawn on an hour
+    grid (with a 1-second sub-offset) so inter-event gaps land ON the
+    6-hour boundary with real probability — the case that decides
+    whether an event exactly GAP later merges (it must NOT: Spark's
+    window is [start, last + gap), half-open)."""
+    import datetime as dt
+
+    from hadoop_and_spark_spark.operators.temporal import sessionize
+
+    GAP_S = 6 * 3600
+    t0 = dt.datetime(2024, 3, 1)
+    events = []
+    seen = set()
+    for user, slot, sub, cents in raw:
+        ts_s = slot * 3600 + sub
+        if (user, ts_s) in seen:  # duplicate instants obscure counts
+            continue
+        seen.add((user, ts_s))
+        events.append((user, ts_s, cents / 100.0))
+
+    def ref() -> set[tuple]:
+        out = []
+        by_user: dict[int, list[tuple[int, float]]] = {}
+        for u, ts_s, v in events:
+            by_user.setdefault(u, []).append((ts_s, v))
+        for u, evs in by_user.items():
+            evs.sort()
+            start = last = evs[0][0]
+            n, sv = 0, 0.0
+            for ts_s, v in evs:
+                if ts_s >= last + GAP_S:  # exactly GAP later ⇒ NEW
+                    out.append((u, start, last + GAP_S, n, round(sv, 2)))
+                    start, n, sv = ts_s, 0, 0.0
+                last = ts_s
+                n += 1
+                sv += v
+            out.append((u, start, last + GAP_S, n, round(sv, 2)))
+        epoch = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+        return {
+            (u, (epoch + s) * 1_000_000, (epoch + e) * 1_000_000, n, sv)
+            for (u, s, e, n, sv) in out
+        }
+
+    sdf = spark.createDataFrame(
+        [(u, t0 + dt.timedelta(seconds=ts_s), v) for u, ts_s, v in events],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         round(r.session_value, 2))
+        for r in sessionize(sdf).collect()
+    }
+    assert got == ref()
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zorder_key_spark_duckdb_parity(spark, pts):
+    """The Morton key must evaluate identically in Spark (codegen bit
+    expression) and DuckDB (zorder_key_sql) on arbitrary 8-bit
+    points — the parity the zordered_scan oracle stands on."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.operators.layout import (
+        zorder_key,
+        zorder_key_sql,
+    )
+
+    sdf = spark.createDataFrame(pts, "x long, y long")
+    got = [
+        r.z
+        for r in sdf.select(
+            zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {zorder_key_sql('x', 'y')} FROM "
+            "(SELECT unnest(?::BIGINT[]) AS x, unnest(?::BIGINT[]) AS y)",
+            [[p[0] for p in pts], [p[1] for p in pts]],
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+
+
+@_SETTINGS
+@given(
+    st.sets(st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1, max_size=200),
+    st.sets(st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1, max_size=200),
+)
+def test_bloom_filter_never_false_negative(spark, build_keys, probe_keys):
+    """The Bloom pre-filter may pass extra rows (false positives cost
+    only work) but must NEVER drop a true match — a false negative
+    would silently lose join rows. Every build key must survive its
+    own filter, and every probe key in the build set must survive."""
+    from hadoop_and_spark_spark.operators.layout import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    bitmap = bloom_bitmap(build, "k")
+    probe = spark.createDataFrame(
+        [(k,) for k in build_keys | probe_keys], "k long"
+    )
+    kept = {r.k for r in bloom_might_contain(probe, "k", bitmap).collect()}
+    assert build_keys <= kept
