@@ -212,12 +212,9 @@ def index_path(sf_dir: str) -> str:
     corpus. Stable digest, not builtin hash(): hash() is
     PYTHONHASHSEED-randomized per process, so it would write a fresh
     never-reused /tmp directory on every driver/bench/test run."""
-    import hashlib
-    import os
-    import tempfile
+    from ..sources.maintenance import corpus_tmp_path
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"hs_index_{digest}")
+    return corpus_tmp_path("hs_index_", sf_dir)
 
 
 def boolean_retrieval_persisted(

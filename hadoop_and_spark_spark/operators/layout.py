@@ -257,15 +257,11 @@ ZSCAN_X_LO, ZSCAN_X_HI = 8, 12
 
 
 def zordered_events_path(sf_dir: str) -> str:
-    """Canonical location of the z-ordered events layout for a corpus
-    (the weekly_replay_path marker pattern); the skipping manifest
-    lives at ``<path>_mf``."""
-    import hashlib
-    import os
-    import tempfile
+    """Canonical location of the z-ordered events layout for a
+    corpus; the skipping manifest lives at ``<path>_mf``."""
+    from ..sources.maintenance import corpus_tmp_path
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"hs_evz_{digest}")
+    return corpus_tmp_path("hs_evz_", sf_dir)
 
 
 def write_zordered_events(spark: SparkSession, sf_dir: str,
@@ -312,7 +308,7 @@ def zscan_candidate_files(spark: SparkSession, path: str,
 
 
 def zordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type stats for one 16-wide x-slice, read FROM the z-ordered
+    """Per-type stats for one 4-wide x-slice, read FROM the z-ordered
     layout with manifest-driven file skipping — the read-side proof of
     ``write_zordered``'s claim (SURVEY §2.4 "not present":
     multi-dimensional clustering; ``zorder_layout`` verifies the
@@ -384,13 +380,10 @@ PARTITION_WEEK = "2024-01-08"  # Monday; scan window = one ISO week
 
 def partitioned_events_path(sf_dir: str) -> str:
     """Canonical location of the date-partitioned events layout for a
-    corpus (the weekly_replay_path marker pattern)."""
-    import hashlib
-    import os
-    import tempfile
+    corpus."""
+    from ..sources.maintenance import corpus_tmp_path
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"hs_evdate_{digest}")
+    return corpus_tmp_path("hs_evdate_", sf_dir)
 
 
 def write_date_partitioned(df: DataFrame, path: str) -> None:

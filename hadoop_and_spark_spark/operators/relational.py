@@ -522,11 +522,12 @@ BUCKETS = 8  # co-location bucket count (cluster: ~2-4× executor count)
 def _bucket_names(sf_dir: str) -> tuple[str, str, str]:
     """Stable per-corpus catalog table names + external data path for
     the bucketed fact tables (md5, not builtin hash — see index_path)."""
-    import hashlib
     import os
     import tempfile
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from ..sources.maintenance import corpus_digest
+
+    digest = corpus_digest(sf_dir, width=12)
     root = os.path.join(tempfile.gettempdir(), f"hs_buckets_{digest}")
     return f"li_bkt_{digest}", f"ord_bkt_{digest}", root
 

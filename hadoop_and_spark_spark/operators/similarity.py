@@ -542,12 +542,9 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_index_path(sf_dir: str) -> str:
     """Canonical on-disk location for the persisted inverted file of a
     given corpus (stable md5 digest — the index.index_path pattern)."""
-    import hashlib
-    import os
-    import tempfile
+    from ..sources.maintenance import corpus_tmp_path
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"hs_ivf_{digest}")
+    return corpus_tmp_path("hs_ivf_", sf_dir)
 
 
 def write_ivf_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:

@@ -23,6 +23,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def corpus_digest(sf_dir: str, width: int = 16) -> str:
+    """Stable per-corpus digest (md5 of the absolute scale-dir path).
+    THE one implementation — replay paths, layout paths, and
+    memory-sink names all key on it, and a width or scheme drift
+    between copies would silently split their caches."""
+    import hashlib
+
+    return hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:width]
+
+
+def corpus_tmp_path(prefix: str, sf_dir: str) -> str:
+    """Canonical /tmp location of a per-corpus derived artifact
+    (replay source, partitioned/z-ordered layout): one digest-named
+    directory per (artifact kind, corpus), shared by build_once."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"{prefix}{corpus_digest(sf_dir)}"
+    )
+
+
 def source_marker(sf_dir: str, table: str, version: str) -> str:
     """Cache key for a derived artifact (persisted index, inverted
     file) of one source table: absolute path + mtime + size + artifact

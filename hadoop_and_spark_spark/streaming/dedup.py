@@ -60,14 +60,10 @@ REARRIVAL_IDS_LT = DOC_REPLAY_BUCKETS * 10
 
 
 def doc_replay_path(sf_dir: str) -> str:
-    """On-disk location of the document replay source for a corpus
-    (the weekly_replay_path marker pattern)."""
-    import hashlib
-    import os
-    import tempfile
+    """On-disk location of the document replay source for a corpus."""
+    from ..sources.maintenance import corpus_tmp_path
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"hs_docdedup_{digest}")
+    return corpus_tmp_path("hs_docdedup_", sf_dir)
 
 
 def write_doc_replay(spark, sf_dir: str, out_path: str) -> None:
@@ -186,19 +182,26 @@ REDELIVER_BEYOND_IDX = 4
 
 
 def timed_doc_replay_path(sf_dir: str) -> str:
-    import hashlib
-    import os
-    import tempfile
+    from ..sources.maintenance import corpus_tmp_path
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"hs_docdedupwm_{digest}")
+    return corpus_tmp_path("hs_docdedupwm_", sf_dir)
 
 
 def write_doc_timed_replay(spark, sf_dir: str, out_path: str) -> None:
     """The doc replay with EVENT TIME: bucket k delivered at
     T0 + k hours; the rearrival set re-delivered per the schedule
     above (re-deliveries carry their DELIVERY batch's event time —
-    that is what makes the second one late)."""
+    that is what makes the second one late).
+
+    The input is one document per DISTINCT text (doc_id = min over
+    the text's ids): the oracle's horizon arithmetic requires that
+    the SCRIPTED re-deliveries are the only duplicates crossing
+    micro-batches — a natural duplicate pair split across buckets
+    (they exist at sf0.1) would also be re-admitted once the first
+    copy's state is evicted, or worse, land exactly ON the eviction
+    boundary, making the emission count depend on strict-vs-inclusive
+    eviction. min() keeps the selection deterministic and DuckDB-
+    mirrorable."""
     import datetime as dt
     import glob
     import os
@@ -209,7 +212,12 @@ def write_doc_timed_replay(spark, sf_dir: str, out_path: str) -> None:
 
     from ..catalog import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
     rearrivals = docs.where(
         (F.col("doc_id") % DOC_REPLAY_BUCKETS == 0)
         & (F.col("doc_id") < REARRIVAL_IDS_LT)
@@ -252,7 +260,7 @@ def dedup_bounded_stream(spark, sf_dir: str) -> DataFrame:
     from ..sources.maintenance import session_memo
 
     return session_memo(
-        spark, sf_dir, "documents", "docdedupwm_run_v1",
+        spark, sf_dir, "documents", "docdedupwm_run_v2",
         lambda: _run_bounded_stream(spark, sf_dir),
     )
 
@@ -266,7 +274,7 @@ def _run_bounded_stream(spark, sf_dir: str) -> DataFrame:
     src = timed_doc_replay_path(sf_dir)
     build_once(
         src,
-        source_marker(sf_dir, "documents", "docdedupwm_v1"),
+        source_marker(sf_dir, "documents", "docdedupwm_v2"),
         lambda: write_doc_timed_replay(spark, sf_dir, src),
     )
     stream = (
@@ -303,12 +311,17 @@ ORACLE_SQL = {
     """,
     # every distinct hash once (first arrival) + the rearrival set's
     # hashes once more (their beyond-watermark re-delivery re-admits
-    # them); the within-watermark re-delivery must NOT re-emit.
+    # them); the within-watermark re-delivery must NOT re-emit. The
+    # min-doc_id-per-text view mirrors the replay writer's input.
     "dedup_bounded_stream": f"""
+        WITH d AS (
+            SELECT min(doc_id) AS doc_id, md5(text) AS text_md5
+            FROM documents GROUP BY text
+        )
         SELECT text_md5 FROM (
-            SELECT DISTINCT md5(text) AS text_md5 FROM documents
+            SELECT text_md5 FROM d
             UNION ALL
-            SELECT DISTINCT md5(text) AS text_md5 FROM documents
+            SELECT text_md5 FROM d
             WHERE doc_id % {DOC_REPLAY_BUCKETS} = 0
               AND doc_id < {REARRIVAL_IDS_LT}
         ) ORDER BY 1

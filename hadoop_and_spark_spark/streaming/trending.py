@@ -113,10 +113,9 @@ _SINKS: dict[tuple[str, str], str] = {}
 
 
 def _corpus_digest(sf_dir: str) -> str:
-    import hashlib
-    import os
+    from ..sources.maintenance import corpus_digest
 
-    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return corpus_digest(sf_dir, width=8)
 
 
 def register_sink(tag: str, sf_dir: str) -> str:
@@ -139,14 +138,11 @@ def sink_table(spark, sf_dir: str, tag: str) -> DataFrame:
 
 def weekly_replay_path(sf_dir: str, tag: str = "") -> str:
     """Canonical on-disk location of the week-per-file replay source
-    for a corpus (the ivf_index_path marker pattern). ``tag``
-    separates delivery-order variants (e.g. the late-data replay)."""
-    import hashlib
-    import os
-    import tempfile
+    for a corpus. ``tag`` separates delivery-order variants (e.g. the
+    late-data replay)."""
+    from ..sources.maintenance import corpus_tmp_path
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"hs_trendwk_{tag}{digest}")
+    return corpus_tmp_path(f"hs_trendwk_{tag}", sf_dir)
 
 
 # Delivery-order script for the late-data replay: the SECOND

@@ -26,18 +26,20 @@ def test_every_query_name_is_registered_once_and_oracle_keys_subset():
 
 
 def test_registry_fits_two_driver_windows():
-    """Freshness invariant: the driver verifies ~50 queries per round,
-    least-recently-verified first, so with ≤100 registered queries
-    every query is re-verified within 2 rounds. Registry growth past
-    2×50 would silently stretch that bound — adding query #101+ must
-    come with either retiring a query or consciously widening this
-    pin (and accepting a 3-round staleness horizon)."""
+    """Freshness cap, stated honestly: the driver verifies ~50 queries
+    per round, least-recently-verified first, so 100 queries fit the
+    strict every-query-within-2-rounds invariant and each query past
+    100 stretches its own horizon to 3 rounds. The cap admits a grace
+    of 5 such queries (the registry sits at exactly 105); growing
+    further must retire a query or consciously rewrite this pin."""
     queries, _ = collect()
     window = 50  # driver rows per CORRECTNESS_r{N}.json, observed r1–r6
-    assert len(queries) - window <= window + 5, (
-        f"{len(queries)} registered queries no longer fit two ~50-row "
-        "driver windows; retire queries or widen the freshness bound "
-        "deliberately"
+    strict_two_round_max = 2 * window  # 100
+    grace = 5  # queries tolerated at a 3-round staleness horizon
+    assert len(queries) <= strict_two_round_max + grace, (
+        f"{len(queries)} registered queries exceed the two-window "
+        f"freshness cap ({strict_two_round_max}) plus the {grace}-query "
+        "grace; retire queries or rewrite this pin deliberately"
     )
 
 

@@ -693,7 +693,12 @@ def test_bounded_dedup_suppresses_within_and_readmits_beyond(spark, sf_dir):
     for r in emitted:
         counts[r.text_md5] = counts.get(r.text_md5, 0) + 1
 
-    docs = load_table(spark, sf_dir, "documents")
+    # mirror the writer's min-id-per-distinct-text input view
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
     rearrival = {
         r[0]
         for r in docs.where(

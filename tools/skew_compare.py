@@ -87,12 +87,14 @@ def agg(joined):
     )
 
 
-def timed(make_df) -> tuple[float, list[tuple]]:
+def timed(make_df):
     """Median of RUNS cold plans. A FRESH DataFrame per run is load-
     bearing: AQE caches materialized shuffle stages on the plan
     instance, so re-collecting the same object reuses its shuffles
-    and times only the final stage."""
-    rows = None
+    and times only the final stage. Returns the LAST run's DataFrame
+    too — its executed plan carries the run's AQE markers, saving the
+    caller a whole extra join just to read them."""
+    rows = df = None
     make_df().collect()  # warm-up: codegen
     samples = []
     for _ in range(RUNS):
@@ -100,7 +102,7 @@ def timed(make_df) -> tuple[float, list[tuple]]:
         t0 = time.perf_counter()
         rows = df.collect()
         samples.append(time.perf_counter() - t0)
-    return statistics.median(samples), sorted(tuple(r) for r in rows)
+    return statistics.median(samples), sorted(tuple(r) for r in rows), df
 
 
 def skew_markers(df) -> bool:
@@ -126,10 +128,8 @@ def main() -> None:
 
     def run(name, skew_enabled, make):
         conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower())
-        sec, rows = timed(lambda: agg(make()))
-        marked_df = agg(make())
-        marked_df.collect()
-        variants.append((name, sec, skew_markers(marked_df), rows))
+        sec, rows, last_df = timed(lambda: agg(make()))
+        variants.append((name, sec, skew_markers(last_df), rows))
         print(f"{name:22s} {sec:7.2f} s  aqe_skew_markers={variants[-1][2]}",
               flush=True)
 
