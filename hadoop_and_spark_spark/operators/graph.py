@@ -193,17 +193,30 @@ def personalized_pagerank(
 
 def top_nodes_per_source(ranks: DataFrame, k: int = 10) -> DataFrame:
     """Top-k nodes per source (reference G8/O4: bounded priority
-    queues in mapper cleanup + single reducer → one window)."""
+    queues in mapper cleanup + single reducer → one window).
+
+    The window orders by the bit-portable round6 of the rank (ties
+    broken by nid). Ordering by the raw double would be fragile at the
+    k/k+1 boundary: structurally symmetric nodes carry mathematically
+    equal ranks that differ by summation-order ulps, so two engines
+    could disagree on WHICH of the tied nodes crosses the cutoff.
+    Rounding first makes the tie explicit and the nid break decide it
+    identically everywhere; the presented rank is the same rounded
+    value, so the output stays self-consistent."""
     from pyspark.sql import Window
 
-    flat = ranks.select("nid", F.posexplode("ranks").alias("source_idx", "rank"))
+    from ..functions.portable import round6
+
+    flat = ranks.select(
+        "nid", F.posexplode("ranks").alias("source_idx", "raw_rank")
+    ).select("nid", "source_idx", round6(F.col("raw_rank")).alias("rank"))
     w = Window.partitionBy("source_idx").orderBy(
         F.desc("rank"), F.asc("nid")
     )
     return (
         flat.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
-        .select("source_idx", "nid", F.round("rank", 5).alias("rank"))
+        .select("source_idx", "nid", "rank")
         .orderBy("source_idx", "rn")
     )
 
@@ -266,13 +279,22 @@ def converged_lineitem_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver entry (rows-only check; iterative, not SQL-expressible —
-    correctness pinned by the toy-graph golden test instead)."""
+    """Driver entry. Oracle-gated since round 7: the fixed iteration
+    count (PR_ITERATIONS) makes the "iterative" computation
+    SQL-expressible after all — the oracle unrolls the 10 scatter/
+    gather/sweep steps as a chained-CTE pipeline (_ppr_iteration_ctes)
+    mirroring this operator's float arithmetic term by term, and the
+    presented ranks go through the bit-portable round6 so last-ulp
+    summation-order differences between engines cannot surface. The
+    toy-graph golden test (tests/test_graph.py::test_ppr_matches_numpy)
+    stays as the iteration-count-independent witness."""
+    from ..functions.portable import round6
+
     ranks = converged_lineitem_ranks(spark, sf_dir)
     out = ranks.select(
         "nid",
         *[
-            F.round(F.element_at("ranks", j + 1), 6).alias(f"rank_s{s}")
+            round6(F.element_at("ranks", j + 1)).alias(f"rank_s{s}")
             for j, s in enumerate(PR_SOURCES)
         ],
     ).orderBy("nid")
@@ -286,8 +308,9 @@ def pagerank_top_nodes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     converged ranks personalized_pagerank computed (shared via
     converged_lineitem_ranks, so this costs only the window, exactly
     like the reference's extractor reading the stored phase-1
-    output). Rows-only like personalized_pagerank (iterative
-    upstream); the window shape itself is oracle-checked via knn_*."""
+    output). Oracle-gated since round 7 through the same unrolled
+    iteration CTEs as personalized_pagerank, topped by the identical
+    row_number window (rank DESC, nid ASC)."""
     ranks = converged_lineitem_ranks(spark, sf_dir)
     return top_nodes_per_source(ranks, k=10)
 
@@ -380,8 +403,120 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_iteration_ctes() -> str:
+    """Unrolled PPR oracle: PR_ITERATIONS chained CTEs reproducing
+    personalized_pagerank's arithmetic TERM BY TERM on the same
+    lineitem-derived graph.
+
+    Why this is exact enough to hash-match: every float literal is the
+    repr() of the Python double the Spark plan embeds (alpha and the
+    Python-precomputed 1.0 - alpha), every op is the same IEEE-754
+    double op in the same expression order, and the only
+    order-sensitive steps — the per-dst contribution SUM and the
+    global landed-mass SUM — feed the bit-portable round6 at the
+    presentation layer, which absorbs last-ulp summation-order noise.
+    The dangling/nonexistent-node sweep degenerates here: every dst is
+    `l_partkey % N` so all mass lands on real nodes, and the landed
+    semi-join is the identity (mirrored by summing gathered directly).
+    """
+    a = repr(ALPHA)
+    c = repr(1.0 - ALPHA)  # Spark embeds the Python-computed literal
+    ks = range(len(PR_SOURCES))
+    init = ",\n            ".join(
+        f"CASE WHEN nid = {s} THEN 1.0 ELSE 0.0 END AS r{j}"
+        for j, s in enumerate(PR_SOURCES)
+    )
+    ctes = [
+        f"""nodes AS (SELECT CAST(range AS INT) AS nid FROM range({PR_NUM_NODES})),
+        edges AS (
+            SELECT DISTINCT (l_orderkey % {PR_NUM_NODES})::INT AS src,
+                            (l_partkey % {PR_NUM_NODES})::INT AS dst
+            FROM lineitem
+        ),
+        deg AS (SELECT src, COUNT(*)::INT AS outdeg FROM edges GROUP BY src),
+        it0 AS (SELECT nid, {init} FROM nodes)"""
+    ]
+    for i in range(1, PR_ITERATIONS + 1):
+        prev = f"it{i - 1}"
+        gsum = ", ".join(
+            f"SUM(r.r{j} / d.outdeg) AS g{j}" for j in ks
+        )
+        tsum = ", ".join(
+            f"COALESCE(SUM(g{j}), 0.0) AS t{j}" for j in ks
+        )
+        upd = ",\n                ".join(
+            f"{c} * COALESCE(g.g{j}, 0.0)"
+            f" + CASE WHEN n.nid = {s}"
+            f" THEN {a} + {c} * (1.0 - t.t{j}) ELSE 0.0 END AS r{j}"
+            for j, s in enumerate(PR_SOURCES)
+        )
+        # MATERIALIZED is load-bearing: g{i} is referenced twice (by
+        # t{i} and it{i}); DuckDB would otherwise inline both uses,
+        # doubling the expanded plan per iteration — 2^10 copies of the
+        # edge scan by the last step.
+        ctes.append(
+            f"""g{i} AS MATERIALIZED (
+            SELECT e.dst, {gsum}
+            FROM edges e
+            JOIN {prev} r ON r.nid = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ),
+        t{i} AS (SELECT {tsum} FROM g{i}),
+        it{i} AS MATERIALIZED (
+            SELECT n.nid,
+                {upd}
+            FROM nodes n
+            LEFT JOIN g{i} g ON g.dst = n.nid
+            CROSS JOIN t{i} t
+        )"""
+        )
+    return "WITH " + ",\n        ".join(ctes)
+
+
+def _ppr_ranks_oracle() -> str:
+    from ..functions.portable import round6_sql
+
+    cols = ", ".join(
+        f"{round6_sql(f'r{j}')} AS rank_s{s}"
+        for j, s in enumerate(PR_SOURCES)
+    )
+    return (
+        f"{_ppr_iteration_ctes()}\n"
+        f"        SELECT nid, {cols} FROM it{PR_ITERATIONS} ORDER BY nid"
+    )
+
+
+def _ppr_top_nodes_oracle(k: int = 10) -> str:
+    from ..functions.portable import round6_sql
+
+    arms = " UNION ALL ".join(
+        f"SELECT {j}::INT AS source_idx, nid, r{j} AS rank FROM it{PR_ITERATIONS}"
+        for j in range(len(PR_SOURCES))
+    )
+    return f"""{_ppr_iteration_ctes()},
+        flat AS ({arms}),
+        rounded AS (
+            SELECT source_idx, nid, {round6_sql('rank')} AS rank FROM flat
+        ),
+        ranked AS (
+            SELECT source_idx, nid, rank,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source_idx
+                       ORDER BY rank DESC, nid ASC
+                   ) AS rn
+            FROM rounded
+        )
+        SELECT source_idx, nid, rank
+        FROM ranked WHERE rn <= {k}
+        ORDER BY source_idx, rn"""
+
+
 ORACLE_SQL: dict[str, str] = {
-    # PageRank rows are iterative — golden-tested, rows-only at driver.
+    # PPR is iterative but the iteration COUNT is fixed, so the oracle
+    # unrolls it: chained CTEs, one scatter/gather/sweep per step.
+    "personalized_pagerank": _ppr_ranks_oracle(),
+    "pagerank_top_nodes": _ppr_top_nodes_oracle(),
     "graph_triangles": f"""
         WITH e AS (
             SELECT DISTINCT (l_orderkey % {PR_NUM_NODES})::INT AS x,

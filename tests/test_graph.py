@@ -123,8 +123,15 @@ def test_ppr_observed_metrics(spark):
 
 def test_pagerank_top_nodes_query_consistent(spark, sf_dir):
     """The registered extraction query must agree with a driver-side
-    top-10 selection over the UNROUNDED converged ranks (the same
-    sort key the window uses, so ties cannot flip the comparison)."""
+    top-10 selection over the round6-ROUNDED converged ranks — the
+    same sort key the window (and the DuckDB oracle) uses, so
+    summation-order ulps on structurally tied nodes cannot flip the
+    comparison at the 10/11 boundary."""
+    import math
+
+    def r6(x):
+        return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (-1 if x < 0 else 1)
+
     ranks = G.personalized_pagerank(
         G.lineitem_graph(spark, sf_dir), partitions=4, gather_partitions=4
     ).collect()
@@ -134,7 +141,7 @@ def test_pagerank_top_nodes_query_consistent(spark, sf_dir):
     ]
     want = []
     for si in range(len(G.PR_SOURCES)):
-        top = sorted(ranks, key=lambda r: (-r.ranks[si], r.nid))[:10]
+        top = sorted(ranks, key=lambda r: (-r6(r.ranks[si]), r.nid))[:10]
         want += [(si, r.nid) for r in top]
     assert got == want
 
@@ -151,6 +158,22 @@ def test_converged_ranks_computed_once_per_corpus(spark, sf_dir):
     G.personalized_pagerank_query(spark, sf_dir).collect()
     G.pagerank_top_nodes_query(spark, sf_dir).collect()
     assert G.converged_lineitem_ranks(spark, sf_dir) is a
+
+
+def test_ppr_vs_unrolled_oracle(spark, sf_dir):
+    """The registered PPR pair matches the 10-step unrolled-CTE DuckDB
+    oracle exactly (round6-portable presentation): the driver-gate
+    comparison, run in-suite so an arithmetic drift in either the
+    operator or the oracle generator is caught before the round ends."""
+    from hadoop_and_spark_spark.oracle import compare
+    from hadoop_and_spark_spark.operators import graph as G
+
+    for name, fn in (
+        ("personalized_pagerank", G.personalized_pagerank_query),
+        ("pagerank_top_nodes", G.pagerank_top_nodes_query),
+    ):
+        ok, msg = compare(spark, sf_dir, fn, G.ORACLE_SQL[name])
+        assert ok, f"{name}: {msg}"
 
 
 def test_graph_triangles_vs_oracle(spark, sf_dir):

@@ -298,9 +298,16 @@ corpus has ~x1000 true pairs by construction).
 """
 
 
+def _row(name: str, one: float, ten: float) -> str:
+    return (
+        f"| {name} | {one:.2f} s | {ten:.2f} s "
+        f"| {ten / one:.1f}x | {WHY.get(name, '')} |\n"
+    )
+
+
 def main() -> None:
     names = sys.argv[1:] or list(DEFAULT_QUERIES)
-    write_md = not sys.argv[1:]  # full default run regenerates PROBE.md
+    selective = bool(sys.argv[1:])
     spark = get_spark("scaling-probe")
     build_probe_corpus(spark)
     queries, _ = collect()
@@ -311,15 +318,26 @@ def main() -> None:
         ten = steady_state(name, queries[name], spark, PROBE_DIR)
         print(f"{name:32s} {one:6.2f}s {ten:6.2f}s {ten / one:6.1f}x", flush=True)
         rows.append((name, one, ten))
-    if write_md:
+    if not selective:
         with open(PROBE_MD, "w") as fh:
             fh.write(_MD_HEADER)
             for name, one, ten in rows:
-                fh.write(
-                    f"| {name} | {one:.2f} s | {ten:.2f} s "
-                    f"| {ten / one:.1f}x | {WHY.get(name, '')} |\n"
-                )
+                fh.write(_row(name, one, ten))
         print(f"wrote {PROBE_MD}")
+    elif os.path.exists(PROBE_MD):
+        # Selective run: splice the re-probed rows into the existing
+        # generated table in place (same method, same corpus recipe), so
+        # fixing one query does not force the full multi-query cold sweep.
+        fresh = {name: _row(name, one, ten) for name, one, ten in rows}
+        with open(PROBE_MD) as fh:
+            lines = fh.readlines()
+        updated = [
+            fresh.get(ln.split("|")[1].strip(), ln) if ln.startswith("| ") else ln
+            for ln in lines
+        ]
+        with open(PROBE_MD, "w") as fh:
+            fh.writelines(updated)
+        print(f"updated {len(fresh)} row(s) in {PROBE_MD}")
     spark.stop()
 
 
