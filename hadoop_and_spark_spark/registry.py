@@ -55,13 +55,19 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def last_green_round() -> dict[str, int]:
+def last_green_round(has_oracle: set[str] | None = None) -> dict[str, int]:
     """query name -> round of its most recent committed driver row,
     but ONLY if that most-recent row is GREEN (hash green, or the
     rows-only ``no_oracle`` form with a recorded row count). A query
     whose LATEST row is red/errored is omitted — it sorts as
     never-verified (-1) and re-enters the driver window immediately,
-    even if some earlier round had a green row."""
+    even if some earlier round had a green row.
+
+    ``has_oracle``: names that NOW carry a DuckDB oracle. For those, a
+    rows-only driver row no longer counts as green — it verified a
+    weaker claim than the query now makes (a query upgraded from
+    rows-only to oracle-gated has zero driver evidence for the oracle
+    match), so the upgrade re-enters the window immediately."""
     latest: dict[str, tuple[int, bool]] = {}  # name -> (round, green?)
     for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
@@ -77,6 +83,7 @@ def last_green_round() -> dict[str, int]:
             green = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
+                and name not in (has_oracle or ())
             )
             if name not in latest or rnd > latest[name][0]:
                 latest[name] = (rnd, green)
@@ -96,7 +103,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 raise ValueError(f"duplicate query name {name!r} from {modname}")
             queries[name] = fn
         oracles.update(getattr(mod, "ORACLE_SQL", {}))
-    green = last_green_round()
+    green = last_green_round(has_oracle=set(oracles))
     reg_pos = {name: i for i, name in enumerate(queries)}
     order = sorted(queries, key=lambda n: (green.get(n, -1), reg_pos[n]))
     return {n: queries[n] for n in order}, oracles

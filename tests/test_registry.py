@@ -9,12 +9,30 @@ from hadoop_and_spark_spark.registry import collect, last_green_round
 
 def test_collect_orders_least_recently_verified_first():
     queries, oracles = collect()
-    green = last_green_round()
+    green = last_green_round(has_oracle=set(oracles))
     rounds = [green.get(n, -1) for n in queries]
     assert rounds == sorted(rounds), (
         "collect() must be ascending in last-green-round "
         "(never-verified queries first)"
     )
+
+
+def test_oracle_upgrade_reenters_window(tmp_path, monkeypatch):
+    """A query verified rows-only that NOW carries an oracle has zero
+    driver evidence for the stronger claim — it must sort as
+    never-verified so the upgrade lands in the next driver window
+    (this is how the round-7 PageRank oracle conversion gets its
+    hash-green row in round 7, not round 9)."""
+    import hadoop_and_spark_spark.registry as reg
+
+    (tmp_path / "CORRECTNESS_r06.json").write_text(
+        '{"upgraded": {"hash_match": null, "err": "no_oracle", "spark_rows": 9},'
+        ' "still_rows_only": {"hash_match": null, "err": "no_oracle", "spark_rows": 9}}'
+    )
+    monkeypatch.setattr(reg, "_repo_root", lambda: str(tmp_path))
+    green = reg.last_green_round(has_oracle={"upgraded"})
+    assert "upgraded" not in green
+    assert green["still_rows_only"] == 6
 
 
 def test_every_query_name_is_registered_once_and_oracle_keys_subset():
