@@ -186,19 +186,51 @@ def zorder_key_sql(x: str, y: str, bits: int = Z_BITS) -> str:
 
 
 def write_zordered(df: DataFrame, x: str, y: str, path: str,
-                   buckets: int = 32) -> None:
-    """Materialize ``df`` clustered by z-order over (x, y): range-
-    partition on the Morton key into ``buckets`` files, sort within
-    each, write parquet. Every output file's parquet footer then
-    carries TIGHT min/max for BOTH x and y, so a later scan with a
-    predicate on either dimension skips most files — the property a
-    single-column sort only gives one dimension."""
-    keyed = df.withColumn("__z", zorder_key(F.col(x), F.col(y)))
+                   buckets: int = 32, bits: int = Z_BITS) -> None:
+    """Materialize ``df`` clustered by z-order over (x, y): bucket by
+    the EXPLICIT top log2(buckets) bits of the Morton key, one
+    hive-style directory (and exactly one file) per bucket, rows
+    z-sorted within each. Every file's parquet footer then carries
+    TIGHT min/max for BOTH x and y, so a later scan with a predicate
+    on either dimension skips most files — the property a
+    single-column sort only gives one dimension.
+
+    Top-bit bucketing instead of ``repartitionByRange(buckets, z)``
+    is load-bearing twice over. Correctness of the span guarantee:
+    range boundaries are SAMPLED (seeded by the shuffle RDD's id, so
+    they drift with session history), and a boundary that lands
+    mid-cell yields a file straddling two z-cells whose x/y span is
+    the union — the dense-grid skipping test caught exactly that
+    under full-suite ordering. Cost: the explicit bucket id is a
+    codegen'd projection, dropping range partitioning's extra
+    sampling pass over the input. Fixing the top z-bits fixes the
+    top bits of both dimensions, so with 32 buckets over 8-bit dims
+    every file provably spans ≤ 32 of 256 x-values and ≤ 64 of 256
+    y-values — and the bucket id doubles as a hive partition key, so
+    directory pruning composes with manifest pruning on the read
+    side. At scale, grow ``buckets`` (any power of two up to
+    4^bits); each bucket stays one file per write."""
+    nbits = buckets.bit_length() - 1
+    if buckets <= 0 or (1 << nbits) != buckets or nbits > 2 * bits:
+        raise ValueError(
+            f"buckets must be a power of two in [1, 4^bits]; got {buckets}"
+        )
+    keyed = df.withColumn("__z", zorder_key(F.col(x), F.col(y), bits))
+    keyed = keyed.withColumn(
+        "__zb", F.shiftright("__z", 2 * bits - nbits).cast("int")
+    )
     (
-        keyed.repartitionByRange(buckets, "__z")
-        .sortWithinPartitions("__z")
+        # Hash-repartition on the bucket id: collisions only co-locate
+        # whole buckets in one TASK; partitionBy still splits them into
+        # one file per bucket directory. The within-task sort leads
+        # with __zb (the ordering dynamic partitioning needs — no
+        # writer-inserted extra sort) and __z keeps rows z-ordered
+        # inside each file.
+        keyed.repartition(buckets, "__zb")
+        .sortWithinPartitions("__zb", "__z")
         .drop("__z")
         .write.mode("overwrite")
+        .partitionBy("__zb")
         .parquet(path)
     )
 
@@ -210,7 +242,7 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dimensions: x = pmod(user_id, 256) (the access-path key), y =
     six-minute-of-day slot / 240 scaled to 8 bits (the time key).
     Bucket = top 5 bits of the 16-bit Morton key — exactly the file
-    boundary ``write_zordered`` produces with 32 range partitions.
+    boundary ``write_zordered`` produces with 32 buckets.
     The returned min/max spans per bucket are the parquet-footer
     stats a reader would prune on: the top-5 z-bits fix x's bits
     7..5 and y's bits 7..6, so every bucket provably spans ≤ 32 of
@@ -280,6 +312,16 @@ def write_zordered_events(spark: SparkSession, sf_dir: str,
         x.alias("x"), y.alias("y"), "event_type", "value"
     )
     write_zordered(df, "x", "y", path)
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                      recursive=True):
+        # Empty corpus: a partitionBy write of an empty frame emits no
+        # schema-bearing files, so there is nothing to read back. Leave
+        # the manifest absent — zordered_scan's degenerate path reads
+        # the source table with a false predicate instead.
+        return
     back = spark.read.parquet(path)
     (
         back.withColumn("f", F.input_file_name())
@@ -315,16 +357,16 @@ def zordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket spans, this query actually prunes on them).
 
     Planning consults the per-file manifest and opens only files whose
-    x-span intersects the slice. Because the layout is range-
-    partitioned on the Morton key, every file's x-span is confined to
-    a ~32-of-256-value window once the corpus covers the full x range
-    (boundaries are sampled from data, so the window is approximate,
-    unlike ``zorder_layout``'s exact bit-derived buckets) — a narrow
-    x-slice opens ~1/8 of the files, and the SAME manifest prunes a
-    y-slice too (tests/test_layout.py pins both factors on a dense
-    deterministic grid, plus that the corpus layout skips files at
-    every SF). The exact predicate is re-applied after the coarse
-    file cut, so false inclusions cost I/O, never correctness.
+    x-span intersects the slice. Because the layout buckets on the
+    EXPLICIT top-5 Morton bits (one file per bucket), every file's
+    x-span is provably confined to a 32-of-256-value cell and its
+    y-span to 64 — the same bit-derived cells ``zorder_layout``
+    manifests — so a narrow x-slice opens ≤ 1/8 of the files, and the
+    SAME manifest prunes a y-slice too (tests/test_layout.py pins
+    both factors on a dense deterministic grid, plus that the corpus
+    layout skips files at every SF). The exact predicate is
+    re-applied after the coarse file cut, so false inclusions cost
+    I/O, never correctness.
     Oracle: the same filter and aggregate over the unpartitioned
     source table — the layout must be result-invisible."""
     from ..sources.maintenance import build_once, source_marker
@@ -332,7 +374,8 @@ def zordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = zordered_events_path(sf_dir)
     build_once(
         path,
-        source_marker(sf_dir, "events", "evz_v1"),
+        # v2: top-bit bucketed hive layout (was sampled range partitions)
+        source_marker(sf_dir, "events", "evz_v2"),
         lambda: write_zordered_events(spark, sf_dir, path),
     )
     import glob as _glob

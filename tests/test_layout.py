@@ -118,7 +118,9 @@ def test_write_zordered_round_trips_and_ranges(spark, sf_dir, tmp_path):
     L.write_zordered(ev, "x", "y", out, buckets=8)
     back = spark.read.parquet(out)
     assert back.count() == ev.count()
-    assert sorted(back.columns) == sorted(ev.columns)
+    # root reads recover the bucket id as a hive partition column;
+    # the data columns round-trip exactly
+    assert sorted(back.drop("__zb").columns) == sorted(ev.columns)
     # file-level x ranges must be tighter than the global range for
     # most files (clustering actually happened)
     per_file = (
@@ -155,25 +157,48 @@ def test_zordered_scan_matches_unclustered_filter(spark, sf_dir):
 
 
 def test_zordered_scan_skips_corpus_files(spark, sf_dir):
-    """The corpus layout must skip at least one file for the
-    registered slice at every SF (the strong, deterministic factor is
-    pinned on the dense grid below — corpus boundaries are sampled,
-    so only the weak bound is data-independent)."""
+    """The corpus layout must skip every file outside the slice's
+    x-cell. With top-bit bucketing the x dimension is carved into
+    32-wide cells; whenever the corpus population spans more than one
+    cell (sf0.01 has users across 5 cells, sf0.1 across all 8), the
+    4-wide registered slice keeps only its own cell's files. A corpus
+    whose users all fall in ONE cell (sf0.001: user_ids 1..15) has
+    nothing to skip on x BY CONSTRUCTION — the layout is still exact
+    (pinned on the dense grid below), so the honest assertion there
+    is keep-everything, not a sampled-boundary fluke that happens to
+    split mid-cell."""
     L.zordered_scan(spark, sf_dir).collect()  # ensure layout built
     path = L.zordered_events_path(sf_dir)
     x_files, total = L.zscan_candidate_files(
         spark, path, L.ZSCAN_X_LO, L.ZSCAN_X_HI
     )
-    assert total >= 8, "layout produced too few files to demonstrate"
-    assert 1 <= len(x_files) < total, (len(x_files), total)
+    mf = spark.read.parquet(path + "_mf").collect()
+    cells = {r.min_x // 32 for r in mf} | {r.max_x // 32 for r in mf}
+    assert total >= 2, "layout produced too few files to demonstrate"
+    assert len(x_files) >= 1
+    if len(cells) > 1:
+        assert len(x_files) < total, (len(x_files), total)
+        # every kept file's cell intersects the slice
+        slice_cells = {L.ZSCAN_X_LO // 32, (L.ZSCAN_X_HI - 1) // 32}
+        kept = {r.f: (r.min_x // 32, r.max_x // 32) for r in mf}
+        for f in x_files:
+            lo_c, hi_c = kept[f]
+            assert slice_cells & set(range(lo_c, hi_c + 1)), (f, kept[f])
+    else:
+        assert len(x_files) == total, (len(x_files), total)
 
 
 def test_zordered_grid_skips_both_dimensions(spark, tmp_path):
-    """The 2-D skipping pin on a DENSE 256×256 grid, where range
-    boundaries are predictable: every file's x-span and y-span are
-    bounded (~32 and ~64 of 256), so a 16-wide x-slice opens ≤ 1/3 of
-    the files AND a 32-wide y-slice opens ≤ 1/3 — the
-    either-dimension property a single-column sort cannot give."""
+    """The 2-D skipping pin on a DENSE 256×256 grid: with 32 top-bit
+    buckets every file is provably confined to one 32×64 z-cell (x
+    bits 7..5 and y bits 7..6 fixed), so a 16-wide x-slice opens
+    exactly the 4 files of one x-cell and a 32-wide y-slice exactly
+    the 8 files of one y-cell — the either-dimension property a
+    single-column sort cannot give. EXACT counts, not ratios: sampled
+    range boundaries used to drift with session history (the sampler
+    seeds on the shuffle RDD's id) and widen spans across cells; the
+    explicit-bit bucketing makes the layout deterministic, so the pin
+    can be too."""
     n = 256
     grid = spark.range(n * n).select(
         (F.col("id") % n).alias("x"),
@@ -192,11 +217,14 @@ def test_zordered_grid_skips_both_dimensions(spark, tmp_path):
         .collect()
     )
     total = len(per_file)
-    assert total >= 16
+    assert total == 32
+    for r in per_file:
+        assert r.max_x - r.min_x < 32, r
+        assert r.max_y - r.min_y < 64, r
     x_keep = [r for r in per_file if r.max_x >= 32 and r.min_x < 48]
     y_keep = [r for r in per_file if r.max_y >= 0 and r.min_y < 32]
-    assert 1 <= len(x_keep) <= total / 3, (len(x_keep), total)
-    assert 1 <= len(y_keep) <= total / 3, (len(y_keep), total)
+    assert len(x_keep) == 4, (len(x_keep), total)
+    assert len(y_keep) == 8, (len(y_keep), total)
 
 
 # ----------------------------------------------------------- snapshot
