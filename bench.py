@@ -160,6 +160,7 @@ def main() -> None:
     # single sample once recorded 29 s for a replay that costs ~4.5 s
     # in a fresh session. Two interleaved samples bound that noise.
     memoized_cold: dict[str, float] = {}
+    cold_samples: dict[str, int] = {}
     for _cold_pass in range(2):
         for name in sorted(memo_users - failed):
             maintenance.clear_session_caches()
@@ -171,8 +172,13 @@ def main() -> None:
                 memoized_cold[name] = min(
                     memoized_cold.get(name, float("inf")), dt
                 )
+                cold_samples[name] = cold_samples.get(name, 0) + 1
             except Exception as exc:  # noqa: BLE001
                 print(f"# bench cold-run FAILED {name}: {exc}", file=sys.stderr)
+    # A value backed by ONE sample (the other pass failed) is exactly
+    # the noise the two-pass min exists to bound — mark it in the
+    # artifact so a reader never mistakes it for a bounded number.
+    cold_single = sorted(n for n, c in cold_samples.items() if c < 2)
 
     detail = {
         "metric": "bench_total",
@@ -184,6 +190,8 @@ def main() -> None:
         ],
         # warm (memo-served) rows in "queries"; their cold build cost:
         "memoized": memoized_cold,
+        # cold values backed by a single sample (one pass failed):
+        "memoized_single_sample": cold_single,
         "sf": sf,
         "n_queries": len(timings),
     }

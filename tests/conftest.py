@@ -21,3 +21,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def py_round6(x: float) -> float:
+    """The one Python mirror of functions/portable.round6's
+    half-away-from-zero tie rule — tests import THIS instead of
+    hand-rolling copies, so a semantics change can't leave a stale
+    witness validating the old rule."""
+    import math
+
+    mag = math.floor(abs(x) * 1e6 + 0.5) / 1e6
+    return -mag if x < 0 else mag

@@ -127,10 +127,7 @@ def test_pagerank_top_nodes_query_consistent(spark, sf_dir):
     same sort key the window (and the DuckDB oracle) uses, so
     summation-order ulps on structurally tied nodes cannot flip the
     comparison at the 10/11 boundary."""
-    import math
-
-    def r6(x):
-        return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (-1 if x < 0 else 1)
+    from conftest import py_round6 as r6
 
     ranks = G.personalized_pagerank(
         G.lineitem_graph(spark, sf_dir), partitions=4, gather_partitions=4

@@ -176,16 +176,31 @@ def test_zordered_scan_skips_corpus_files(spark, sf_dir):
     cells = {r.min_x // 32 for r in mf} | {r.max_x // 32 for r in mf}
     assert total >= 2, "layout produced too few files to demonstrate"
     assert len(x_files) >= 1
+    # Pruning soundness, derived from the DATA rather than the
+    # manifest (which would be tautological): every file that actually
+    # contains a row in the slice must be kept. This is the guarantee
+    # that makes pruning result-invisible — a false INCLUSION costs
+    # I/O, a false exclusion would lose rows.
+    actual = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .where((F.col("x") >= L.ZSCAN_X_LO) & (F.col("x") < L.ZSCAN_X_HI))
+        .select("f")
+        .distinct()
+        .collect()
+    )
+    must_keep = {r.f for r in actual}
+    assert must_keep <= set(x_files), must_keep - set(x_files)
     if len(cells) > 1:
+        # population spans several x-cells: the 4-wide slice must
+        # actually skip — cell-exact bound: kept files' cells all
+        # intersect the slice's cell
         assert len(x_files) < total, (len(x_files), total)
-        # every kept file's cell intersects the slice
         slice_cells = {L.ZSCAN_X_LO // 32, (L.ZSCAN_X_HI - 1) // 32}
         kept = {r.f: (r.min_x // 32, r.max_x // 32) for r in mf}
         for f in x_files:
             lo_c, hi_c = kept[f]
             assert slice_cells & set(range(lo_c, hi_c + 1)), (f, kept[f])
-    else:
-        assert len(x_files) == total, (len(x_files), total)
 
 
 def test_zordered_grid_skips_both_dimensions(spark, tmp_path):

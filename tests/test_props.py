@@ -199,8 +199,6 @@ def test_round6_signed_three_way_parity(spark):
     reference must agree bit-for-bit on SIGNED values, including exact
     .xxxxxx5 ties on both sides of zero — the half-away-from-zero
     contract the round-4 advisory asked for."""
-    import math
-
     import duckdb
     from pyspark.sql import functions as F
 
@@ -217,9 +215,7 @@ def test_round6_signed_three_way_parity(spark):
         x = (next(gen) % 10_000_000) / 499.0 - 10_000.0
         vals.append(x)
 
-    def py_round6(x: float) -> float:
-        mag = math.floor(abs(x) * 1e6 + 0.5) / 1e6
-        return -mag if x < 0 else mag
+    from conftest import py_round6
 
     sdf = spark.createDataFrame([(v,) for v in vals], "x double")
     got_spark = [r.y for r in sdf.select(round6(F.col("x")).alias("y")).collect()]

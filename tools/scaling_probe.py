@@ -324,20 +324,36 @@ def main() -> None:
             for name, one, ten in rows:
                 fh.write(_row(name, one, ten))
         print(f"wrote {PROBE_MD}")
-    elif os.path.exists(PROBE_MD):
+    else:
         # Selective run: splice the re-probed rows into the existing
         # generated table in place (same method, same corpus recipe), so
-        # fixing one query does not force the full multi-query cold sweep.
+        # fixing one query does not force the full multi-query cold
+        # sweep. Probed queries with no existing row are APPENDED, and
+        # the file is created from the header if absent — a selective
+        # probe must never silently discard its measurements.
         fresh = {name: _row(name, one, ten) for name, one, ten in rows}
-        with open(PROBE_MD) as fh:
-            lines = fh.readlines()
-        updated = [
-            fresh.get(ln.split("|")[1].strip(), ln) if ln.startswith("| ") else ln
-            for ln in lines
-        ]
+        if os.path.exists(PROBE_MD):
+            with open(PROBE_MD) as fh:
+                lines = fh.readlines()
+        else:
+            lines = _MD_HEADER.splitlines(keepends=True)
+        replaced: set[str] = set()
+        updated = []
+        for ln in lines:
+            key = ln.split("|")[1].strip() if ln.startswith("| ") else None
+            if key in fresh:
+                updated.append(fresh[key])
+                replaced.add(key)
+            else:
+                updated.append(ln)
+        appended = [n for n, _, _ in rows if n not in replaced]
+        updated.extend(fresh[n] for n in appended)
         with open(PROBE_MD, "w") as fh:
             fh.writelines(updated)
-        print(f"updated {len(fresh)} row(s) in {PROBE_MD}")
+        print(
+            f"updated {len(replaced)} row(s), appended {len(appended)} "
+            f"in {PROBE_MD}"
+        )
     spark.stop()
 
 
