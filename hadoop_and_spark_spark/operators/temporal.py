@@ -270,8 +270,10 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY purchase_id
     """,
     # Independent re-derivation of the session semantics: new session
-    # iff gap >= GAP (Spark merges strictly-inside events only; an
-    # event exactly GAP later falls outside the half-open window).
+    # iff gap > GAP, strictly — Spark MERGES an event arriving exactly
+    # GAP after the previous one (its time equals the session end and
+    # touching windows coalesce; pinned by test_session_gap_boundary
+    # and the session-window property test).
     "user_sessions": f"""
         WITH flagged AS (
             SELECT user_id, event_id, ts, value,

@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 import os
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 _ALPHABET = (
@@ -246,13 +246,21 @@ def test_round6_signed_three_way_parity(spark):
         max_size=40,
     )
 )
+# The boundary case that decides the gap rule, pinned so it runs on
+# every execution (hypothesis found it in round 8: an event exactly
+# GAP after the previous one must MERGE, not split):
+@example(raw=[(0, 0, 0, 1), (0, 0, 0, 1), (0, 0, 0, 1), (0, 0, 0, 1),
+              (0, 6, 0, 1)])
 def test_session_window_vs_python_reference(spark, raw):
-    """F.session_window's half-open gap rule against a pure-Python
+    """F.session_window's gap-boundary rule against a pure-Python
     fold on arbitrary event sets. Timestamps are drawn on an hour
     grid (with a 1-second sub-offset) so inter-event gaps land ON the
     6-hour boundary with real probability — the case that decides
-    whether an event exactly GAP later merges (it must NOT: Spark's
-    window is [start, last + gap), half-open)."""
+    whether an event exactly GAP later merges. It MUST merge: Spark
+    coalesces touching session windows (an event whose time equals
+    the current session end extends it; verified against a native
+    two-row repro and mirrored by the oracle's strict `> gap`
+    new-session predicate), so only a strictly larger gap splits."""
     import datetime as dt
 
     from hadoop_and_spark_spark.operators.temporal import sessionize
@@ -278,7 +286,7 @@ def test_session_window_vs_python_reference(spark, raw):
             start = last = evs[0][0]
             n, sv = 0, 0.0
             for ts_s, v in evs:
-                if ts_s >= last + GAP_S:  # exactly GAP later ⇒ NEW
+                if ts_s > last + GAP_S:  # exactly GAP later ⇒ MERGES
                     out.append((u, start, last + GAP_S, n, round(sv, 2)))
                     start, n, sv = ts_s, 0, 0.0
                 last = ts_s
