@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .runtime import start_and_await
+
 _CDC_COLS = "user_id long, ts timestamp, event_type string, event_id long"
 
 
@@ -80,13 +82,12 @@ def _run_cdc_upsert(spark, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/wk*.parquet")
     )
-    query = (
+    writer = (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     return (
         spark.read.parquet(table)
         .select(

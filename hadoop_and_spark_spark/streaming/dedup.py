@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .runtime import start_and_await
+
 
 def streaming_dedup_exact(
     docs_stream: DataFrame,
@@ -149,15 +151,14 @@ def _run_dedup_stream(spark, sf_dir: str) -> DataFrame:
     from .trending import register_sink
 
     qname = register_sink("dedup_stream", sf_dir)
-    query = (
+    writer = (
         out.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_dedup_ck_"))
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     return spark.table(qname).sortWithinPartitions("text_md5")
 
 
@@ -286,7 +287,7 @@ def _run_bounded_stream(spark, sf_dir: str) -> DataFrame:
         stream, watermark=("ts", DEDUP_WM_DELAY)
     ).select("text_md5")
     qname = register_sink("dedupwm_stream", sf_dir)
-    query = (
+    writer = (
         out.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
@@ -294,9 +295,8 @@ def _run_bounded_stream(spark, sf_dir: str) -> DataFrame:
             "checkpointLocation", tempfile.mkdtemp(prefix="hs_dedupwm_ck_")
         )
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     return spark.table(qname).sortWithinPartitions("text_md5")
 
 

@@ -142,6 +142,7 @@ def purchase_click_pairs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all — each runs REAL incremental execution under the hash gate with
 # a full DuckDB oracle, not just the batch-duality unit test.
 
+from .runtime import start_and_await  # noqa: E402
 from .trending import register_sink  # noqa: E402 — after module docs
 
 
@@ -184,15 +185,14 @@ def _run_tier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = enriched_tier_counts(stream, user_profiles(spark, sf_dir))
     qname = register_sink("tier_stream", sf_dir)
-    query = (
+    writer = (
         agg.writeStream.format("memory")
         .queryName(qname)
         .outputMode("update")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_tier_ck_"))
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     return spark.table(qname).orderBy("tier", "window_start")
 
 
@@ -235,15 +235,14 @@ def _run_pair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("maxFilesPerTrigger", 1).parquet(src + "/wk*.parquet")
     pairs = purchase_click_pairs_stream(stream)
     qname = register_sink("pair_stream", sf_dir)
-    query = (
+    writer = (
         pairs.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_pair_ck_"))
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     return spark.table(qname).sortWithinPartitions("purchase_id", "click_id")
 
 

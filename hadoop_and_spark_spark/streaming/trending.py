@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .runtime import start_and_await
 from .windows import TREND_FACTOR, TREND_MIN
 
 OUTPUT_SCHEMA = (
@@ -338,15 +339,14 @@ def _run_hourly_stream(spark, sf_dir: str) -> DataFrame:
         )
     )
     qname = register_sink("hourly_stream", sf_dir)
-    query = (
+    writer = (
         agg.writeStream.format("memory")
         .queryName(qname)
         .outputMode("update")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_hourly_ck_"))
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     return spark.table(qname).orderBy("window_start")
 
 
@@ -425,15 +425,14 @@ def _run_hourly_late(spark, sf_dir: str, delay: str = "1 hour") -> DataFrame:
         )
     )
     qname = register_sink("hourly_late", sf_dir)
-    query = (
+    writer = (
         agg.writeStream.format("memory")
         .queryName(qname)
         .outputMode("update")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_late_ck_"))
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     return spark.table(qname).orderBy("window_start")
 
 
@@ -485,15 +484,14 @@ def _run_region_stream(spark, sf_dir: str) -> DataFrame:
         )
     )
     qname = register_sink("region_stream", sf_dir)
-    query = (
+    writer = (
         agg.writeStream.format("memory")
         .queryName(qname)
         .outputMode("update")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_region_ck_"))
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     return spark.table(qname).orderBy("region", "window_start")
 
 
@@ -551,7 +549,7 @@ def _run_sliding_stream(spark, sf_dir: str) -> DataFrame:
         )
     )
     qname = register_sink("sliding_stream", sf_dir)
-    query = (
+    writer = (
         agg.writeStream.format("memory")
         .queryName(qname)
         .outputMode("update")
@@ -559,9 +557,8 @@ def _run_sliding_stream(spark, sf_dir: str) -> DataFrame:
             "checkpointLocation", tempfile.mkdtemp(prefix="hs_sliding_ck_")
         )
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     return (
         spark.table(qname)
         .groupBy("window_start")
@@ -634,15 +631,14 @@ def _run_sessions_stream(spark, sf_dir: str) -> DataFrame:
     # 1's session, so exactly one sentinel row does reach the sink).
     sess = streaming_user_sessions(stream, watermark="1 hour")
     qname = register_sink("sessions_stream", sf_dir)
-    query = (
+    writer = (
         sess.writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_sess_ck_"))
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     # within-partition order only: output is corpus-proportional
     # (sessions per user), same presentation policy as the batch twin
     return (
@@ -680,15 +676,14 @@ def _run_weekly_replay(spark, sf_dir: str) -> DataFrame:
         )
     )
     qname = register_sink("trend_weekly", sf_dir)
-    query = (
+    writer = (
         out.writeStream.format("memory")
         .queryName(qname)
         .outputMode("update")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="hs_trend_ck_"))
         .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
+    start_and_await(spark, writer)
     return spark.table(qname).orderBy("key", "week")
 
 
