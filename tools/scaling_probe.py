@@ -1,4 +1,4 @@
-"""10x scaling probe — generates the repo's ONE cold-scaling table.
+"""Cold scaling probe — generates the repo's cold-scaling tables.
 
 Builds a 10x `documents` corpus from the bench scale dir — each of 10
 replicas gets per-replica filler tokens appended so replicas are
@@ -8,11 +8,18 @@ true-pair volumes controlled — then times every probed query COLD
 untimed warm-up, min of two timed runs) at 1x and 10x.
 
 Usage: python tools/scaling_probe.py [query ...]
-With no arguments probes the full default set AND (re)writes
-`PROBE.md` at the repo root — the single generated markdown table the
-README points at, replacing the per-round hand-maintained tables that
-went stale section-by-section. Writes the 10x corpus to
+With no arguments probes the full default set AND (re)writes the 10x
+table in `PROBE.md` at the repo root — the single generated markdown
+file the README points at, replacing the per-round hand-maintained
+tables that went stale section-by-section. Writes the 10x corpus to
 /tmp/sfprobe10x (rebuilt only if absent or stale by marker).
+
+`--factor N [query ...]` (typically N=100) instead probes the SPOT
+set — a representative slice chosen to stress each scale axis
+without output-volume domination — on an N-x corpus built by a
+single-pass explode (the 10x union-loop builder is kept verbatim so
+published 10x numbers stay comparable across rounds) and rewrites
+PROBE.md's spot section, leaving the 10x table untouched.
 """
 
 from __future__ import annotations
@@ -178,6 +185,32 @@ WHY = {
 }
 
 
+# The 100x SPOT set: one query per scale axis, chosen so measured
+# growth reflects ENGINE work, not output volume the harness collects
+# (pair-mining dedups are excluded — a 100x replica corpus has
+# ~C(100,2) x families true pairs by construction, which measures the
+# corpus generator, not the operator; dedup_embedding's capped band
+# buckets stand in for the family).
+SPOT_QUERIES = (
+    "wordcount",             # scan + vocabulary-sized partial agg
+    "dedup_exact",           # corpus-wide hash agg on (md5, id)
+    "dedup_embedding",       # near-dup mining with capped candidates
+    "decontaminate",         # broadcast semi-join prune
+    "doc_perplexity",        # token volume x vocab2-bounded LM
+    "token_freq_sketch",     # fixed-size sketch state, map-side merges
+    "knn_bruteforce",        # 64-query broadcast x full vector scan
+    "knn_ivf",               # cold incl. inverted-file build, bounded probe
+    "embedding_pca",         # d2-cell sufficient statistics
+    "asof_attribution",      # user-keyed shuffle + as-of window
+    "user_sessions",         # session_window shuffle, more users
+    "latest_snapshot",       # max(struct) partial agg per key
+    "event_count_sliding",   # Expand x2 into one agg shuffle
+    "event_count_hourly_stream",  # replay: micro-batch volume x100, state horizon-bounded
+)
+
+SPOT_GEN = 1  # bump when the spot-corpus recipe changes
+
+
 def _probe_marker() -> str:
     """Cache key for the probe corpus: base path + base mtime +
     generator version. A marker mismatch (stale base data, older
@@ -248,6 +281,65 @@ def build_probe_corpus(spark) -> None:
         fh.write(marker)
 
 
+def build_spot_corpus(spark, factor: int) -> str:
+    """N-x replica corpus for the spot probe, built in ONE pass per
+    table via explode over a replica-index sequence (the 10x builder's
+    union-of-10-selects does not scale to 100 replicas: 100-way unions
+    make analysis itself the bottleneck). Same replica recipe as the
+    10x corpus — documents become near-dup families via per-replica
+    filler tokens, events replicate by USER (per-user stream structure
+    preserved; the corpus grows along the realistic more-users axis),
+    embeddings replicate with offset ids and unchanged vectors."""
+    out_dir = f"/tmp/sfprobe{factor}x"
+    marker_path = os.path.join(out_dir, "MARKER")
+    marker = _probe_marker() + f"|spot{SPOT_GEN}|factor{factor}"
+    if os.path.exists(marker_path):
+        with open(marker_path) as fh:
+            if fh.read() == marker:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("r")
+
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    docs.select("*", rep).select(
+        (F.col("doc_id") + F.col("r") * 10_000_000).alias("doc_id"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+        F.concat(
+            F.col("text"),
+            F.lit(" probe"),
+            F.col("r").cast("string"),
+            F.lit("x"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("text"),
+    ).select(*docs.columns).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    ev = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+    ev.select("*", rep).select(
+        (F.col("event_id") + F.col("r") * 100_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("r") * 1_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).select(*ev.columns).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    emb.select("*", rep).select(
+        (F.col("vec_id") + F.col("r") * 10_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    ).select(*emb.columns).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    with open(marker_path, "w") as fh:
+        fh.write(marker)
+    return out_dir
+
+
 # Queries whose cost is memoized per (session, corpus) have EVERY
 # in-session cache cleared before each timed run, so the published
 # growth number includes the iterative compute (training /
@@ -298,62 +390,110 @@ corpus has ~x1000 true pairs by construction).
 """
 
 
-def _row(name: str, one: float, ten: float) -> str:
+def _row(name: str, one: float, big: float) -> str:
     return (
-        f"| {name} | {one:.2f} s | {ten:.2f} s "
-        f"| {ten / one:.1f}x | {WHY.get(name, '')} |\n"
+        f"| {name} | {one:.2f} s | {big:.2f} s "
+        f"| {big / one:.1f}x | {WHY.get(name, '')} |\n"
     )
 
 
+def _spot_header(factor: int) -> str:
+    return f"""
+## Cold {factor}x spot probe (generated — do not hand-edit)
+
+`python tools/scaling_probe.py --factor {factor}`: the same cold
+protocol (caches cleared, untimed warm-up, min of two timed runs) on
+a {factor}x corpus built by single-pass explode replication with the
+same replica recipe, over one representative query per scale axis.
+Pair-mining dedups are excluded by design: a replica corpus's
+true-pair volume grows ~quadratically in the factor, which measures
+the generator, not the operator (dedup_embedding's capped band
+buckets represent the family). Near-linear growth on fixed local[32]
+hardware is the single-node analogue of the fleet-level claim:
+per-core work stays flat as data and cores scale together.
+
+| Query | 1x | {factor}x | Growth | Why |
+|---|---|---|---|---|
+"""
+
+
+def _split_sections(lines: list[str]) -> tuple[list[str], list[str]]:
+    """PROBE.md = [10x table] + optional [spot section]; split so each
+    writer rewrites its own section and preserves the other."""
+    for i, ln in enumerate(lines):
+        if ln.startswith("## Cold ") and "spot probe" in ln:
+            j = i - 1 if i > 0 and not lines[i - 1].strip() else i
+            return lines[:j], lines[j:]
+    return lines, []
+
+
+def _splice_rows(lines: list[str], header: str, rows) -> list[str]:
+    """Replace matching `| name |` rows in one section, append the
+    rest — a selective probe must never silently discard its
+    measurements. Missing section bootstraps from the header."""
+    fresh = {name: _row(name, one, big) for name, one, big in rows}
+    if not lines:
+        lines = header.splitlines(keepends=True)
+    replaced: set[str] = set()
+    updated = []
+    for ln in lines:
+        key = ln.split("|")[1].strip() if ln.startswith("| ") else None
+        if key in fresh:
+            updated.append(fresh[key])
+            replaced.add(key)
+        else:
+            updated.append(ln)
+    updated.extend(fresh[n] for n, _, _ in rows if n not in replaced)
+    return updated
+
+
 def main() -> None:
-    names = sys.argv[1:] or list(DEFAULT_QUERIES)
-    selective = bool(sys.argv[1:])
+    argv = sys.argv[1:]
+    factor = 10
+    if "--factor" in argv:
+        i = argv.index("--factor")
+        factor = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    spot = factor != 10
+    names = argv or list(SPOT_QUERIES if spot else DEFAULT_QUERIES)
+    selective = bool(argv)
     spark = get_spark("scaling-probe")
-    build_probe_corpus(spark)
+    if spot:
+        probe_dir = build_spot_corpus(spark, factor)
+    else:
+        build_probe_corpus(spark)
+        probe_dir = PROBE_DIR
     queries, _ = collect()
-    print(f"{'query':32s} {'1x':>7s} {'10x':>7s} {'growth':>7s}")
+    print(f"{'query':32s} {'1x':>7s} {factor:>6d}x {'growth':>7s}")
     rows = []
     for name in names:
         one = steady_state(name, queries[name], spark, BASE_SF)
-        ten = steady_state(name, queries[name], spark, PROBE_DIR)
-        print(f"{name:32s} {one:6.2f}s {ten:6.2f}s {ten / one:6.1f}x", flush=True)
-        rows.append((name, one, ten))
-    if not selective:
-        with open(PROBE_MD, "w") as fh:
-            fh.write(_MD_HEADER)
-            for name, one, ten in rows:
-                fh.write(_row(name, one, ten))
-        print(f"wrote {PROBE_MD}")
+        big = steady_state(name, queries[name], spark, probe_dir)
+        print(f"{name:32s} {one:6.2f}s {big:6.2f}s {big / one:6.1f}x", flush=True)
+        rows.append((name, one, big))
+
+    if os.path.exists(PROBE_MD):
+        with open(PROBE_MD) as fh:
+            main_sec, spot_sec = _split_sections(fh.readlines())
     else:
-        # Selective run: splice the re-probed rows into the existing
-        # generated table in place (same method, same corpus recipe), so
-        # fixing one query does not force the full multi-query cold
-        # sweep. Probed queries with no existing row are APPENDED, and
-        # the file is created from the header if absent — a selective
-        # probe must never silently discard its measurements.
-        fresh = {name: _row(name, one, ten) for name, one, ten in rows}
-        if os.path.exists(PROBE_MD):
-            with open(PROBE_MD) as fh:
-                lines = fh.readlines()
+        main_sec, spot_sec = [], []
+    if spot:
+        if selective:
+            spot_sec = _splice_rows(spot_sec, _spot_header(factor), rows)
         else:
-            lines = _MD_HEADER.splitlines(keepends=True)
-        replaced: set[str] = set()
-        updated = []
-        for ln in lines:
-            key = ln.split("|")[1].strip() if ln.startswith("| ") else None
-            if key in fresh:
-                updated.append(fresh[key])
-                replaced.add(key)
-            else:
-                updated.append(ln)
-        appended = [n for n, _, _ in rows if n not in replaced]
-        updated.extend(fresh[n] for n in appended)
-        with open(PROBE_MD, "w") as fh:
-            fh.writelines(updated)
-        print(
-            f"updated {len(replaced)} row(s), appended {len(appended)} "
-            f"in {PROBE_MD}"
-        )
+            spot_sec = _spot_header(factor).splitlines(keepends=True) + [
+                _row(*r) for r in rows
+            ]
+        main_sec = main_sec or _MD_HEADER.splitlines(keepends=True)
+    elif selective:
+        main_sec = _splice_rows(main_sec, _MD_HEADER, rows)
+    else:
+        main_sec = _MD_HEADER.splitlines(keepends=True) + [
+            _row(*r) for r in rows
+        ]
+    with open(PROBE_MD, "w") as fh:
+        fh.writelines(main_sec + spot_sec)
+    print(f"wrote {PROBE_MD} ({'spot' if spot else '10x'} section)")
     spark.stop()
 
 
