@@ -156,7 +156,7 @@ WHY = {
     "embedding_quantize": "pure projection; growth is the x64-exploded output itself",
     "embedding_pca": "d2-cell sufficient statistics are corpus-size-independent",
     "asof_attribution": "one shuffle on user_id; window carries one row per user",
-    "user_sessions": "one session_window shuffle; sessions per user unchanged",
+    "user_sessions": "one session_window shuffle; session COUNT is corpus-proportional and harness-collected (engine side alone ~17 s at 100x; the remainder is driver materialization of 5.7M session rows)",
     "range_join_counts": "bin-join candidates grow with per-(user, bin) activity only",
     "next_event_pairs": "one lead() shuffle on user_id; output grows by design",
     "value_outliers": "one exact-moment agg + broadcast comparison projection",
@@ -174,7 +174,7 @@ WHY = {
     "purchase_click_pairs": "cold cost is replay machinery, not state: source build 1.5 s, rest is 5 checkpointed micro-batches x fixed planning/state-commit overhead on both join sides (10x data adds ~0.5 s; click state evicts 25 h past each week)",
     "dedup_exact_stream": "state one hash per distinct doc; payload never stored",
     "dedup_bounded_stream": "state = keys inside watermark horizon only (evicted after delay); scripted rearrivals fixed-size",
-    "latest_snapshot": "max(struct) partial agg; one candidate row per key per partition shuffles",
+    "latest_snapshot": "max(struct) partial agg; one candidate row per key per partition shuffles, output one row per key",
     "zorder_layout": "codegen bit math + 32-group partial agg; no data-row shuffle",
     "zordered_scan": "cold incl. z-ordered layout + manifest build (build-once); read opens only manifest-matched files",
     "user_sessions_stream": "cold incl. replay-source build; state = open sessions per user in watermark horizon, append-emitted at close",
@@ -298,7 +298,11 @@ def build_spot_corpus(spark, factor: int) -> str:
             if fh.read() == marker:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("r")
+    # long, not int: r * 100_000_000 overflows int32 under ANSI at
+    # factor 100 (sequence() yields ints)
+    rep = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(factor - 1).cast("long"))
+    ).alias("r")
 
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
     docs.select("*", rep).select(
