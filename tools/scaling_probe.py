@@ -171,7 +171,7 @@ WHY = {
     "event_count_hourly_stream": "watermark-bounded window state; replay machinery fixed cost",
     "event_count_hourly_late": "same as hourly stream + scripted late week dropped by eviction",
     "tier_counts_stream": "broadcast dim join per micro-batch; agg state tiers x horizon",
-    "purchase_click_pairs": "cold cost is replay machinery, not state: source build 1.5 s, rest is 5 checkpointed micro-batches x fixed planning/state-commit overhead on both join sides (10x data adds ~0.5 s; click state evicts 25 h past each week)",
+    "purchase_click_pairs": "cold cost is replay machinery, not state: 5 checkpointed micro-batches x fixed planning/state-commit overhead across four join state stores per partition (state partitions sized by streaming/runtime.py — was 3x slower inheriting the batch default; 10x data adds <1 s; click state evicts 25 h past each week)",
     "dedup_exact_stream": "state one hash per distinct doc; payload never stored",
     "dedup_bounded_stream": "state = keys inside watermark horizon only (evicted after delay); scripted rearrivals fixed-size",
     "latest_snapshot": "max(struct) partial agg; one candidate row per key per partition shuffles, output one row per key",
