@@ -315,6 +315,78 @@ def test_session_window_vs_python_reference(spark, raw):
 @given(
     st.lists(
         st.tuples(
+            st.integers(min_value=0, max_value=48),  # hour slot
+            st.integers(min_value=-1, max_value=1),  # second sub-offset
+        ),
+        min_size=5,
+        max_size=40,
+    )
+)
+# Events exactly ON an hour boundary — the case that decides window
+# membership (window() is [start, end): a boundary event opens the
+# NEXT window, never closes the previous one):
+@example(raw=[(0, 0), (1, 0), (2, 0), (2, -1), (2, 1)])
+def test_event_time_window_assignment_vs_python_reference(spark, raw):
+    """F.window()'s half-open assignment rule for tumbling (1 h) and
+    hopping (2 h / 1 h) windows against a pure-Python fold. Hour-grid
+    timestamps with a ±1 s sub-offset make exact-boundary events
+    common — the companion to the session-gap property, which found a
+    reversed boundary model in round 8. Here the rule IS half-open
+    ([start, start+len)), unlike session windows' tie-merging: an
+    event at exactly a window's end belongs only to later windows,
+    and every event lands in exactly len/hop hopping windows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 3, 1)
+    epoch = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    secs = sorted({slot * 3600 + sub for slot, sub in raw if slot * 3600 + sub >= 0})
+    sdf = spark.createDataFrame(
+        [(t0 + dt.timedelta(seconds=s),) for s in secs], "ts timestamp"
+    )
+
+    H = 3600
+
+    def us(rel_s: int) -> int:
+        return (epoch + rel_s) * 1_000_000
+
+    # tumbling 1 h: event s -> exactly the window [floor(s/H)*H, +H)
+    want_tumble: dict[int, int] = {}
+    for s in secs:
+        want_tumble[us(s // H * H)] = want_tumble.get(us(s // H * H), 0) + 1
+    got_tumble = {
+        r.w: r.cnt
+        for r in sdf.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_micros("win.start").alias("w"), "cnt")
+        .collect()
+    }
+    assert got_tumble == want_tumble
+
+    # hopping 2 h every 1 h: event s -> windows starting at
+    # floor(s/H)*H and floor(s/H)*H - H (len/hop = 2 each, always)
+    want_hop: dict[int, int] = {}
+    for s in secs:
+        k = s // H * H
+        for start in (k, k - H):
+            want_hop[us(start)] = want_hop.get(us(start), 0) + 1
+    got_hop = {
+        r.w: r.cnt
+        for r in sdf.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_micros("win.start").alias("w"), "cnt")
+        .collect()
+    }
+    assert got_hop == want_hop
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
             st.integers(min_value=0, max_value=255),
             st.integers(min_value=0, max_value=255),
         ),
