@@ -182,6 +182,9 @@ WHY = {
     "event_count_sliding": "Expand x(len/hop)=2 into one partial+final agg shuffle",
     "event_count_sliding_stream": "overlapping-window state = 2x windows in horizon; replay fixed cost",
     "cdc_upsert_stream": "per-batch merge shuffles table+batch once; table stays keyed-cardinality",
+    "q6_pricing_summary": "one scan + grouped multi-agg; shuffle carries flag x status partials",
+    "q4_orders_by_nation": "facts stream through broadcast dim hash joins; shuffle only for the nation-count agg",
+    "q9_price_percentiles": "domain-bounded price histogram + per-flag cumulative window; state independent of row count",
 }
 
 
@@ -206,9 +209,14 @@ SPOT_QUERIES = (
     "latest_snapshot",       # max(struct) partial agg per key
     "event_count_sliding",   # Expand x2 into one agg shuffle
     "event_count_hourly_stream",  # replay: micro-batch volume x100, state horizon-bounded
+    # relational family (lineitem/orders replicated as 100x ACTIVITY of
+    # the same customer/part/supplier base — dims copied verbatim)
+    "q6_pricing_summary",    # TPC-H Q1 shape: scan + multi-agg
+    "q4_orders_by_nation",   # multi-way join onto broadcast dims
+    "q9_price_percentiles",  # exact percentiles via bounded histogram
 )
 
-SPOT_GEN = 1  # bump when the spot-corpus recipe changes
+SPOT_GEN = 2  # bump when the spot-corpus recipe changes
 
 
 def _probe_marker() -> str:
@@ -339,6 +347,38 @@ def build_spot_corpus(spark, factor: int) -> str:
     ).select(*emb.columns).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
+
+    # Relational facts replicate as 100x ACTIVITY of the SAME
+    # customer/part/supplier base: orderkeys offset per replica so the
+    # orders↔lineitem join key stays consistent, foreign keys into the
+    # dimensions unchanged, dims copied verbatim. This is the realistic
+    # fact-growth axis (dims grow ~log of facts in TPC-H's own scaling)
+    # and keeps every dim broadcastable, which is the plan shape the
+    # engine claims at 100 TB.
+    orders = spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
+    orders.select("*", rep).select(
+        (F.col("o_orderkey") + F.col("r") * 10_000_000).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    ).select(*orders.columns).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+    li = spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
+    li.select("*", rep).select(
+        (F.col("l_orderkey") + F.col("r") * 10_000_000).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    ).select(*li.columns).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+    import shutil
+
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        src = os.path.join(BASE_SF, f"{dim}.parquet")
+        dst = os.path.join(out_dir, f"{dim}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copyfile(src, dst)
+
     with open(marker_path, "w") as fh:
         fh.write(marker)
     return out_dir
@@ -412,7 +452,11 @@ same replica recipe, over one representative query per scale axis.
 Pair-mining dedups are excluded by design: a replica corpus's
 true-pair volume grows ~quadratically in the factor, which measures
 the generator, not the operator (dedup_embedding's capped band
-buckets represent the family). Near-linear growth on fixed local[32]
+buckets represent the family). The relational rows run on orders/
+lineitem replicated as 100x ACTIVITY of the same dimension base
+(orderkeys offset per replica, foreign keys unchanged, dims copied
+verbatim) — facts grow, dims stay broadcastable, TPC-H's own scaling
+shape. Near-linear growth on fixed local[32]
 hardware is the single-node analogue of the fleet-level claim:
 per-core work stays flat as data and cores scale together.
 
