@@ -144,11 +144,20 @@ def round6(c: Column) -> Column:
     and rounds ties away from zero for BOTH signs (a bare
     floor(x*1e6+0.5) would round negative ties toward +inf, giving
     z-scores and log-ratios a sign-asymmetric tie rule).
+
+    The trailing ``+ 0.0`` canonicalizes NEGATIVE ZERO: a value the
+    engines compute with opposite last-ulp signs around zero (e.g. a
+    cosine or log-ratio that is -1e-18 in one summation order and
+    +1e-18 in the other) rounds to -0.0 vs +0.0, and the driver's
+    typed-repr hash distinguishes them ('-0.0' ≠ '0.0' — caught live
+    by pmi_pairs at sf0.001). IEEE addition maps -0.0 + 0.0 → +0.0
+    and is the exact identity on every other finite double, so both
+    engines present the single canonical zero.
     """
     mag = F.floor(F.abs(c) * 1e6 + F.lit(0.5)) / 1e6
-    return F.when(c < 0, -mag).otherwise(mag)
+    return F.when(c < 0, -mag).otherwise(mag) + F.lit(0.0)
 
 
 def round6_sql(expr: str) -> str:
     mag = f"floor(abs({expr}) * 1000000 + 0.5) / 1000000"
-    return f"(CASE WHEN ({expr}) < 0 THEN -({mag}) ELSE ({mag}) END)"
+    return f"((CASE WHEN ({expr}) < 0 THEN -({mag}) ELSE ({mag}) END) + 0.0)"

@@ -199,12 +199,19 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a",
             "b",
-            F.round(
-                F.log10(
-                    F.col("cnt") * F.col("n_docs")
-                    / (F.col("cnt_a") * F.col("cnt_b"))
-                ),
-                4,
+            # + 0.0 canonicalizes the sign of zero: Spark's round()
+            # (BigDecimal) loses -0.0 while DuckDB's keeps it, so a
+            # pair whose log-ratio rounds to zero from below hashed
+            # '0.0' vs '-0.0' at the driver (observed at sf0.001).
+            (
+                F.round(
+                    F.log10(
+                        F.col("cnt") * F.col("n_docs")
+                        / (F.col("cnt_a") * F.col("cnt_b"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("pmi"),
             "cnt",
         )
@@ -360,8 +367,9 @@ ORACLE_SQL: dict[str, str] = {
     "pmi_pairs": _PMI_PAIRS_CTE
     + """
         SELECT a, b,
+               -- + 0.0: canonicalize -0.0 (see pmi_pairs presentation)
                round(log10(cnt * (SELECT count(*) FROM documents)::DOUBLE
-                     / (ua.wcnt * ub.wcnt)), 4) AS pmi,
+                     / (ua.wcnt * ub.wcnt)), 4) + 0.0 AS pmi,
                cnt
         FROM pairs
         JOIN unigram ua ON ua.word = a

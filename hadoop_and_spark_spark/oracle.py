@@ -36,7 +36,13 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return round(v, 9)
+            # repr, not the rounded number: Python's == equates -0.0
+            # with 0.0, but the driver's typed-repr hash does NOT —
+            # the sign of zero must match across engines (pmi_pairs
+            # at sf0.001 hashed '0.0' vs '-0.0' before round6/pmi
+            # canonicalized negative zero). repr keeps this compare
+            # exactly as strict as the driver's.
+            return repr(round(v, 9))
         if hasattr(v, "isoformat"):
             return v.isoformat()
         if isinstance(v, list):

@@ -31,4 +31,4 @@ def py_round6(x: float) -> float:
     import math
 
     mag = math.floor(abs(x) * 1e6 + 0.5) / 1e6
-    return -mag if x < 0 else mag
+    return (-mag if x < 0 else mag) + 0.0  # + 0.0: -0.0 → +0.0

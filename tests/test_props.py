@@ -198,7 +198,14 @@ def test_round6_signed_three_way_parity(spark):
     """round6 (Spark expression), round6_sql (DuckDB), and the Python
     reference must agree bit-for-bit on SIGNED values, including exact
     .xxxxxx5 ties on both sides of zero — the half-away-from-zero
-    contract the round-4 advisory asked for."""
+    contract the round-4 advisory asked for.
+
+    Compared by REPR, not ==: the driver hashes typed reprs, and
+    Python's == treats -0.0 and 0.0 as equal — exactly how the
+    negative-zero defect (a tiny-negative input rounding to '-0.0' in
+    one engine and '0.0' in the other) slipped past the original form
+    of this test. round6 must canonicalize every zero to +0.0; the
+    tiny-negative values below pin that on all three engines."""
     import duckdb
     from pyspark.sql import functions as F
 
@@ -208,7 +215,8 @@ def test_round6_signed_three_way_parity(spark):
         round6_sql,
     )
 
-    vals = [0.0, 1.0000005, -1.0000005, 2.5e-7, -2.5e-7, 3.14159265,
+    vals = [0.0, -0.0, 1.0000005, -1.0000005, 2.5e-7, -2.5e-7,
+            -1e-18, 1e-18, -4.9e-7, 3.14159265,
             -3.14159265, 123456.789012349, -123456.789012349]
     gen = _lcg_stream(99)
     for _ in range(400):
@@ -229,8 +237,11 @@ def test_round6_signed_three_way_parity(spark):
     ]
     con.close()
     want = [py_round6(v) for v in vals]
-    assert got_spark == want
-    assert got_duck == want
+    assert [repr(v) for v in got_spark] == [repr(v) for v in want]
+    assert [repr(v) for v in got_duck] == [repr(v) for v in want]
+    assert "-0.0" not in {repr(v) for v in want}, (
+        "round6 must never present negative zero"
+    )
 
 
 @_SETTINGS
