@@ -182,6 +182,8 @@ WHY = {
     "event_count_sliding": "Expand x(len/hop)=2 into one partial+final agg shuffle",
     "event_count_sliding_stream": "overlapping-window state = 2x windows in horizon; replay fixed cost",
     "cdc_upsert_stream": "per-batch merge shuffles table+batch once; table stays keyed-cardinality",
+    "personalized_pagerank": "distinct-edge extraction is the only fact-volume phase (node space fixed mod N, replica orderkeys fold onto the same nodes); 10 iterations run on the cached saturated graph, state = N x sources doubles",
+    "graph_triangles": "same fixed node space: 100x scan feeds the distinct-edge cut, orientation + O(sqrt m) join run on the saturated edge set",
     "q6_pricing_summary": "one scan + grouped multi-agg; shuffle carries flag x status partials",
     "q4_orders_by_nation": "facts stream through broadcast dim hash joins; shuffle only for the nation-count agg",
     "q9_price_percentiles": "domain-bounded price histogram + per-flag cumulative window; state independent of row count",
@@ -209,6 +211,13 @@ SPOT_QUERIES = (
     "latest_snapshot",       # max(struct) partial agg per key
     "event_count_sliding",   # Expand x2 into one agg shuffle
     "event_count_hourly_stream",  # replay: micro-batch volume x100, state horizon-bounded
+    # graph family: the lineitem-derived edge list grows 100x but the
+    # node space is fixed (keys mod PR_NUM_NODES), so distinct-edge
+    # extraction is the scan-bound phase and the iterations/triangle
+    # counting run on the same saturated graph — the claim that the
+    # iterative state never scales with fact volume, measured.
+    "personalized_pagerank",
+    "graph_triangles",
     # relational family (lineitem/orders replicated as 100x ACTIVITY of
     # the same customer/part/supplier base — dims copied verbatim)
     "q6_pricing_summary",    # TPC-H Q1 shape: scan + multi-agg
