@@ -195,7 +195,16 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
-    with open(os.path.join(REPO_ROOT, "BENCH_QUERIES.json"), "w") as fh:
+    # The committed artifact records the DEFAULT (sf0.1) bench; a
+    # verification run at another SF (e.g. the verify skill's sf0.01
+    # drive) writes a sibling file instead of silently clobbering the
+    # round's published detail.
+    detail_name = (
+        "BENCH_QUERIES.json"
+        if SF_DIR == "/root/testdata/sf0.1"
+        else f"BENCH_QUERIES_{os.path.basename(SF_DIR.rstrip('/'))}.json"
+    )
+    with open(os.path.join(REPO_ROOT, detail_name), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
@@ -216,7 +225,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_failed": len(failed),
                 "n_memoized": len(memoized_cold),
-                "detail": "BENCH_QUERIES.json",
+                "detail": detail_name,
             },
             separators=(",", ":"),
         )
