@@ -156,7 +156,18 @@ _SH_CTE = f"""
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out BEFORE the shingle projection: the HOF shingle build is
     # the expensive stage and must not run on one input split.
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # NULL text carries no content: the expression form would emit
+    # sh=NULL (tokenize(null) propagates) and every downstream explode
+    # drops the doc anyway — filtering here states that contract once
+    # and keeps the Arrow-kernel twin (which would otherwise crash on
+    # None) on identical inputs. A null-text doc participates in no
+    # pairs and survives dedup; '' is CONTENT (one empty shingle) and
+    # still participates.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        )
+    )
     return docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
 
 
@@ -203,7 +214,14 @@ def _hashed_shingles_kernel(batches):
 
 
 def _docs_with_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # text IS NOT NULL: see _docs_with_shingles — null docs have no
+    # shingles by the expression-twin contract, and the kernel would
+    # alias None to ''s single empty shingle otherwise.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").where(
+            F.col("text").isNotNull()
+        )
+    )
     return docs.select("doc_id", "text").mapInPandas(
         _hashed_shingles_kernel, "doc_id bigint, sh array<bigint>"
     )
@@ -810,7 +828,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to brute-force all-pairs Hamming — which is what the
     oracle computes, making this a true differential test.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # text IS NOT NULL: null docs have no tokens, so they carry no
+    # sketch and join no pairs (the oracle's NULL arithmetic excludes
+    # them identically); '' is content — sketch 0 — and participates.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     # Sketch + banding as one Arrow kernel (see _simhash_banded_kernel:
     # the interpreted 64-permutation parity fold was the hot stage).
     # Materialized once: consumed by both self-join sides.

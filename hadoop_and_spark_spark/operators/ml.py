@@ -113,6 +113,13 @@ def train_spam_classifier(
         for _ in range(epochs):
             for pdf in buffered if epochs > 1 else batches:
                 for label, feats in zip(pdf["label"], pdf["features"]):
+                    if feats is None:
+                        # null-text instance: tokenize(null) → null
+                        # feature array. Zero features ⇒ score 0,
+                        # p = 0.5, and no weights to update — the
+                        # no-op the relational scorer mirrors (its
+                        # explode emits no rows for the doc).
+                        feats = ()
                     score = sum(w.get(int(f), 0.0) for f in feats)
                     p = 1.0 / (1.0 + math.exp(-score))
                     y = 1.0 if label == "spam" else 0.0

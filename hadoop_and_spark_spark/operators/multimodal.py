@@ -369,6 +369,11 @@ def _decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame
     import pandas as pd
 
     for pdf in batches:
+        if pdf["media"].isna().any():
+            # _media_table filters null payloads; one reaching decode
+            # is a data error — fail loudly with the scope error, not
+            # a TypeError from len(None).
+            raise UnsupportedMediaError("null media payload")
         n = pdf["media"].map(len).astype("int64")
         mt = pdf["media_type"]
         is_visual = mt.isin(["image", "video"])
@@ -491,8 +496,15 @@ def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → synthetic media: binary payload + modality tag."""
-    docs = load_table(spark, sf_dir, "documents")
+    """documents → synthetic media: binary payload + modality tag.
+
+    NULL text rows are excluded: a media catalog holds blobs, and
+    encode(NULL) is not a blob — a missing payload is an ingestion
+    gap to fix upstream, never a row the decode kernels should see
+    (the oracles carry the same WHERE)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     mt = F.element_at(
         F.array(*[F.lit(t) for t in _TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
     )
@@ -565,7 +577,8 @@ _MT = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
 ORACLE_SQL: dict[str, str] = {
     "multimodal_decode": f"""
-        WITH m AS (SELECT doc_id, {_N} AS n, {_MT} AS media_type FROM documents)
+        WITH m AS (SELECT doc_id, {_N} AS n, {_MT} AS media_type FROM documents
+                   WHERE text IS NOT NULL)
         SELECT doc_id, media_type, n AS n_bytes,
                CASE WHEN media_type IN ('image','video')
                     THEN 64 + (31 * n) % 1024 ELSE 0 END AS width,
@@ -581,7 +594,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "multimodal_frames": f"""
         WITH m AS (SELECT doc_id, {_N} AS n FROM documents
-                   WHERE doc_id % 3 = 2),
+                   WHERE doc_id % 3 = 2 AND text IS NOT NULL),
         v AS (SELECT doc_id, n, 1 + n % 30 AS n_frames FROM m)
         SELECT doc_id, unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx,
                floor(unnest(range(0, n_frames, {FRAME_STRIDE}))
@@ -594,7 +607,8 @@ ORACLE_SQL: dict[str, str] = {
 # decodes it straight from each byte's second hex char. One row per
 # (doc, bucket) — mirrors the Spark side's posexplode.
 ORACLE_SQL["multimodal_features"] = f"""
-    WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
+    WITH m AS (SELECT doc_id, encode(text) AS b FROM documents
+              WHERE text IS NOT NULL),
     by AS (
         SELECT doc_id, octet_length(b)::BIGINT AS n,
                list_transform(range(1, octet_length(b) + 1),

@@ -237,13 +237,21 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            fps = [_winnow_doc(t) for t in pdf["text"]]
+            # NULL text propagates to NULL fingerprint — the same row
+            # the expression twin (and the oracle's NULL arithmetic)
+            # produces; '' is content and fingerprints as [hash('')].
+            fps = [
+                None if t is None else _winnow_doc(t) for t in pdf["text"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_fp": [len(f) for f in fps],
+                    "n_fp": [None if f is None else len(f) for f in fps],
                     "fingerprint": [
-                        ",".join(str(x) for x in f.tolist()) for f in fps
+                        None
+                        if f is None
+                        else ",".join(str(x) for x in f.tolist())
+                        for f in fps
                     ],
                 }
             )

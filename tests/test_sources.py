@@ -175,6 +175,53 @@ def test_all_queries_handle_empty_tables(spark, sf_dir, tmp_path):
         fn(spark, ed).collect()  # must not raise
 
 
+# Nullable non-key columns a messy production corpus carries NULLs in
+# (keys, timestamps and embedding vectors stay non-null: those are
+# upstream-validated preconditions, not content).
+_NULLABLE = {
+    "documents": ("text", "lang", "source"),
+    "events": ("event_type", "value", "props"),
+    "embeddings": ("label",),
+}
+_NULL_KEYS = {"documents": "doc_id", "events": "event_id",
+              "embeddings": "vec_id"}
+
+
+def test_all_queries_handle_null_sprinkled_corpus(spark, sf_dir, tmp_path):
+    """Real 100 TB corpora carry NULLs; the testdata carries none —
+    so every Arrow kernel that touched text crashed on its first null
+    until this sweep existed (11 of 105 queries: the shingle/simhash
+    dedup family, winnowing, the SGD trainer, the multimodal decode
+    chain). JVM expressions are null-safe by construction (null
+    propagates, explode drops); this pins that every Python kernel
+    now follows the same contract — null text means NO content: no
+    tokens, no shingles, no sketch rows, no media payload — instead
+    of TypeError'ing the executor. 5% of rows get NULLs in every
+    nullable non-key column (deterministic: key % 20 == 7)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.catalog import TABLES, load_table
+    from hadoop_and_spark_spark.registry import collect
+
+    nd = str(tmp_path / "sf_nulls")
+    os.makedirs(nd)
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        for c in _NULLABLE.get(t, ()):
+            df = df.withColumn(
+                c,
+                F.when(
+                    (F.col(_NULL_KEYS[t]) % 20) == 7, F.lit(None)
+                ).otherwise(F.col(c)),
+            )
+        df.write.parquet(os.path.join(nd, f"{t}.parquet"))
+    queries, _ = collect()
+    for name, fn in queries.items():
+        fn(spark, nd).collect()  # must not raise
+
+
 def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     import os
 
