@@ -98,10 +98,16 @@ def poly_hash(col: Column | str) -> Column:
 
 
 def poly_hash_sql(expr: str) -> str:
-    """Identical fold rendered for DuckDB (prepended 0 = initial acc)."""
+    """Identical fold rendered for DuckDB (prepended 0 = initial acc).
+
+    NULL input must hash to NULL, matching Spark's aggregate(NULL) —
+    DuckDB's ``[0] || NULL`` list concat yields [0], which would
+    silently bottom the fold out at 0 for NULL strings (the
+    winnow_fingerprint null-parity drift), so guard explicitly."""
     return (
+        f"CASE WHEN ({expr}) IS NULL THEN NULL ELSE "
         f"list_reduce([0::BIGINT] || list_transform(string_split({expr}, ''), "
-        f"ch -> ascii(ch)::BIGINT), (acc, x) -> (acc * 31 + x) % {HASH_P})"
+        f"ch -> ascii(ch)::BIGINT), (acc, x) -> (acc * 31 + x) % {HASH_P}) END"
     )
 
 

@@ -147,8 +147,12 @@ def _shingles_sql(toks_expr: str) -> str:
 
 _SH_CTE = f"""
     WITH sh AS (
+        -- text IS NOT NULL: mirrors _docs_with_shingles — a null doc
+        -- has no shingles (DuckDB's greatest() would otherwise fold
+        -- it to [NULL] and the behavior downstream is accidental).
         SELECT doc_id, {_shingles_sql(_TOKS_SQL)} AS sh
         FROM documents
+        WHERE text IS NOT NULL
     )
 """
 
@@ -873,8 +877,12 @@ def _simhash_bits_sql() -> str:
         for a, b in _SIM_PERMS
     )
     return (
+        # text IS NOT NULL: a null doc's NULL token list would reduce
+        # to all-zero bits (list_reduce over [0]||NULL folds to 0) and
+        # spuriously pair with every other doc; the Spark kernel
+        # filters null docs out of the bit table entirely.
         f"ht AS (SELECT doc_id, list_transform({_TOKS_SQL}, t -> {h}) AS ht "
-        f"FROM documents),\n"
+        f"FROM documents WHERE text IS NOT NULL),\n"
         f"    bits AS (SELECT doc_id, [{bit_exprs}] AS bits FROM ht)"
     )
 
@@ -1303,7 +1311,14 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes of the Arrow kernel (dedup_ngram_jaccard's trick) so the
     broadcast is 8 bytes per eval n-gram."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+    # text IS NOT NULL: _shingles folds a NULL doc to [''] (greatest()
+    # ignores NULLs), and one nulled EVAL doc would then mark every
+    # nulled corpus doc contaminated via the '' shingle. Null docs
+    # carry no shingles; they still get their (doc_id, 0, false) row
+    # from the outer left join below — no content, nothing leaked.
+    sh = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    )
     eval_sh = (
         sh.where(F.col("doc_id") < DECON_EVAL_DOCS).select("sh").distinct()
     )

@@ -313,9 +313,12 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", bucket.alias("bucket"))
         .withColumn(
             "split",
+            # NULL text → NULL bucket → NULL split: a doc with no
+            # content is unassignable, not silently parked in 'test'
+            # (which would contaminate eval data with junk rows).
             F.when(F.col("bucket") < SPLIT_TRAIN_LT, "train")
             .when(F.col("bucket") < SPLIT_VAL_LT, "val")
-            .otherwise("test"),
+            .when(F.col("bucket").isNotNull(), "test"),
         )
         .sortWithinPartitions("doc_id")
     )
@@ -555,12 +558,18 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = proj.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
-        let_col(
-            grams3(F.col("toks")),
-            lambda g: round6(
-                1.0
-                - F.size(F.array_distinct(g)).cast("double")
-                / F.size(g).cast("double")
+        # NULL text → NULL signals (greatest() IGNORES NULLs, so the
+        # ungated gram sequence would fold a null doc to dup3=0.0 and
+        # keep=true — junk kept by accident).
+        F.when(
+            F.col("toks").isNotNull(),
+            let_col(
+                grams3(F.col("toks")),
+                lambda g: round6(
+                    1.0
+                    - F.size(F.array_distinct(g)).cast("double")
+                    / F.size(g).cast("double")
+                ),
             ),
         ).alias("dup3_ratio"),
     )
@@ -577,7 +586,12 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "dup3_ratio",
-            F.coalesce("top_tok_share", F.lit(0.0)).alias("top_tok_share"),
+            # coalesce-to-0.0 is for genuinely token-free docs (''),
+            # NOT for NULL text, which must stay NULL end to end.
+            F.when(
+                F.col("n_tokens").isNotNull(),
+                F.coalesce("top_tok_share", F.lit(0.0)),
+            ).alias("top_tok_share"),
         )
         .withColumn(
             "keep",
@@ -611,10 +625,20 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     n = F.size("toks")
-    n_chunks = (
-        F.ceil(F.greatest(n - CHUNK_TOKENS, F.lit(0)) / F.lit(float(CHUNK_STRIDE)))
-        + 1
-    ).cast("int")
+    # Gate on non-null toks: greatest() IGNORES NULLs, so an ungated
+    # n_chunks would fold a NULL-text doc to 1 phantom chunk; NULL
+    # n_chunks → NULL sequence → explode emits no row (no content,
+    # no chunks — the corpus-wide null contract).
+    n_chunks = F.when(
+        F.col("toks").isNotNull(),
+        (
+            F.ceil(
+                F.greatest(n - CHUNK_TOKENS, F.lit(0))
+                / F.lit(float(CHUNK_STRIDE))
+            )
+            + 1
+        ).cast("int"),
+    )
     ex = docs.select("doc_id", tokenize("text").alias("toks")).select(
         "doc_id",
         "toks",
@@ -730,9 +754,13 @@ def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda fs: F.struct(
             F.size(fs).alias("n"),
-            F.concat_ws(",", F.transform(fs, lambda x: x.cast("string"))).alias(
-                "s"
-            ),
+            # concat_ws coerces a NULL array to '' — gate so NULL text
+            # yields (NULL, NULL), not a phantom empty feature string
+            # ('' for a zero-TOKEN doc is still '' with n=0).
+            F.when(
+                fs.isNotNull(),
+                F.concat_ws(",", F.transform(fs, lambda x: x.cast("string"))),
+            ).alias("s"),
         ),
     )
     return (
@@ -872,9 +900,12 @@ ORACLE_SQL: dict[str, str] = {
             FROM t
         ),
         dup AS (
+            -- NULL text → NULL signals (DuckDB greatest() ignores
+            -- NULLs, so ungated grams fold a null doc to dup3=0.0).
             SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens IS NULL THEN NULL ELSE
                    {round6_sql("1.0 - len(list_distinct(grams))::DOUBLE"
-                               " / len(grams)::DOUBLE")} AS dup3_ratio
+                               " / len(grams)::DOUBLE")} END AS dup3_ratio
             FROM feat
         ),
         tops AS (
@@ -887,17 +918,23 @@ ORACLE_SQL: dict[str, str] = {
             ) GROUP BY doc_id
         )
         SELECT doc_id, n_tokens, dup3_ratio,
-               coalesce(top_tok_share, 0.0) AS top_tok_share,
+               CASE WHEN n_tokens IS NULL THEN NULL
+                    ELSE coalesce(top_tok_share, 0.0) END AS top_tok_share,
                (dup3_ratio <= {REP_MAX_DUP3} AND
-                coalesce(top_tok_share, 0.0) <= {REP_MAX_TOP}) AS keep
+                CASE WHEN n_tokens IS NULL THEN NULL
+                     ELSE coalesce(top_tok_share, 0.0) END
+                    <= {REP_MAX_TOP}) AS keep
         FROM dup LEFT JOIN tops USING (doc_id)
         ORDER BY doc_id
     """,
     "doc_chunks": f"""
         WITH t AS (
+            -- NULL text → no chunks (mirror of the Spark side's
+            -- NULL-gated n_chunks: no content, no rows).
             SELECT doc_id, {_TOKS_SQL} AS toks,
                    len({_TOKS_SQL}) AS n
             FROM documents
+            WHERE text IS NOT NULL
         ),
         k AS (
             SELECT doc_id, toks,
@@ -928,7 +965,8 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_split": f"""
         SELECT doc_id,
                ({poly_hash_sql(_SPLIT_KEY_SQL)} % {SPLIT_BUCKETS})::INT AS bucket,
-               CASE WHEN {poly_hash_sql(_SPLIT_KEY_SQL)} % {SPLIT_BUCKETS}
+               CASE WHEN {poly_hash_sql(_SPLIT_KEY_SQL)} IS NULL THEN NULL
+                    WHEN {poly_hash_sql(_SPLIT_KEY_SQL)} % {SPLIT_BUCKETS}
                          < {SPLIT_TRAIN_LT} THEN 'train'
                     WHEN {poly_hash_sql(_SPLIT_KEY_SQL)} % {SPLIT_BUCKETS}
                          < {SPLIT_VAL_LT} THEN 'val'
@@ -967,11 +1005,17 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "winnow_fingerprint": f"""
         WITH hs AS (
+            -- NULL text must yield a (doc_id, NULL, NULL) row to match
+            -- the Spark kernel and expression twin: DuckDB's greatest()
+            -- IGNORES NULLs (it would bottom the fold out at hash('')=0
+            -- instead of propagating), so filter nulls out of the hash
+            -- pipeline and LEFT JOIN the fingerprints back to documents.
             SELECT doc_id,
                    list_transform(
                        range(1, greatest(length(text) - {FP_K - 2}, 2)),
                        i -> {poly_hash_sql(f"substr(text, i, {FP_K})")}) AS hs
             FROM documents
+            WHERE text IS NOT NULL
         ),
         wins AS (
             SELECT doc_id,
@@ -979,9 +1023,15 @@ ORACLE_SQL: dict[str, str] = {
                        range(1, greatest(len(hs) - {FP_W - 2}, 2)),
                        i -> list_min(hs[i:i + {FP_W - 1}])))) AS fp
             FROM hs
+        ),
+        fp AS (
+            SELECT doc_id, len(fp) AS n_fp,
+                   array_to_string(fp, ',') AS fingerprint
+            FROM wins
         )
-        SELECT doc_id, len(fp) AS n_fp, array_to_string(fp, ',') AS fingerprint
-        FROM wins ORDER BY doc_id
+        SELECT d.doc_id, f.n_fp, f.fingerprint
+        FROM documents d LEFT JOIN fp f USING (doc_id)
+        ORDER BY d.doc_id
     """,
 }
 

@@ -10,6 +10,7 @@ caught locally before a round ends.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import duckdb
@@ -22,9 +23,13 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET timezone = 'UTC'")
     for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
-        )
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            # Spark-written table: a directory of part files (the
+            # driver's testdata is a single file; test fixtures that
+            # rewrite a corpus via df.write.parquet produce dirs).
+            path = os.path.join(path, "*.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return con
 
 

@@ -20,7 +20,9 @@ the session value afterwards. This is safe, not a semantics knob:
 - The partition count is captured into the checkpoint's offset-log
   metadata at FIRST query start; a restart from an existing checkpoint
   keeps the original state partitioning regardless of the live conf
-  (the stop/restart recovery test exercises exactly this).
+  (the stop/restart recovery test restarts under a CHANGED
+  ``spark.sql.shuffle.partitions`` and pins both the recovered total
+  and the on-disk state partition count).
 - Row-level results are partitioning-independent — the driver's hash
   gate and every straddle/eviction witness run against the same sinks.
 

@@ -187,26 +187,19 @@ _NULL_KEYS = {"documents": "doc_id", "events": "event_id",
               "embeddings": "vec_id"}
 
 
-def test_all_queries_handle_null_sprinkled_corpus(spark, sf_dir, tmp_path):
-    """Real 100 TB corpora carry NULLs; the testdata carries none —
-    so every Arrow kernel that touched text crashed on its first null
-    until this sweep existed (11 of 105 queries: the shingle/simhash
-    dedup family, winnowing, the SGD trainer, the multimodal decode
-    chain). JVM expressions are null-safe by construction (null
-    propagates, explode drops); this pins that every Python kernel
-    now follows the same contract — null text means NO content: no
-    tokens, no shingles, no sketch rows, no media payload — instead
-    of TypeError'ing the executor. 5% of rows get NULLs in every
-    nullable non-key column (deterministic: key % 20 == 7)."""
+@pytest.fixture(scope="session")
+def null_corpus_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """Session-scoped null-sprinkled corpus: 5% of rows get NULLs in
+    every nullable non-key column (deterministic: key % 20 == 7).
+    Shared by the totality sweep and the oracle-parity sweep so the
+    corpus is written once per test session."""
     import os
 
     from pyspark.sql import functions as F
 
     from hadoop_and_spark_spark.catalog import TABLES, load_table
-    from hadoop_and_spark_spark.registry import collect
 
-    nd = str(tmp_path / "sf_nulls")
-    os.makedirs(nd)
+    nd = str(tmp_path_factory.mktemp("sf_nulls"))
     for t in TABLES:
         df = load_table(spark, sf_dir, t)
         for c in _NULLABLE.get(t, ()):
@@ -217,9 +210,59 @@ def test_all_queries_handle_null_sprinkled_corpus(spark, sf_dir, tmp_path):
                 ).otherwise(F.col(c)),
             )
         df.write.parquet(os.path.join(nd, f"{t}.parquet"))
-    queries, _ = collect()
+    return nd
+
+
+def test_all_queries_handle_null_sprinkled_corpus(spark, null_corpus_dir):
+    """Real 100 TB corpora carry NULLs; the testdata carries none —
+    so every Arrow kernel that touched text crashed on its first null
+    until this sweep existed (11 of 105 queries: the shingle/simhash
+    dedup family, winnowing, the SGD trainer, the multimodal decode
+    chain). JVM expressions are null-safe by construction (null
+    propagates, explode drops); this pins that every Python kernel
+    now follows the same contract — null text means NO content: no
+    tokens, no shingles, no sketch rows, no media payload — instead
+    of TypeError'ing the executor.
+
+    And no-raise is not parity: a kernel can survive NULLs while
+    silently diverging from its DuckDB oracle (winnow_fingerprint did
+    — the kernel emitted (doc_id, NULL, NULL) while DuckDB's
+    NULL-ignoring greatest() bottomed the poly-hash fold out at
+    (1, '0'); the first run of this check then caught SEVEN more:
+    corpus_split/stratified_sample/doc_hashed_features inheriting the
+    same poly_hash_sql NULL leak, repetition_filter/doc_chunks folding
+    null docs to phantom keep=true rows and phantom chunks on BOTH
+    engines via NULL-ignoring greatest(), dedup_simhash's all-zero
+    NULL bit rows pairing with everything, and a nulled EVAL doc
+    poisoning decontaminate through the '' shingle). So queries
+    backed by an Arrow/Pandas kernel — the class whose null handling
+    is hand-written Python, not Catalyst propagation — run the full
+    oracle compare here, the exact check the driver gate performs,
+    on the exact input class the gate's clean testdata never
+    exercises; the rest pin totality (collect must not raise)."""
+    from hadoop_and_spark_spark import oracle
+    from hadoop_and_spark_spark.registry import collect
+
+    kernel_modules = ("dedup", "ml", "multimodal", "similarity", "textstats")
+    kernel_names = set()
+    for mod in kernel_modules:
+        m = __import__(
+            f"hadoop_and_spark_spark.operators.{mod}", fromlist=["QUERIES"]
+        )
+        kernel_names.update(m.QUERIES)
+
+    queries, oracles = collect()
+    failures = []
     for name, fn in queries.items():
-        fn(spark, nd).collect()  # must not raise
+        if name in kernel_names and name in oracles:
+            ok, msg = oracle.compare(
+                spark, null_corpus_dir, fn, oracles[name]
+            )
+            if not ok:
+                failures.append(f"{name}: {msg}")
+        else:
+            fn(spark, null_corpus_dir).collect()  # must not raise
+    assert not failures, "null-corpus oracle drift:\n" + "\n".join(failures)
 
 
 def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):

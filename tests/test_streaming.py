@@ -835,10 +835,33 @@ def test_stream_restart_recovers_state_from_checkpoint(spark, tmp_path):
         q.awaitTermination()
         return emitted
 
-    write_file("a", [1, 2, 3])
-    first = run_once("ckpt_run_1")
-    assert first == {h: 3}
+    # Restart under a DIFFERENT shuffle-partition conf: the state
+    # partition count is captured into the checkpoint's offset-log
+    # metadata at first start, so the recovered query must keep the
+    # ORIGINAL partitioning (and the recovered total) regardless of
+    # the live conf — the exact claim streaming/runtime.py makes for
+    # pinning replay state partitioning.
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "3")
+        write_file("a", [1, 2, 3])
+        first = run_once("ckpt_run_1")
+        assert first == {h: 3}
 
-    write_file("b", [10, 20])
-    second = run_once("ckpt_run_2")
-    assert second == {h: 5}, second
+        spark.conf.set(key, "13")
+        write_file("b", [10, 20])
+        second = run_once("ckpt_run_2")
+        assert second == {h: 5}, second
+    finally:
+        spark.conf.set(key, prev)
+
+    import os
+
+    state_parts = [
+        d for d in os.listdir(os.path.join(ck, "state", "0")) if d.isdigit()
+    ]
+    assert len(state_parts) == 3, (
+        f"restart under shuffle.partitions=13 must keep the original "
+        f"3 state partitions, saw {len(state_parts)}"
+    )
