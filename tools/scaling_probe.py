@@ -156,7 +156,7 @@ WHY = {
     "embedding_quantize": "pure projection; growth is the x64-exploded output itself",
     "embedding_pca": "d2-cell sufficient statistics are corpus-size-independent",
     "asof_attribution": "one shuffle on user_id; window carries one row per user",
-    "user_sessions": "one session_window shuffle; session COUNT is corpus-proportional and harness-collected (engine side alone ~17 s at 100x; the remainder is driver materialization of 5.7M session rows)",
+    "user_sessions": "one session_window shuffle; session COUNT is corpus-proportional, so the collect column is dominated by driver materialization — the engine columns isolate the operator's own cost",
     "range_join_counts": "bin-join candidates grow with per-(user, bin) activity only",
     "next_event_pairs": "one lead() shuffle on user_id; output grows by design",
     "value_outliers": "one exact-moment agg + broadcast comparison projection",
@@ -174,7 +174,7 @@ WHY = {
     "purchase_click_pairs": "cold cost is replay machinery, not state: 5 checkpointed micro-batches x fixed planning/state-commit overhead across four join state stores per partition (state partitions sized by streaming/runtime.py — was 3x slower inheriting the batch default; 10x data adds <1 s; click state evicts 25 h past each week)",
     "dedup_exact_stream": "state one hash per distinct doc; payload never stored",
     "dedup_bounded_stream": "state = keys inside watermark horizon only (evicted after delay); scripted rearrivals fixed-size",
-    "latest_snapshot": "max(struct) partial agg; one candidate row per key per partition shuffles, output one row per key",
+    "latest_snapshot": "max(struct) partial agg; one candidate row per key per partition shuffles — output is one row per KEY (user x type grows with the replica corpus), so the engine columns separate agg cost from collecting it",
     "zorder_layout": "codegen bit math + 32-group partial agg; no data-row shuffle",
     "zordered_scan": "cold incl. z-ordered layout + manifest build (build-once); read opens only manifest-matched files",
     "user_sessions_stream": "cold incl. replay-source build; state = open sessions per user in watermark horizon, append-emitted at close",
@@ -415,6 +415,30 @@ def steady_state(name, fn, spark, sf_dir: str) -> float:
     return best
 
 
+def engine_side(name, fn, spark, sf_dir: str) -> float:
+    """Engine-side cold cost: the identical cold protocol, but the
+    plan drains into Spark's JVM noop sink instead of collect() — the
+    executors do ALL the plan's work and zero rows cross to the
+    driver. total − engine is therefore the harness's own
+    materialization cost (serialize + ship + build Row objects),
+    which a production job writing to parquet never pays. This
+    separates "the operator scales" from "collecting a
+    corpus-proportional result to one process scales", measured
+    instead of attributed."""
+    def drain():
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    _clear_memo_caches(name)
+    drain()  # warm-up: codegen + footer cache
+    best = float("inf")
+    for _ in range(2):
+        _clear_memo_caches(name)
+        t0 = time.perf_counter()
+        drain()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 PROBE_MD = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PROBE.md"
 )
@@ -443,7 +467,16 @@ corpus has ~x1000 true pairs by construction).
 """
 
 
-def _row(name: str, one: float, big: float) -> str:
+def _row(name: str, one: float, big: float, eone: float | None = None,
+         ebig: float | None = None) -> str:
+    if eone is not None:
+        # spot-table shape: engine-side (noop sink) columns measured
+        # alongside the harness-inclusive collect() columns.
+        return (
+            f"| {name} | {one:.2f} s | {big:.2f} s | {big / one:.1f}x "
+            f"| {eone:.2f} s | {ebig:.2f} s | {ebig / eone:.1f}x "
+            f"| {WHY.get(name, '')} |\n"
+        )
     return (
         f"| {name} | {one:.2f} s | {big:.2f} s "
         f"| {big / one:.1f}x | {WHY.get(name, '')} |\n"
@@ -469,8 +502,16 @@ shape. Near-linear growth on fixed local[32]
 hardware is the single-node analogue of the fleet-level claim:
 per-core work stays flat as data and cores scale together.
 
-| Query | 1x | {factor}x | Growth | Why |
-|---|---|---|---|---|
+The engine columns re-run the identical cold protocol draining into
+Spark's JVM noop sink instead of collect(): executors do all the
+plan's work, zero rows reach the driver. The gap between the collect
+and engine columns is the probe harness's own driver-side
+materialization of corpus-proportional output — a cost a production
+job writing to a distributed sink never pays — MEASURED per row
+rather than attributed in prose.
+
+| Query | 1x | {factor}x | Growth | 1x engine | {factor}x engine | Engine growth | Why |
+|---|---|---|---|---|---|---|---|
 """
 
 
@@ -488,7 +529,7 @@ def _splice_rows(lines: list[str], header: str, rows) -> list[str]:
     """Replace matching `| name |` rows in one section, append the
     rest — a selective probe must never silently discard its
     measurements. Missing section bootstraps from the header."""
-    fresh = {name: _row(name, one, big) for name, one, big in rows}
+    fresh = {r[0]: _row(*r) for r in rows}
     if not lines:
         lines = header.splitlines(keepends=True)
     replaced: set[str] = set()
@@ -500,7 +541,7 @@ def _splice_rows(lines: list[str], header: str, rows) -> list[str]:
             replaced.add(key)
         else:
             updated.append(ln)
-    updated.extend(fresh[n] for n, _, _ in rows if n not in replaced)
+    updated.extend(fresh[r[0]] for r in rows if r[0] not in replaced)
     return updated
 
 
@@ -526,8 +567,22 @@ def main() -> None:
     for name in names:
         one = steady_state(name, queries[name], spark, BASE_SF)
         big = steady_state(name, queries[name], spark, probe_dir)
-        print(f"{name:32s} {one:6.2f}s {big:6.2f}s {big / one:6.1f}x", flush=True)
-        rows.append((name, one, big))
+        if spot:
+            # spot rows carry measured engine-side (noop sink) twins
+            eone = engine_side(name, queries[name], spark, BASE_SF)
+            ebig = engine_side(name, queries[name], spark, probe_dir)
+            print(
+                f"{name:32s} {one:6.2f}s {big:6.2f}s {big / one:6.1f}x "
+                f"eng {eone:6.2f}s {ebig:6.2f}s {ebig / eone:6.1f}x",
+                flush=True,
+            )
+            rows.append((name, one, big, eone, ebig))
+        else:
+            print(
+                f"{name:32s} {one:6.2f}s {big:6.2f}s {big / one:6.1f}x",
+                flush=True,
+            )
+            rows.append((name, one, big))
 
     if os.path.exists(PROBE_MD):
         with open(PROBE_MD) as fh:
