@@ -400,14 +400,25 @@ def train_spherical_kmeans(
     exists in the reference surface itself."""
     import math
 
-    seed = vec.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    # Train on FINITE vectors only: one NaN embedding would otherwise
+    # poison every centroid sum (NaN → Arrow null → all-null stat
+    # cells), and a NaN seed centroid captures argmax for every row.
+    # A production trainer drops malformed vectors from the MODEL; the
+    # assignment output still covers every row (a garbage row gets a
+    # deterministic nearest-finite-centroid cid). Clean corpora are
+    # unaffected — the filter passes everything.
+    fin = vec.where(
+        F.forall("emb", lambda x: F.abs(x) < F.lit(float("inf")))
+        & (F.col("nrm") < F.lit(float("inf")))
+    )
+    seed = fin.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [(i, list(r.emb), float(r.nrm)) for i, r in enumerate(seed)]
     history: list[float] = []
     if not cents:  # empty corpus: nothing to train
         return cents, [0.0] * iters
     for _ in range(iters):
         cells = (
-            _kmeans_iter_stats(vec, cents)
+            _kmeans_iter_stats(fin, cents)
             .groupBy("cid", "dim")
             .agg(
                 F.sum("s").alias("s"),
@@ -420,10 +431,15 @@ def train_spherical_kmeans(
         counts: dict[int, int] = {}
         obj = 0.0
         for c in cells:
-            sums.setdefault(c.cid, [0.0] * EMB_DIM)[c.dim] = float(c.s)
+            # belt-and-braces: a NaN partial becomes an Arrow null and
+            # an all-null cell sums to None — fold it as NaN (garbage
+            # stays visible) instead of TypeError'ing the driver
+            sums.setdefault(c.cid, [0.0] * EMB_DIM)[c.dim] = (
+                float(c.s) if c.s is not None else float("nan")
+            )
             counts[c.cid] = c.n
             if c.dim == 0:
-                obj += float(c.obj)
+                obj += float(c.obj) if c.obj is not None else float("nan")
         history.append(obj)
         new_cents = []
         for cid, emb, nrm in cents:

@@ -162,8 +162,10 @@ def _session_agg(ev: DataFrame) -> DataFrame:
             F.count("*").alias("n_events"),
             # decimal sum (order-independent, exact), one final cast
             # to double — the events_json_stats typed-hash pattern
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            # try_cast: non-finite/overflow value rows degrade to
+            # NULL (sum skips them) rather than ANSI-crashing
+            F.sum(F.col("value").try_cast("decimal(18,2)"))
+            .try_cast("decimal(18,2)")
             .cast("double")
             .alias("session_value"),
         )

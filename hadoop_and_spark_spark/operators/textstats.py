@@ -639,26 +639,32 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).cast("int"),
     )
+    # The slice runs INSIDE a transform over the chunk-id sequence, so
+    # the generate's per-row payload is one chunk struct and the token
+    # array dies before the explode. The naive alternative — explode
+    # chunk ids first, slice after — makes every exploded row carry the
+    # FULL document token array across the stage boundary:
+    # O(n_tokens × n_chunks) bytes per document, a measured executor
+    # OOM on a 2M-token document (83k chunks × ~20 MB each) caught by
+    # the adversarial-corpus sweep.
     ex = docs.select("doc_id", tokenize("text").alias("toks")).select(
         "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda cid: let_col(
+                    F.slice("toks", cid * CHUNK_STRIDE + 1, CHUNK_TOKENS),
+                    lambda c: F.struct(
+                        F.size(c).alias("n"), F.concat_ws(" ", c).alias("t")
+                    ),
+                ),
+            )
+        ).alias("chunk_id", "ch"),
     )
-    start = F.col("chunk_id") * CHUNK_STRIDE + 1
     return ex.select(
         "doc_id",
         "chunk_id",
-        start.alias("start"),
-        let_col(
-            F.slice("toks", start, CHUNK_TOKENS),
-            lambda c: F.struct(
-                F.size(c).alias("n"), F.concat_ws(" ", c).alias("t")
-            ),
-        ).alias("ch"),
-    ).select(
-        "doc_id",
-        "chunk_id",
-        "start",
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).alias("start"),
         F.col("ch.n").alias("n_chunk_tokens"),
         F.col("ch.t").alias("chunk_text"),
     ).sortWithinPartitions("doc_id", "chunk_id")

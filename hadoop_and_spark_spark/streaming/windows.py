@@ -223,8 +223,11 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # final column hashes identically on both engines. The
             # decimal→double conversion of a fixed 2-dp value is the
             # same nearest-double everywhere, so no precision flap.
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            # try_cast, not cast: a non-finite or >10^16 value row
+            # degrades to NULL (skipped by sum) instead of an ANSI
+            # ArithmeticException killing the executor.
+            F.sum(F.col("value").try_cast("decimal(18,2)"))
+            .try_cast("decimal(18,2)")
             .cast("double")
             .alias("sum_value"),
         )
@@ -335,8 +338,10 @@ def value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(
             "event_type", F.to_date("ts").alias("day")
         ).agg(
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            # try_cast: non-finite/overflow rows → NULL, never an
+            # ANSI executor crash (see events_json_stats above)
+            F.sum(F.col("value").try_cast("decimal(18,2)"))
+            .try_cast("decimal(18,2)")
             .cast("double")
             .alias("day_value")
         )
@@ -408,7 +413,9 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/variance/z expressions on identical doubles, making the
     |z| > 3 boundary itself portable (no epsilon rows)."""
     ev = load_table(spark, sf_dir, "events")
-    vdec = F.col("value").cast("decimal(18,2)")
+    # try_cast: a non-finite value row contributes NULL to the moment
+    # sums (skipped) instead of ANSI-crashing the aggregation
+    vdec = F.col("value").try_cast("decimal(18,2)")
     stats = ev.groupBy("event_type").agg(
         F.count("*").cast("double").alias("n"),
         F.sum(vdec).cast("double").alias("s"),

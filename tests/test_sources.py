@@ -265,6 +265,94 @@ def test_all_queries_handle_null_sprinkled_corpus(spark, null_corpus_dir):
     assert not failures, "null-corpus oracle drift:\n" + "\n".join(failures)
 
 
+@pytest.fixture(scope="session")
+def adversarial_corpus_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """Session-scoped adversarial corpus — the input classes one past
+    NULLs that a real 100 TB crawl carries:
+
+    - documents: one MULTI-MILLION-token document (2M tokens over a
+      corpus-disjoint vocabulary, ~9 MB of text — stresses every
+      per-doc array HOF, Arrow kernel, and explode without creating
+      cross-doc candidate pairs), and one document of non-BMP unicode
+      (emoji + ZWJ families, U+10FFFF, U+FFFD, embedded NUL, RTL,
+      combining marks). Lone surrogates are deliberately absent: the
+      parquet spec makes string columns UTF-8, which cannot encode an
+      isolated surrogate — a permissive upstream decoder replaces
+      them with U+FFFD, which IS here.
+    - events.value: ±DBL_MAX, ±inf, and NaN rows (astronomical sums
+      overflow to inf, NaN poisons averages — queries must not raise).
+    - embeddings: one near-FLT_MAX vector (norms/dots overflow to
+      inf) and one all-NaN vector.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.catalog import TABLES, load_table
+
+    ad = str(tmp_path_factory.mktemp("sf_adversarial"))
+    monster = " ".join(f"advtok{i % 50}" for i in range(2_000_000))
+    weird = (
+        "\U0001d49c\U0001d539ℂ \U0001f600\U0001f469‍"
+        "\U0001f469‍\U0001f467‍\U0001f466 \U0010ffff�"
+        "\x00 नमस्ते مرح"
+        "با é́́"
+    )
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") == 3, F.lit(monster))
+                .when(F.col("doc_id") == 5, F.lit(weird))
+                .otherwise(F.col("text")),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        elif t == "events":
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 97 == 13, F.lit(1.7976931348623157e308))
+                .when(F.col("event_id") % 97 == 29, F.lit(float("nan")))
+                .when(F.col("event_id") % 97 == 41, F.lit(float("inf")))
+                .when(F.col("event_id") % 97 == 53, F.lit(float("-inf")))
+                .otherwise(F.col("value")),
+            )
+        elif t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") == 11,
+                    F.transform("embedding", lambda _: F.lit(3.0e38).cast("float")),
+                )
+                .when(
+                    F.col("vec_id") == 13,
+                    F.transform(
+                        "embedding", lambda _: F.lit(float("nan")).cast("float")
+                    ),
+                )
+                .otherwise(F.col("embedding")),
+            )
+        df.write.parquet(os.path.join(ad, f"{t}.parquet"))
+    return ad
+
+
+def test_all_queries_handle_adversarial_corpus(spark, adversarial_corpus_dir):
+    """Totality one step past nulls: all registered queries must
+    execute (collect without raising) over the adversarial corpus —
+    a multi-million-token document, non-BMP/NUL/RTL text, ±inf/NaN
+    and DBL_MAX event values, and overflow/NaN embedding vectors.
+    No value parity is claimed here (Spark splits strings into UTF-16
+    code units while DuckDB splits codepoints, so poly-hash results
+    legitimately differ on non-BMP text; IEEE inf/NaN aggregates are
+    presentation-hostile) — the driver gate pins values on the clean
+    path; this pins that garbage rows degrade to garbage OUTPUTS,
+    never executor crashes."""
+    from hadoop_and_spark_spark.registry import collect
+
+    queries, _ = collect()
+    for name, fn in queries.items():
+        fn(spark, adversarial_corpus_dir).collect()  # must not raise
+
+
 def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     import os
 

@@ -272,3 +272,53 @@ def test_pack_sequences_layout_invariants(spark, sf_dir):
         .first()[0]
     )
     assert sum(r.n_tokens for r in rows) == corpus_tokens
+
+
+def test_null_text_semantics_per_query(spark, tmp_path):
+    """The per-query NULL contract, pinned at unit scale (the corpus
+    sweep in test_sources proves engine/oracle parity; this states the
+    intended row shapes so a future 'fix' can't silently flip them):
+    NULL text → NULL fingerprint row, NULL split, NO chunks, NULL
+    quality signals with NULL keep, NULL hashed features — while ''
+    stays CONTENT (it fingerprints, splits, and chunks as the
+    empty-token document)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.catalog import TABLES, load_table
+
+    docs = spark.createDataFrame(
+        [(1, None, "en", "s"), (2, "", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    d = str(tmp_path / "nulldoc")
+    os.makedirs(d)
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    for t in TABLES:
+        if t != "documents":
+            load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.parquet(
+                os.path.join(d, f"{t}.parquet")
+            )
+
+    fp = {r.doc_id: r for r in textstats.winnow_fingerprint(spark, d).collect()}
+    assert fp[1].n_fp is None and fp[1].fingerprint is None
+    assert fp[2].n_fp == 1 and fp[2].fingerprint is not None
+
+    sp = {r.doc_id: r for r in textstats.corpus_split(spark, d).collect()}
+    assert sp[1].bucket is None and sp[1].split is None
+    assert sp[2].bucket is not None and sp[2].split in ("train", "val", "test")
+
+    ch = textstats.doc_chunks(spark, d).collect()
+    assert {r.doc_id for r in ch} == {2}, "NULL text must yield no chunks"
+
+    rf = {r.doc_id: r for r in textstats.repetition_filter(spark, d).collect()}
+    assert rf[1].n_tokens is None and rf[1].dup3_ratio is None
+    assert rf[1].top_tok_share is None and rf[1].keep is None
+    assert rf[2].keep is not None
+
+    hf = {r.doc_id: r for r in textstats.doc_hashed_features(spark, d).collect()}
+    assert hf[1].n_features is None and hf[1].features is None
+    assert hf[2].n_features == 0 and hf[2].features == ""
