@@ -373,3 +373,23 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
             st.enter_context(_scoped_conf(spark, k, v))
         p = plan(R4.q4_orders_by_nation(spark, sf_dir))
     assert "might_contain" in p.lower()
+
+
+def test_doc_chunks_explode_payload_is_chunk_sized(spark, sf_dir):
+    """The chunk slice must run INSIDE the posexplode generator.
+    Exploding chunk ids first and slicing after makes every generated
+    row carry the whole document token array across the stage
+    boundary — O(n_tokens × n_chunks) bytes per document, a measured
+    executor OOM on a 2M-token document (adversarial sweep, round 8).
+    Pin: the generator input is transform(sequence …)(slice …), and no
+    operator above the Generate references the token array."""
+    from hadoop_and_spark_spark.operators import textstats as TS
+
+    p = plan(TS.doc_chunks(spark, sf_dir), "simple")
+    gen = p.index("Generate posexplode")
+    gen_line = p[gen:].split("\n")[0]
+    assert "transform(" in gen_line and "slice(" in gen_line
+    assert "toks" not in p[:gen], (
+        "token array escaped above the Generate — chunk rows would "
+        "carry the full document token array again"
+    )
