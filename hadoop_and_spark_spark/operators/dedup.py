@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
 from ..session import fan_out
+from ..sources.maintenance import artifact_checkpoint
 from ..functions.portable import (
     HASH_P,
     affine_perms,
@@ -231,7 +232,47 @@ def _docs_with_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _verified_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def _corpus_fits_broadcast(spark: SparkSession, sf_dir: str) -> bool:
+    """Whether corpus-derived per-doc frames (shingle arrays, prefix
+    entries, shingle dfreq) are small enough to trust to broadcast
+    joins on THIS session's heap.
+
+    Catalyst's derived size estimates for these frames run far under
+    their real footprint (a checkpointed 220 MB shingle table was
+    estimated broadcastable — the 2 GiB memory probe turned that into
+    a driver OOM at 100x corpus), so the operator decides from an
+    honest statistic instead: the parquet footer row count times the
+    measured per-doc shingle footprint (~44 int64 shingles, ~4x
+    hashed-relation overhead), compared against the session's
+    heap-scaled ``autoBroadcastJoinThreshold``. Under the bound the
+    broadcast plans stand (they are the right plans for a
+    dim-table-sized corpus); over it — big corpus OR small heap —
+    every corpus-proportional join side is merge-hinted, which is the
+    only strategy that survives 100 TB, where these frames are
+    terabytes. Footer count costs one metadata-only job (~0.1 s),
+    amortized by the pair-graph session memo.
+
+    Per-doc footprint: ~44 int64 shingles per doc measured on the
+    testdata → UnsafeRow (8 id + 16 array header + 44*8) ≈ 376 B,
+    times ~1.6x LongHashedRelation overhead ≈ 576 B. The bench corpus
+    (60k docs ≈ 34 MB) stays under the 16 GiB session's 64 MB
+    threshold — its plans are the same broadcasts as before this gate
+    existed; the 100x probe corpus (600k docs) and any 2 GiB session
+    land over it."""
+    bytes_per_doc = 576
+    try:
+        threshold = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except ValueError:
+        threshold = -1  # e.g. '10m' spelling: be conservative
+    if threshold <= 0:
+        return False
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return n_docs * bytes_per_doc < threshold
+
+
+def _verified_pairs(
+    cand: DataFrame, sh: DataFrame, allow_broadcast: bool = False
+) -> DataFrame:
     """Join shingle sets onto candidate (doc_a, doc_b) pairs and keep
     those with exact Jaccard ≥ JACCARD_T.
 
@@ -244,8 +285,17 @@ def _verified_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
     runs — upstream stages when the plan is converted to an RDD),
     doubling its cost."""
     cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    # sh carries every doc's full shingle array — corpus-sized, so its
+    # join strategy is decided by _corpus_fits_broadcast's honest
+    # bound, never by Catalyst's carried-over estimate (which
+    # undersold a 220 MB checkpoint into a broadcast the 2 GiB probe
+    # turned into a driver OOM at 100x). Over the bound: pairs shuffle
+    # by doc id, arrays shuffle once per side, works at any corpus
+    # size.
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    if not allow_broadcast:
+        a, b = a.hint("merge"), b.hint("merge")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     # The intersect is evaluated inside a partial AGGREGATE, not a
     # projection: candidate pairs are already distinct, so
@@ -334,7 +384,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.maintenance import session_memo
 
     def build() -> DataFrame:
-        return _ngram_pairs(spark, sf_dir).localCheckpoint(eager=True)
+        return _ngram_pairs(spark, sf_dir).transform(artifact_checkpoint)
 
     # Like the MinHash pair graph: the verified pair table is the
     # pipeline's ARTIFACT, materialized once per (session, corpus)
@@ -348,16 +398,29 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix build, and both verify sides — re-running the
     # tokenize+shingle+hash kernel 4× would dominate the runtime, and
     # int64 hashes keep every shuffle/join/intersect below narrow.
-    sh = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sh = _docs_with_hashed_shingles(spark, sf_dir).transform(artifact_checkpoint)
+    # Strategy gate for every corpus-proportional join side in this
+    # pipeline (dfreq, the prefix self-join, the verify's shingle
+    # arrays): shingle vocabulary and prefix volume grow with the
+    # corpus (billions of rows at 100 TB), and Catalyst's derived size
+    # estimates run small enough that it broadcast ALL of them even
+    # unhinted — the 2 GiB memory probe caught the builds OOMing the
+    # driver at 100x corpus. The estimates, not AQE, pick the strategy
+    # at these non-shuffle-rooted sites, so the operator decides from
+    # the honest footer-count bound instead and declares merge when
+    # over it.
+    allow_bcast = _corpus_fits_broadcast(spark, sf_dir)
+
+    def sized(df: DataFrame) -> DataFrame:
+        return df if allow_bcast else df.hint("merge")
+
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     # ONE aggregate buffer (the sorted (df, s) list); prefix length
     # and projection happen post-agg — the inlined form instantiated
-    # three collect_list states per group. dfreq is vocabulary-sized
-    # → broadcast, so attaching df to the exploded shingle stream
-    # costs no shuffle of that stream.
+    # three collect_list states per group.
     prefix = (
-        ex.join(F.broadcast(dfreq), "s")
+        ex.join(sized(dfreq), "s")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
         .select(
@@ -410,10 +473,14 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("x.sz") + F.col("y.sz"))
         / F.lit(1.0 + JACCARD_T_PRUNE)
     )
+    # Both sides of the prefix self-join are corpus-proportional (one
+    # row per prefix entry per doc) — over the broadcast bound the
+    # join must shuffle on s rather than trust the small
+    # post-aggregate size estimate into a broadcast build.
     cand = (
         prefix.alias("x")
         .join(
-            prefix.alias("y"),
+            sized(prefix).alias("y"),
             (F.col("x.s") == F.col("y.s"))
             & (F.col("x.doc_id") < F.col("y.doc_id"))
             & (
@@ -428,7 +495,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _verified_pairs(cand, sh)
+    return _verified_pairs(cand, sh, allow_broadcast=allow_bcast)
 
 
 # ---------------------------------------------------------------- minhash
@@ -564,13 +631,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.maintenance import session_memo
 
     def build() -> DataFrame:
-        sh = _docs_with_hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
+        sh = _docs_with_hashed_shingles(spark, sf_dir).transform(artifact_checkpoint)
         banded = sh.mapInPandas(
             _minhash_banded_kernel, "doc_id bigint, bk string"
-        ).localCheckpoint(eager=True)
+        ).transform(artifact_checkpoint)
+        # banded is corpus-sized (16 rows/doc) — same strategy gate as
+        # the ngram pipeline: over the broadcast bound the band
+        # self-join must shuffle on bk, never trust the checkpointed
+        # frame's carried-over size estimate into a broadcast build.
+        allow_bcast = _corpus_fits_broadcast(spark, sf_dir)
+        right = banded if allow_bcast else banded.hint("merge")
         cand = (
             banded.alias("x")
-            .join(banded.alias("y"), "bk")
+            .join(right.alias("y"), "bk")
             .where(F.col("x.doc_id") < F.col("y.doc_id"))
             .select(
                 F.col("x.doc_id").alias("doc_a"),
@@ -578,7 +651,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        return _verified_pairs(cand, sh).localCheckpoint(eager=True)
+        return _verified_pairs(
+            cand, sh, allow_broadcast=allow_bcast
+        ).transform(artifact_checkpoint)
 
     # The verified pair graph is THE artifact of near-dup detection —
     # every downstream policy (clustering, keep-one filtering,
@@ -619,13 +694,13 @@ def connected_components(
     edges = (
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(artifact_checkpoint)
     )
     labels = (
         edges.select("u")
         .distinct()
         .withColumn("label", F.col("u"))
-        .localCheckpoint(eager=True)
+        .transform(artifact_checkpoint)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -641,7 +716,7 @@ def connected_components(
         new_labels = labels.join(nbr_min, "u", "left").select(
             "u",
             F.least("label", F.coalesce("nbr", F.col("label"))).alias("label"),
-        ).localCheckpoint(eager=True)
+        ).transform(artifact_checkpoint)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
@@ -844,7 +919,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = (
         fan_out(docs.select("doc_id", "text"))
         .mapInPandas(_simhash_banded_kernel, "doc_id bigint, sig bigint, bk bigint")
-        .localCheckpoint(eager=True)
+        .transform(artifact_checkpoint)
     )
     # Packed-int64 signatures: Hamming = popcount of XOR, whole-stage
     # codegen JVM-side; the hamming filter runs BEFORE the distinct so
@@ -982,7 +1057,7 @@ def dedup_embedding(
         emb = load_table(spark, sf_dir, "embeddings")
         return _embedding_pairs(
             emb, cosine_t, EMB_BANDS, EMB_ROWS, cap=EMB_BUCKET_CAP
-        ).localCheckpoint(eager=True)
+        ).transform(artifact_checkpoint)
 
     if cosine_t != COSINE_T:  # non-default thresholds: no memo key
         emb = load_table(spark, sf_dir, "embeddings")
@@ -1013,7 +1088,7 @@ def _embedding_pairs(
     )
     banded = fan_out(vec).mapInPandas(
         _emb_banded_kernel_fn(bands, rows), "vec_id bigint, bk string"
-    ).localCheckpoint(eager=True)
+    ).transform(artifact_checkpoint)
     if cap is not None:
         # Cap each band bucket to its `cap` lowest vec_ids before the
         # self-join (see EMB_BUCKET_CAP): every bucket then contributes

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..sources.maintenance import artifact_checkpoint
 
 ALPHA = 0.15  # jump factor, a4/RunPersonalizedPageRankBasic.java:364
 PR_SOURCES = (0, 1)
@@ -345,7 +346,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(artifact_checkpoint)
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -361,7 +362,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-    ).localCheckpoint(eager=True)  # read by both wedge sides + the close probe
+    ).transform(artifact_checkpoint)  # read by both wedge sides + the close probe
     o1 = oriented.select(
         F.col("u"), F.col("v").alias("v1"), F.col("deg_v").alias("d1")
     )

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
 from ..session import fan_out
+from ..sources.maintenance import artifact_checkpoint
 
 # Fixed RPN query for the driver-checked retrieval entry, mirroring
 # the assignment3.md golden queries ("X Y OR Z AND" = (X ∪ Y) ∩ Z).
@@ -202,7 +203,7 @@ def boolean_retrieval(
         sf_dir,
         "documents",
         "postings_mem_v1",
-        lambda: term_doc_tf(spark, sf_dir).localCheckpoint(eager=True),
+        lambda: term_doc_tf(spark, sf_dir).transform(artifact_checkpoint),
     )
     return _fetch_snippets(spark, sf_dir, _eval_rpn(postings, rpn))
 

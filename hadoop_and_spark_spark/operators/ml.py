@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..sources.maintenance import artifact_checkpoint
 from ..functions import tokenize
 
 DELTA = 0.002  # SGD step, a6/TrainSpamClassifier.scala:88
@@ -96,8 +97,8 @@ def train_spam_classifier(
     # Materialize BEFORE the global sort: orderBy's range-partition
     # sampling pass executes its child, so an unmaterialized
     # tokenize+feature projection would run twice.
-    inst = instances.select("docid", "label", "features").localCheckpoint(
-        eager=True
+    inst = instances.select("docid", "label", "features").transform(
+        artifact_checkpoint
     )
     inst = (
         inst.orderBy(F.rand(shuffle_seed))

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.portable import dot_fold, dot_fold_sql, let_col, round6, round6_sql
 from ..session import fan_out
+from ..sources.maintenance import artifact_checkpoint
 
 EMB_DIM = 64
 K_NN = 10
@@ -196,7 +197,7 @@ def _session_ivf_index(
         # Materialized once: this is the step that WRITES the inverted
         # file on a cluster (knn_ivf_persisted is exactly that);
         # localCheckpoint is its in-session stand-in.
-        assigned = _assign_rows(vec, cent_rows).localCheckpoint(eager=True)
+        assigned = _assign_rows(vec, cent_rows).transform(artifact_checkpoint)
         hit = (cent_rows, assigned)
         evict_superseded(_IVF_CACHE, key)
         _IVF_CACHE[key] = hit
@@ -474,7 +475,7 @@ def _trained_model(spark: SparkSession, sf_dir: str):
     )
     hit = _KMEANS_CACHE.get(key)
     if hit is None:
-        vec = _vectors(spark, sf_dir).localCheckpoint(eager=True)
+        vec = _vectors(spark, sf_dir).transform(artifact_checkpoint)
         cents, hist = train_spherical_kmeans(vec)
         hit = (vec, cents, hist)
         evict_superseded(_KMEANS_CACHE, key)
@@ -503,7 +504,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             _assign_np(vec, cents, with_cos=True)
             if cents
             else _assign_rows(vec, cents).withColumn("best_cos", F.lit(0.0))
-        ).localCheckpoint(eager=True),
+        ).transform(artifact_checkpoint),
     )
     stats = assigned.groupBy("cid").agg(
         F.count("*").alias("n_members"),
@@ -550,7 +551,7 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kmeans_assigned_v1",
         lambda: (
             _assign_np(vec, cents) if cents else _assign_rows(vec, cents)
-        ).localCheckpoint(eager=True),
+        ).transform(artifact_checkpoint),
     )
     return _ivf_search(cent, assigned)
 

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
 from ..session import fan_out
+from ..sources.maintenance import artifact_checkpoint
 from ..functions.portable import let_col
 
 PERFECT_MARKER = "spark"  # reference marker word is "perfect" (a0/PerfectX.java:61-72)
@@ -190,8 +191,15 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= PMI_THRESHOLD)
     )
-    ua = F.broadcast(unigram.select(F.col("word").alias("a"), F.col("wcnt").alias("cnt_a")))
-    ub = F.broadcast(unigram.select(F.col("word").alias("b"), F.col("wcnt").alias("cnt_b")))
+    # unigram is word-vocabulary-sized — bounded on this corpus, but
+    # unbounded on a 100 TB crawl (Heaps' law never flattens over web
+    # text), so no broadcast HINT: AQE broadcasts from measured
+    # post-shuffle stats while the vocabulary is small and falls back
+    # to a shuffled join when it is not (the reference's in-mapper
+    # side table, a1 PairsPMI setup(), carries the same corpus-growth
+    # assumption this removes).
+    ua = unigram.select(F.col("word").alias("a"), F.col("wcnt").alias("cnt_a"))
+    ub = unigram.select(F.col("word").alias("b"), F.col("wcnt").alias("cnt_b"))
     return (
         pairs.join(ua, "a")
         .join(ub, "b")
@@ -302,7 +310,7 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_big = (
         docs.select("doc_id", F.explode(_bigram_pairs()).alias("p"))
         .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .localCheckpoint(eager=True)
+        .transform(artifact_checkpoint)
     )
     lm = doc_big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     lm_a = lm.groupBy("a").agg(F.sum("c_ab").alias("c_a"))

@@ -63,6 +63,13 @@ def fan_out_sorted(df: DataFrame, col: str, parts: int | None = None) -> DataFra
     return df.repartitionByRange(target, col).sortWithinPartitions(col)
 
 
+def _mem_bytes(spec: str) -> int:
+    """JVM memory spec ('16g', '512m', '2048k', plain bytes) → bytes."""
+    spec = spec.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(spec[-1], 0)
+    return int(spec[:-1]) * mult if mult else int(spec)
+
+
 def get_spark(
     app_name: str = "hadoop-and-spark-spark",
     cpus: int | None = None,
@@ -78,6 +85,30 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # Broadcast threshold sized to the heap, never a flat constant: a
+    # broadcast relation costs ~5-10x its shuffle bytes as an in-heap
+    # hash map, built while concurrent tasks hold execution memory, so
+    # what is a fine broadcast on a 16 GiB JVM OOMs a 2 GiB one (the
+    # bounded-memory probe caught exactly this: AQE re-chose broadcast
+    # for a vocabulary-sized join under a 2 GiB heap at the old flat
+    # 64 MB threshold and the driver-side build failed). heap/256 ==
+    # the previous 64 MB at the 16 GiB default, so bench plans are
+    # unchanged; smaller heaps degrade to shuffled joins instead of
+    # dying. On a real cluster this mirrors sizing the threshold to
+    # executor memory, not to the dataset you hope is small.
+    bcast_threshold = max(4 << 20, min(64 << 20, _mem_bytes(driver_mem) // 256))
+    # Tungsten page size, heap-scaled for the same reason: Spark sizes
+    # pages up as cores-per-memory shrinks (a 2 GiB/2-core session
+    # computed 256 MB pages), and a stage that pipelines a sort-merge
+    # join into a partial aggregate holds several consumers per task —
+    # granular pages let them trade memory through spill cycles where
+    # one 256 MB request on a ~1 GiB execution pool dies with
+    # UNABLE_TO_ACQUIRE_MEMORY (measured by the 2 GiB bounded-memory
+    # probe on the ngram-jaccard candidate stage). heap/128 == the
+    # 64 MB ceiling at the 16 GiB default, so bench behavior is
+    # unchanged; small heaps get proportionally granular pages.
+    page_size = max(1 << 20, min(64 << 20, _mem_bytes(driver_mem) // 128))
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -88,8 +119,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(bcast_threshold))
+        .config("spark.buffer.pageSize", str(page_size))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         # Console progress bars share stdout with the driver's JSON
         # tail capture (bench.py prints its result line there); static

@@ -149,6 +149,32 @@ def evict_superseded(cache: dict, key: tuple[str, str]) -> None:
             _try_unpersist(cache.pop(k))
 
 
+def artifact_checkpoint(df, eager: bool = True):
+    """``localCheckpoint`` for CORPUS-SIZED artifacts (shingle tables,
+    band tables, pair graphs) with a storage level sized to the heap.
+
+    The default MEMORY_AND_DISK checkpoint pins the artifact's blocks
+    in the unified pool's storage half; on a big heap that is the
+    point (artifacts are re-read by several downstream passes), but on
+    a small heap the pinned blocks starve execution memory for the
+    join/aggregate passes that FOLLOW — the 2 GiB memory probe showed
+    the ngram-jaccard candidate stage OOMing not on its own working
+    set but on the ~600 MB deserialized shingle checkpoint it had to
+    share the heap with. Under 8 GiB the artifact therefore goes
+    DISK_ONLY (serialized, page-cache-fast locally; at cluster scale
+    the analogous artifact is a parquet handoff anyway) and the whole
+    execution pool stays available to the heavy stages."""
+    import os as _os
+
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import _mem_bytes
+
+    heap = _mem_bytes(_os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    level = None if heap >= 8 << 30 else StorageLevel.DISK_ONLY
+    return df.localCheckpoint(eager=eager, storageLevel=level)
+
+
 def session_memo(spark: SparkSession, sf_dir: str, table: str, version: str, build):
     """In-session twin of ``build_once``: memoize a derived artifact
     (checkpointed frame, trained model, pair graph) per
