@@ -90,6 +90,29 @@ def last_green_round(has_oracle: set[str] | None = None) -> dict[str, int]:
     return {name: rnd for name, (rnd, green) in latest.items() if green}
 
 
+def query_modules() -> dict[str, str]:
+    """Query name -> owning operator module (short name). Queries from
+    one module may share session-memoized artifacts (the minhash pair
+    graph, the k-means model, the z-order layout, persisted indexes),
+    and every ``streaming.*`` + ``sources.taxi`` query runs the replay
+    harness, which mutates session-wide state (the scoped
+    shuffle-partition conf, the memory-sink sequence). Callers that
+    run queries CONCURRENTLY must therefore serialize within these
+    groups; see tests' run_queries_concurrently."""
+    out: dict[str, str] = {}
+    for modname in _OPERATOR_MODULES:
+        try:
+            mod = importlib.import_module(modname)
+        except ImportError:
+            continue
+        short = modname.rsplit(".", 1)[1]
+        if ".streaming." in modname or modname.endswith(".taxi"):
+            short = "streaming"
+        for name in getattr(mod, "QUERIES", {}):
+            out[name] = short
+    return out
+
+
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}

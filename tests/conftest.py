@@ -23,6 +23,55 @@ def sf_dir() -> str:
     return SF_DIR
 
 
+def run_queries_concurrently(names, worker, max_workers: int = 8) -> list:
+    """Run ``worker(name)`` for every query name on a thread pool —
+    the registry-wide sweeps are latency-bound (driver-side planning,
+    Py4J round-trips, many small jobs), so concurrent submission cuts
+    their wall time ~3-4x without changing what executes. Spark
+    supports concurrent job submission from threads; the two stateful
+    hazards are serialized with per-group locks keyed by
+    registry.query_modules(): queries of one MODULE may share
+    session-memoized artifacts (double-build race), and every
+    streaming-replay query mutates session-wide state (scoped shuffle
+    conf, memory-sink sequence) so all of those share one lock.
+    Worker exceptions are collected, not raised mid-pool, and
+    re-raised as one AssertionError naming every failed query."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hadoop_and_spark_spark.registry import query_modules
+
+    groups = query_modules()
+    locks: dict[str, threading.Lock] = {}
+    failures: list[str] = []
+    results: list = []
+
+    def run(name: str) -> None:
+        lock = locks.setdefault(groups.get(name, name), threading.Lock())
+        with lock:
+            try:
+                results.append(worker(name))
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                failures.append(f"{name}: {type(exc).__name__}: {exc}")
+
+    # Interleave names across groups so workers don't pile up behind
+    # one group's lock (e.g. 13 streaming queries submitted back to
+    # back would idle 7 workers).
+    from itertools import zip_longest
+
+    by_group: dict[str, list[str]] = {}
+    for n in names:
+        by_group.setdefault(groups.get(n, n), []).append(n)
+    interleaved = [
+        n for tier in zip_longest(*by_group.values()) for n in tier if n is not None
+    ]
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        list(pool.map(run, interleaved))
+    assert not failures, "query sweep failures:\n" + "\n".join(failures)
+    return results
+
+
 def py_round6(x: float) -> float:
     """The one Python mirror of functions/portable.round6's
     half-away-from-zero tie rule — tests import THIS instead of

@@ -107,35 +107,35 @@ def _unpartitioned_window_lines(plan: str) -> list[str]:
 
 def test_no_query_plans_an_antipattern(spark, sf_dir):
     queries, _ = collect()
-    failures = []
-    for name, fn in sorted(queries.items()):
+
+    def audit(name: str) -> None:
+        fn = queries[name]
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan:
-            failures.append(f"{name}: CartesianProduct")
-        if "BatchEvalPython" in plan:
-            failures.append(f"{name}: row-at-a-time Python UDF")
-        if name in CORPUS_SIZED_OUTPUT and "rangepartitioning" in plan:
-            failures.append(
-                f"{name}: range-partition Exchange (global sort) on a "
+        assert "CartesianProduct" not in plan, "CartesianProduct"
+        assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF"
+        if name in CORPUS_SIZED_OUTPUT:
+            assert "rangepartitioning" not in plan, (
+                "range-partition Exchange (global sort) on a "
                 "corpus-sized output — use sortWithinPartitions"
             )
         unpart = _unpartitioned_window_lines(plan)
         if unpart:
             if name in RANK_AFTER_LIMIT:
-                if "TakeOrderedAndProject" not in plan:
-                    failures.append(
-                        f"{name}: unpartitioned window lost its limit witness"
-                    )
-            elif name in DISTINCT_VALUE_WINDOW:
-                if "HashAggregate" not in plan:
-                    failures.append(
-                        f"{name}: unpartitioned window lost its distinct-value witness"
-                    )
-            else:
-                failures.append(
-                    f"{name}: unbounded unpartitioned window: {unpart[0].strip()[:120]}"
+                assert "TakeOrderedAndProject" in plan, (
+                    "unpartitioned window lost its limit witness"
                 )
-    assert not failures, "\n".join(failures)
+            elif name in DISTINCT_VALUE_WINDOW:
+                assert "HashAggregate" in plan, (
+                    "unpartitioned window lost its distinct-value witness"
+                )
+            else:
+                raise AssertionError(
+                    f"unbounded unpartitioned window: {unpart[0].strip()[:120]}"
+                )
+
+    from conftest import run_queries_concurrently
+
+    run_queries_concurrently(sorted(queries), audit)
 
 
 def test_corpus_sized_set_is_not_stale(spark, sf_dir):

@@ -171,8 +171,11 @@ def test_all_queries_handle_empty_tables(spark, sf_dir, tmp_path):
             os.path.join(ed, f"{t}.parquet")
         )
     queries, _ = collect()
-    for name, fn in queries.items():
-        fn(spark, ed).collect()  # must not raise
+    from conftest import run_queries_concurrently
+
+    run_queries_concurrently(
+        queries, lambda name: queries[name](spark, ed).collect()
+    )  # must not raise
 
 
 # Nullable non-key columns a messy production corpus carries NULLs in
@@ -252,17 +255,17 @@ def test_all_queries_handle_null_sprinkled_corpus(spark, null_corpus_dir):
         kernel_names.update(m.QUERIES)
 
     queries, oracles = collect()
-    failures = []
-    for name, fn in queries.items():
+    from conftest import run_queries_concurrently
+
+    def check(name: str) -> None:
+        fn = queries[name]
         if name in kernel_names and name in oracles:
-            ok, msg = oracle.compare(
-                spark, null_corpus_dir, fn, oracles[name]
-            )
-            if not ok:
-                failures.append(f"{name}: {msg}")
+            ok, msg = oracle.compare(spark, null_corpus_dir, fn, oracles[name])
+            assert ok, f"null-corpus oracle drift: {msg}"
         else:
             fn(spark, null_corpus_dir).collect()  # must not raise
-    assert not failures, "null-corpus oracle drift:\n" + "\n".join(failures)
+
+    run_queries_concurrently(queries, check)
 
 
 @pytest.fixture(scope="session")
@@ -348,9 +351,12 @@ def test_all_queries_handle_adversarial_corpus(spark, adversarial_corpus_dir):
     never executor crashes."""
     from hadoop_and_spark_spark.registry import collect
 
+    from conftest import run_queries_concurrently
+
     queries, _ = collect()
-    for name, fn in queries.items():
-        fn(spark, adversarial_corpus_dir).collect()  # must not raise
+    run_queries_concurrently(
+        queries, lambda name: queries[name](spark, adversarial_corpus_dir).collect()
+    )  # must not raise
 
 
 def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
