@@ -109,6 +109,16 @@ def get_spark(
     # 64 MB ceiling at the 16 GiB default, so bench behavior is
     # unchanged; small heaps get proportionally granular pages.
     page_size = max(1 << 20, min(64 << 20, _mem_bytes(driver_mem) // 128))
+    # Spill-merge readers each hold a 2 x 1 MB read-ahead double
+    # buffer, and UnsafeExternalSorter merges ALL of a task's spill
+    # files through one priority queue — a heavy aggregate that
+    # spilled 60 files re-buys 120 MB per task at merge time, which
+    # the 2 GiB probe measured as the terminal OOM of the
+    # ngram-jaccard candidate stage after every allocator-level cause
+    # was fixed. Small heaps trade the read-ahead pipelining (a
+    # sequential-read optimization, near-free on page-cached local
+    # disks) for merge-buffer headroom; the 16 GiB default keeps it.
+    small_heap = _mem_bytes(driver_mem) < 8 << 30
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -121,7 +131,37 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(bcast_threshold))
         .config("spark.buffer.pageSize", str(page_size))
+        .config(
+            "spark.unsafe.sorter.spill.read.ahead.enabled",
+            "false" if small_heap else "true",
+        )
         .config("spark.driver.memory", driver_mem)
+        # Spill/shuffle compression runs through lz4-java's JNI
+        # critical sections, which hold the GCLocker; JDK 17 retries a
+        # blocked allocation only twice before throwing a spurious
+        # heap OOM (JDK-8192647) — under heavy spill on a small heap
+        # the 2 GiB probe hit exactly that ('Retried waiting for
+        # GCLocker too often') with memory demonstrably free. Raising
+        # the retry count is the documented remedy; it is inert on an
+        # unpressured heap.
+        # ParallelGC, not the JDK-default G1: this engine is pure
+        # batch (throughput, no latency SLO), and Tungsten's big
+        # contiguous allocations — hash-map doublings and sorter
+        # pointer arrays of 64-256 MB — are 'humongous' objects to G1,
+        # which needs that many CONTIGUOUS small regions (at a 2 GiB
+        # heap: 128 x 1 MB) and fails them under fragmentation long
+        # before the heap is actually full; the old-gen-compacting
+        # parallel collector serves them as ordinary allocations. The
+        # GCLocker retry bump covers lz4-java's JNI critical sections
+        # holding GC during spill compression (JDK-8192647: default
+        # retry is 2, throwing spurious OOMs under heavy spill).
+        # Both measured by the 2 GiB bounded-memory probe on the
+        # ngram-jaccard candidate stage.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC "
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+        )
         .config("spark.ui.enabled", "false")
         # Console progress bars share stdout with the driver's JSON
         # tail capture (bench.py prints its result line there); static

@@ -18,8 +18,12 @@ was unevidenced. This probe:
    bytes (from the status store) as evidence the memory manager
    actually degraded to disk rather than never being pressured.
 
-Usage: python tools/memory_probe.py [query ...]
+Usage: python tools/memory_probe.py [--factor N] [query ...]
 Prints one markdown table (pasted into README's measured sections).
+``--factor`` (default 100) sizes the spot corpus — used when a
+query's SPILL VOLUME, not its memory, exceeds the host (the 100x
+ngram-jaccard candidate stream spills ~100 GB, past this host's
+disk; 30x fits and still spills far past the 2 GiB heap).
 
 The probed set is the heaviest shuffle/sort/agg pipelines over the
 spot corpus's three tables: session-window aggregation (sort-heavy
@@ -41,7 +45,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT = ("user_sessions", "dedup_exact", "wordcount", "asof_attribution")
 CHILD_HEAP = os.environ.get("SPARK_GRAFT_MEMPROBE_HEAP", "2g")
-CHILD_CPUS = "16"
+# Task concurrency is part of the memory shape under probe: the light
+# aggregation pipelines survive 16 concurrent tasks on the 2 GiB heap
+# (128 MB/task), but the candidate-join family needs the ~512 MB/task
+# a production 2 GiB executor would actually be sized for (2-4 cores
+# per 2 GiB); 16 tasks there thrashes GC regardless of spill behavior.
+# Override per run; the README table records the shape per row.
+CHILD_CPUS = os.environ.get("SPARK_GRAFT_MEMPROBE_CPUS", "16")
 CHILD_SHUFFLE = "8"
 
 # Child script: runs in its own JVM (small heap), prints one JSON line
@@ -86,7 +96,13 @@ spark.stop()
 
 
 def main() -> None:
-    names = sys.argv[1:] or list(DEFAULT)
+    argv = sys.argv[1:]
+    factor = 100
+    if "--factor" in argv:
+        i = argv.index("--factor")
+        factor = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    names = argv or list(DEFAULT)
 
     from pyspark.sql import functions as F
 
@@ -95,7 +111,7 @@ def main() -> None:
     from scaling_probe import build_spot_corpus
 
     spark = get_spark("memory-probe-ref")
-    corpus = build_spot_corpus(spark, 100)
+    corpus = build_spot_corpus(spark, factor)
     queries, _ = collect()
     ref = {}
     for name in names:
