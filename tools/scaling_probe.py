@@ -133,11 +133,11 @@ WHY = {
     "spam_eval_trained": "SGD per-shard pass dominates; AUC is grouped-score",
     "dedup_exact": "hash agg on (md5, id); payload never shuffles",
     "dedup_simhash": "projection sketch + popcount band join",
-    "dedup_ngram_jaccard": "PPJoin prefix + length + positional filters; residual growth is true-pair output",
-    "dedup_minhash_lsh": "true-dup pair volume grows ~x1000 by construction",
+    "dedup_ngram_jaccard": "PPJoin prefix + length + positional filters; 10x crosses the broadcast bound so every corpus-sized join side shuffles (the 100 TB strategy, size-gated) and residual growth is true-pair output",
+    "dedup_minhash_lsh": "true-dup pair volume grows ~x1000 by construction; past the broadcast bound the band self-join and verify shuffle (the 100 TB strategy, size-gated)",
     "dedup_embedding": "capped band buckets bound candidates at any corpus size",
-    "dedup_clusters": "pair graph ~x1000; CC rounds stay at component diameter",
-    "dedup_survivors": "pair mining dominates; survivor anti-join ships doc_id only",
+    "dedup_clusters": "pair graph ~x1000 mined on the size-gated shuffle path; CC rounds stay at component diameter",
+    "dedup_survivors": "pair mining (size-gated shuffle path) dominates; survivor anti-join ships doc_id only",
     "decontaminate": "eval shingles fixed-size broadcast; corpus side scan-bound",
     "corpus_split": "bounded 64-char hash fold per row, scan-bound",
     "stratified_sample": "scan-bound hash filter, no shuffle",
