@@ -21,8 +21,10 @@ Scale notes (100 TB corpus):
   join is co-partitioned on doc_id (both sides derive from the same
   exchange) so Catalyst reuses one shuffle; pair cardinality is
   bounded by 40×39 per doc.
-- Unigram counts are a tiny aggregate (vocabulary-sized) →
-  broadcast-joined into the pair counts, never shuffled with them.
+- Unigram counts are a vocabulary-sized aggregate, joined into the
+  pair counts UNhinted: AQE broadcasts them from measured stats while
+  the vocabulary is small and falls back to a shuffled join when it
+  is not (word vocabulary never stops growing on web text).
 """
 
 from __future__ import annotations
