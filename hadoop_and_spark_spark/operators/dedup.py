@@ -252,22 +252,53 @@ def _corpus_fits_broadcast(spark: SparkSession, sf_dir: str) -> bool:
     terabytes. Footer count costs one metadata-only job (~0.1 s),
     amortized by the pair-graph session memo.
 
-    Per-doc footprint: ~44 int64 shingles per doc measured on the
-    testdata → UnsafeRow (8 id + 16 array header + 44*8) ≈ 376 B,
-    times ~1.6x LongHashedRelation overhead ≈ 576 B. The bench corpus
-    (60k docs ≈ 34 MB) stays under the 16 GiB session's 64 MB
-    threshold — its plans are the same broadcasts as before this gate
-    existed; the 100x probe corpus (600k docs) and any 2 GiB session
-    land over it."""
-    bytes_per_doc = 576
+    The footprint is MEASURED from three cheap statistics and the
+    estimate is the max of them — a corpus evades the gate only by
+    fooling all three at once:
+
+    1. per-row floor: footer row count x 576 B — the testdata's
+       measured shape (~44 deduped int64 shingles/doc -> UnsafeRow
+       8 id + 16 array header + 44*8 ~ 376 B, x ~1.6 LongHashedRelation
+       overhead). Catches many-short-docs corpora where per-row
+       overhead dominates.
+    2. on-disk bytes: parquet_data_size(documents) x 8 — the shingle
+       table's heap bytes measured at 5.6-6.2x the snappy-compressed
+       corpus across the three test SFs (text compresses ~2.4x; heap
+       ~ tokens x 8 B x 1.6 overhead ~ 2.1x raw text), with margin.
+       Catches LONG-document corpora whose row count alone slips
+       under the bound with 10x the shingle bytes.
+    3. sampled shape: mean token count over the first 512 docs (one
+       LIMIT job reading the leading pages — a full-scan sample would
+       cost a corpus pass at 100 TB just to pick a join strategy) ->
+       rows x (24 + mean_tokens x 8) x 1.6. Catches the case both
+       others miss: long REPETITIVE documents, which compress far
+       below 2.4x on disk (shingle memory doesn't compress).
+       LIMIT-biased by design; the disk term backs it for corpora
+       whose long docs hide past the sampled prefix."""
     try:
         threshold = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     except ValueError:
         threshold = -1  # e.g. '10m' spelling: be conservative
     if threshold <= 0:
         return False
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    return n_docs * bytes_per_doc < threshold
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    sampled = (
+        docs.select(F.size(F.split("text", " ")).alias("ntok"))
+        .limit(512)
+        .agg(F.avg("ntok"))
+        .first()[0]
+    )
+    from ..sources.maintenance import parquet_data_size
+
+    from ..catalog import table_path
+
+    est = max(
+        n_docs * 576,
+        parquet_data_size(table_path(sf_dir, "documents")) * 8,
+        int(n_docs * (24 + (sampled or 0.0) * 8) * 1.6),
+    )
+    return est < threshold
 
 
 def _verified_pairs(

@@ -64,10 +64,26 @@ def fan_out_sorted(df: DataFrame, col: str, parts: int | None = None) -> DataFra
 
 
 def _mem_bytes(spec: str) -> int:
-    """JVM memory spec ('16g', '512m', '2048k', plain bytes) → bytes."""
-    spec = spec.strip().lower()
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(spec[-1], 0)
-    return int(spec[:-1]) * mult if mult else int(spec)
+    """JVM memory spec ('16g', '16gb', '512m', plain bytes) → bytes.
+
+    Tolerant of the spellings users actually type into
+    $SPARK_GRAFT_DRIVER_MEM ('16gb', trailing spaces, '' ): anything
+    unparseable falls back to the 16 GiB default with a warning
+    instead of crashing session startup — the value only scales
+    conservative memory thresholds, so a wrong-but-sane default
+    degrades plans, never correctness. Fractional specs ('1.5g') are
+    rejected by the JVM itself, so they fall back too."""
+    import re
+    import warnings
+
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", spec.strip().lower())
+    if not m:
+        warnings.warn(
+            f"unparseable memory spec {spec!r}; using 16g", stacklevel=2
+        )
+        return 16 << 30
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "": 1}
+    return int(m.group(1)) * mult[m.group(2)]
 
 
 def get_spark(

@@ -163,14 +163,19 @@ def artifact_checkpoint(df, eager: bool = True):
     share the heap with. Under 8 GiB the artifact therefore goes
     DISK_ONLY (serialized, page-cache-fast locally; at cluster scale
     the analogous artifact is a parquet handoff anyway) and the whole
-    execution pool stays available to the heavy stages."""
-    import os as _os
+    execution pool stays available to the heavy stages.
 
+    The heap is read from the OWNING session's ``spark.driver.memory``,
+    not the env var: callers may pass their own session (the
+    documented catalog.py case — the driver harness does), and the
+    decision must track the JVM that will actually hold the blocks."""
     from pyspark.storagelevel import StorageLevel
 
     from ..session import _mem_bytes
 
-    heap = _mem_bytes(_os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    heap = _mem_bytes(
+        df.sparkSession.conf.get("spark.driver.memory", "16g") or "16g"
+    )
     level = None if heap >= 8 << 30 else StorageLevel.DISK_ONLY
     return df.localCheckpoint(eager=eager, storageLevel=level)
 

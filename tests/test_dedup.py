@@ -295,3 +295,34 @@ def test_decontaminate_planted_overlap(spark, tmp_path):
     got = {r.doc_id: r for r in decontaminate(spark, str(tmp_path)).collect()}
     assert got[100].contaminated and got[100].n_hits >= 1
     assert not got[101].contaminated and got[101].n_hits == 0
+
+
+def test_broadcast_gate_measures_long_docs(spark, tmp_path):
+    """The strategy gate must flip to merge joins on a LONG-document
+    corpus even when the ROW COUNT alone looks broadcastable: the old
+    576 B/doc constant assumed the testdata's ~44 shingles/doc, so a
+    corpus of 3000-token documents slipped under the row bound with
+    ~50x the real shingle bytes — exactly the OOM class the gate
+    exists to prevent. The repetitive text also compresses far below
+    the normal ~2.4x on disk, so the on-disk term alone would miss it
+    too; the LIMIT-sampled token-count term is what catches it."""
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.operators.dedup import _corpus_fits_broadcast
+
+    long_dir = tmp_path / "longdocs"
+    spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.array_repeat(F.lit("tok"), 3000), " ").alias("text"),
+    ).coalesce(1).write.parquet(str(long_dir / "documents.parquet"))
+    short_dir = tmp_path / "shortdocs"
+    spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a few short tokens only").alias("text"),
+    ).coalesce(1).write.parquet(str(short_dir / "documents.parquet"))
+
+    assert _corpus_fits_broadcast(spark, str(short_dir))
+    assert not _corpus_fits_broadcast(spark, str(long_dir))
+    # the retired row-count-only bound would NOT have flipped: same
+    # rows, and 2000 * 576 B is far under the 64 MB session threshold
+    assert 2000 * 576 < 64 << 20

@@ -566,3 +566,24 @@ def test_evict_superseded_unpersists_stale_values():
     assert stale.released and not other.released and not fresh.released
     assert ("app", "/t/docs.parquet|1|10|v1") not in cache
     assert ("app", "/t/other.parquet|1|10|v1") in cache
+
+
+def test_mem_bytes_tolerates_sloppy_specs():
+    """$SPARK_GRAFT_DRIVER_MEM spellings users actually type must not
+    crash session startup: '16gb' parses, junk falls back to the 16g
+    default with a warning (the value only scales memory thresholds,
+    so a sane default degrades plans, never correctness)."""
+    import warnings
+
+    from hadoop_and_spark_spark.session import _mem_bytes
+
+    assert _mem_bytes("16g") == 16 << 30
+    assert _mem_bytes("16gb") == 16 << 30
+    assert _mem_bytes(" 512M ") == 512 << 20
+    assert _mem_bytes("2048k") == 2048 << 10
+    assert _mem_bytes("1024") == 1024
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _mem_bytes("") == 16 << 30
+        assert _mem_bytes("1.5g") == 16 << 30
+    assert len(caught) == 2
