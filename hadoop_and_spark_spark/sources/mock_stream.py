@@ -19,16 +19,99 @@ from pyspark.sql import functions as F
 
 
 def write_replay_files(df: DataFrame, ts_col: str, out_dir: str, n_files: int) -> int:
-    """Split `df` into `n_files` contiguous time ranges, one parquet
-    file each, named in time order (part-0000…). Returns file count."""
+    """Split `df` into `n_files` contiguous equal-count time ranges
+    (ntile semantics: the remainder rows go to the EARLIEST buckets),
+    one parquet file each, named AND mtime-stamped in time order
+    (part-0001…). Returns file count.
+
+    Scale-safe form: the original computed ``ntile(n).over(
+    Window.orderBy(ts))`` — a GLOBAL single-partition window — and
+    re-ran it once per output file (N passes through one task, the
+    last corpus-sized single-task window in the repo). Here:
+
+    1. range-partition on ``ts_col`` (the fan_out_sorted pattern —
+       RangePartitioner emits partitions in range order, so partition
+       id order IS global time order), checkpointed so the passes
+       below reuse the shuffle instead of re-running it;
+    2. one tiny job counts rows per partition → exact global offsets;
+    3. global row index = offset[pid] + per-PARTITION row_number
+       (a parallel window), bucket = the closed-form ntile inverse
+       (base = n div k rows per bucket, first n mod k buckets get one
+       extra — identical assignment to the builtin on a total-order
+       ``ts_col``; tie rows at a bucket boundary were execution-order
+       arbitrary under the old window too);
+    4. ONE write of all buckets via ``partitionBy`` (each bucket
+       hash-co-located into a single task → a single file), renamed
+       into place. Buckets past the row count (n_files > rows) become
+       genuinely empty files, as before.
+
+    mtimes are stamped strictly increasing in bucket order: the old
+    per-bucket loop got that by accident of sequential writes, and
+    FileStreamSource admits files by modification time, so a
+    single-pass writer must stamp it explicitly."""
+    spark = df.sparkSession
     tmp = os.path.join(out_dir, "_tmp")
-    bucketed = df.withColumn("_bucket", F.ntile(n_files).over(Window.orderBy(ts_col)))
     os.makedirs(out_dir, exist_ok=True)
+
+    from .maintenance import artifact_checkpoint
+
+    parts = spark.sparkContext.defaultParallelism
+    # _pid is materialized as a COLUMN on the checkpointed partitions
+    # (not referenced inline downstream, where it would be re-evaluated
+    # AFTER the window's own exchange and yield the wrong id).
+    staged = artifact_checkpoint(
+        df.repartitionByRange(parts, ts_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in staged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(sizes.values())
+    offs, acc = [0] * (max(sizes, default=-1) + 2), 0
+    for pid in sorted(sizes):
+        offs[pid] = acc
+        acc += sizes[pid]
+    base, rem = divmod(total, n_files)
+    cut = rem * (base + 1)
+
+    off = F.element_at(F.lit(offs), F.col("_pid") + 1)
+    w = Window.partitionBy("_pid").orderBy(ts_col)
+    idx = (off + F.row_number().over(w) - 1).cast("long")
+    if base == 0:  # fewer rows than files: one row per leading bucket
+        bucket = idx + 1
+    else:
+        bucket = F.when(
+            idx < cut, F.floor(idx / (base + 1)) + 1
+        ).otherwise(rem + F.floor((idx - cut) / base) + 1)
+    (
+        staged.withColumn("_bucket", bucket.cast("int"))
+        .drop("_pid")
+        .repartition(n_files, "_bucket")
+        .sortWithinPartitions("_bucket", ts_col)
+        .write.partitionBy("_bucket")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    import time
+
+    mtime = time.time()
+    empty = None
     for b in range(1, n_files + 1):
-        part = bucketed.where(F.col("_bucket") == b).drop("_bucket")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.replace(src, os.path.join(out_dir, f"part-{b:04d}.parquet"))
+        dest = os.path.join(out_dir, f"part-{b:04d}.parquet")
+        found = glob.glob(os.path.join(tmp, f"_bucket={b}", "*.parquet"))
+        if found:
+            os.replace(found[0], dest)
+        else:
+            if empty is None:
+                empty = spark.createDataFrame([], df.schema)
+                empty.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(tmp, "_empty")
+                )
+            shutil.copyfile(
+                glob.glob(os.path.join(tmp, "_empty", "part-*.parquet"))[0],
+                dest,
+            )
+        os.utime(dest, (mtime + 10 * b, mtime + 10 * b))
     shutil.rmtree(tmp)
     return n_files
 

@@ -865,3 +865,47 @@ def test_stream_restart_recovers_state_from_checkpoint(spark, tmp_path):
         f"restart under shuffle.partitions=13 must keep the original "
         f"3 state partitions, saw {len(state_parts)}"
     )
+
+
+def test_replay_files_match_ntile_reference(spark, sf_dir, tmp_path):
+    """The range-partitioned single-pass writer must reproduce exactly
+    the buckets the retired global-window ntile produced: equal-count
+    contiguous time ranges, remainder rows to the EARLIEST buckets —
+    pinned against the ntile formula computed independently here."""
+    import glob
+    import os
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 103)
+    out = str(tmp_path / "rp_eq")
+    write_replay_files(ev, "ts", out, n_files=4)
+    rows = sorted(ev.collect(), key=lambda r: r.ts)
+    base, rem = divmod(len(rows), 4)
+    expect, i = [], 0
+    for b in range(4):
+        size = base + (1 if b < rem else 0)
+        expect.append({tuple(r) for r in rows[i : i + size]})
+        i += size
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    got = [{tuple(r) for r in spark.read.parquet(f).collect()} for f in files]
+    assert got == expect
+    # mtimes strictly increasing in bucket order: FileStreamSource
+    # admits files by modification time, and the one-pass writer must
+    # stamp what the old sequential loop got by accident
+    mt = [os.path.getmtime(f) for f in files]
+    assert mt == sorted(mt) and len(set(mt)) == len(files)
+
+
+def test_replay_files_more_files_than_rows(spark, sf_dir, tmp_path):
+    """n_files > rows: the leading buckets get one row each, the rest
+    are genuinely EMPTY parquet files (schema intact), as the
+    per-bucket filter loop produced."""
+    import glob
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3)
+    out = str(tmp_path / "rp_small")
+    assert write_replay_files(ev, "ts", out, n_files=5) == 5
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 5
+    counts = [spark.read.parquet(f).count() for f in files]
+    assert counts == [1, 1, 1, 0, 0]
+    assert spark.read.parquet(files[-1]).columns == ev.columns
