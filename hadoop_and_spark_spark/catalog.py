@@ -13,9 +13,22 @@ never do).
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Serializes scoped session-conf mutation against itself: runtime SQL
+# confs are SESSION-wide, so two threads interleaving set/restore on
+# the same key can leave one thread's spark.read planning under the
+# other's restored (possibly unset) value — the registry sweeps run
+# queries on a thread pool and events-loading queries span four lock
+# groups there. Mutators of DIFFERENT keys don't interfere (the
+# streaming replay's shuffle-partition pin holds a different key and
+# is additionally serialized by the sweeps' streaming group lock);
+# this lock only needs to cover same-key scoped blocks, which are
+# driver-side plan-time work (milliseconds), so contention is nil.
+_CONF_LOCK = threading.RLock()
 
 
 @contextmanager
@@ -23,16 +36,19 @@ def _scoped_conf(spark: SparkSession, key: str, value: str):
     """Set a runtime SQL conf for the duration of the block, then
     restore the caller's prior value (or unset). Parquet reads capture
     the conf at plan time, so restoring after ``spark.read`` does not
-    affect the returned DataFrame's later execution."""
-    prior = spark.conf.get(key, None)
-    spark.conf.set(key, value)
-    try:
-        yield
-    finally:
-        if prior is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prior)
+    affect the returned DataFrame's later execution. The whole
+    set→plan→restore window holds ``_CONF_LOCK`` so concurrent scoped
+    reads can't observe each other's restores."""
+    with _CONF_LOCK:
+        prior = spark.conf.get(key, None)
+        spark.conf.set(key, value)
+        try:
+            yield
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
 
 TABLES = (
     "region",

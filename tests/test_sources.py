@@ -587,3 +587,43 @@ def test_mem_bytes_tolerates_sloppy_specs():
         assert _mem_bytes("") == 16 << 30
         assert _mem_bytes("1.5g") == 16 << 30
     assert len(caught) == 2
+
+
+def test_scoped_conf_is_thread_safe(spark):
+    """The registry sweeps run queries on a thread pool and
+    events-loading queries span four lock groups, so two threads can
+    interleave _scoped_conf set/restore on the same key; an unlocked
+    restore between another thread's set and its plan-time read hands
+    that read the wrong (possibly unset) value. The whole scoped block
+    holds _CONF_LOCK, so a reader inside the block must always observe
+    its own value."""
+    import threading
+
+    from hadoop_and_spark_spark.catalog import _scoped_conf
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    spark.conf.unset(key)  # prior=None is the racy restore (unset) path
+    errs: list[str] = []
+
+    def worker() -> None:
+        try:
+            for _ in range(50):
+                with _scoped_conf(spark, key, "true"):
+                    got = spark.conf.get(key, None)
+                    if got != "true":
+                        errs.append(f"observed {got!r} inside scope")
+        except Exception as exc:  # noqa: BLE001
+            errs.append(repr(exc))
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    try:
+        assert not errs, errs[:3]
+        assert spark.conf.get(key, None) is None  # every scope restored
+    finally:
+        if prior is not None:
+            spark.conf.set(key, prior)
