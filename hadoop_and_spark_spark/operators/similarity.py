@@ -277,45 +277,87 @@ def _ivf_search(cent: DataFrame, assigned: DataFrame) -> DataFrame:
 
 
 KMEANS_ITERS = 4  # Lloyd's rounds (testdata objective plateaus by ~3)
+KM_QUANT = 1_000_000.0  # integer micro-units for the portable trainer
+KM_CLAMP = 10.0  # training-vector magnitude bound (exactness budget)
 
 
-def _cent_arrays(cent_rows):
-    import numpy as np
+def _train_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training corpus for the k-means trainer: embeddings QUANTIZED
+    to integer micro-units (q_d = floor(x_d * 1e6 + 0.5), stored as
+    integer-VALUED doubles).
 
-    C = np.array([emb for _cid, emb, _nrm in cent_rows], dtype="float64")
-    return (
-        C,
-        np.linalg.norm(C, axis=1),
-        np.array([cid for cid, _emb, _nrm in cent_rows], dtype="int32"),
+    Why integers: Lloyd's over doubles is FP-summation-order-dependent
+    (partial sums race across partitions), which kept the trained
+    queries on a rows-only driver surface for seven rounds. With every
+    coordinate an integer and |x| < KM_CLAMP, every dot product and
+    member sum the trainer computes stays below 2^53
+    (EMB_DIM * (KM_CLAMP*1e6)^2 = 6.4e15 < 9.0e15), where IEEE double
+    arithmetic on integers is EXACT in any evaluation order — so
+    training is bit-reproducible across partitionings AND engines,
+    and the DuckDB oracle replays it as an unrolled CTE (the PageRank
+    oracle pattern). Member sums stay exact to ~9e8 vectors per
+    cluster; past that a production trainer re-quantizes shard
+    partials first.
+
+    The filter drops malformed vectors (NULL / non-finite /
+    |x| >= KM_CLAMP components) from the MODEL — the round-8
+    NaN-poisoning contract, now doubling as the exactness budget.
+    Assignment output still covers every row (_assign_rows scores
+    garbage rows against the finite model deterministically)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    ok = F.forall(
+        "embedding",
+        lambda x: x.isNotNull() & (F.abs(x.cast("double")) < F.lit(KM_CLAMP)),
+    )
+    return emb.where(F.col("embedding").isNotNull() & ok).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(KM_QUANT) + F.lit(0.5)
+            ).cast("double"),
+        ).alias("q"),
     )
 
 
-def _kmeans_iter_stats(vec: DataFrame, cent_rows) -> DataFrame:
+def _kmeans_iter_stats(
+    qvec: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
     """One Lloyd's iteration's sufficient statistics as an
     Arrow-batched kernel that FUSES assignment with the partial
-    gather: each partition matrix-multiplies its vectors against the
-    broadcast centroid model and emits only k·EMB_DIM (cid, dim,
-    partial-sum, count, objective) cells — the in-mapper combiner (A3)
-    for clustering. vs. the declarative posexplode+hashAggregate form
-    (k·EMB_DIM cells too, but only AFTER shuffling EMB_DIM rows per
-    vector into the partial aggregate's hash table): measured 4×
-    faster at sf0.1 (5 passes 7.7 s → 1.9 s). Assignment parity with
-    the portable fold is differential-tested
-    (tests/test_similarity.py::test_np_assignment_matches_fold)."""
+    gather: each partition matrix-multiplies its quantized vectors
+    against the broadcast centroid model and emits only k·EMB_DIM
+    (cid, dim, partial-sum, count, objective) cells — the in-mapper
+    combiner (A3) for clustering. vs. the declarative
+    posexplode+hashAggregate form (k·EMB_DIM cells too, but only AFTER
+    shuffling EMB_DIM rows per vector into the partial aggregate's
+    hash table): measured 4× faster at sf0.1 (5 passes 7.7 s → 1.9 s).
+
+    Exactness: X and C are integer-valued (see _train_vectors), so
+    X @ C.T is exact whatever BLAS blocking runs it (every product
+    and partial sum < 2^53), the per-column division by the centroid
+    norm is one correctly-rounded IEEE op, and the member partial
+    sums are exact integers — the kernel's assignment and sums equal
+    the unrolled-CTE oracle's bit-for-bit. Zero-norm centroids score
+    -2.0 (below any real score) instead of dividing by zero."""
     import numpy as np
     import pandas as pd
 
-    C, cn, cids = _cent_arrays(cent_rows)
+    C = np.array([m for _cid, m in cents], dtype="float64")
+    cids = np.array([cid for cid, _m in cents], dtype="int32")
+    cn = np.sqrt((C * C).sum(axis=1))
+    safe = np.where(cn == 0.0, 1.0, cn)
     k, d = C.shape
 
     def gen(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(pdf["emb"].to_numpy())
-            cos = (X @ C.T) / np.outer(pdf["nrm"].to_numpy(), cn)
-            a = np.argmax(cos, axis=1)
-            best = cos[np.arange(len(a)), a]
+            X = np.stack(pdf["q"].to_numpy())
+            score = (X @ C.T) / safe
+            score[:, cn == 0.0] = -2.0
+            a = np.argmax(score, axis=1)  # first max = lowest cid
+            best = score[np.arange(len(a)), a]
             for j in range(k):
                 m = a == j
                 if not m.any():
@@ -332,94 +374,48 @@ def _kmeans_iter_stats(vec: DataFrame, cent_rows) -> DataFrame:
                     }
                 )
 
-    return vec.mapInPandas(gen, "cid int, dim int, s double, n long, obj double")
-
-
-def _assign_np(vec: DataFrame, cent_rows, with_cos: bool = False) -> DataFrame:
-    """Per-row centroid assignment as the Arrow kernel twin of
-    _assign_rows (same contract: highest cosine, first-max = lowest
-    cid on ties) — used on the rows-only trained-model paths where
-    bit-portable fold arithmetic isn't required; parity with the fold
-    is differential-tested."""
-    import numpy as np
-    import pandas as pd
-
-    C, cn, cids = _cent_arrays(cent_rows)
-    schema = "vec_id long, emb array<double>, nrm double, cid int" + (
-        ", best_cos double" if with_cos else ""
-    )
-
-    def gen(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["emb"].to_numpy())
-            cos = (X @ C.T) / np.outer(pdf["nrm"].to_numpy(), cn)
-            a = np.argmax(cos, axis=1)
-            out = pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "emb": pdf["emb"],
-                    "nrm": pdf["nrm"],
-                    "cid": cids[a],
-                }
-            )
-            if with_cos:
-                out["best_cos"] = cos[np.arange(len(a)), a]
-            yield out
-
-    return vec.mapInPandas(gen, schema)
+    return qvec.mapInPandas(gen, "cid int, dim int, s double, n long, obj double")
 
 
 def train_spherical_kmeans(
-    vec: DataFrame, k: int = NCENTROIDS, iters: int = KMEANS_ITERS
-) -> tuple[list[tuple[int, list[float], float]], list[float]]:
-    """Spherical k-means (Lloyd's) under cosine geometry: assign each
-    vector to its highest-cosine centroid, set each new centroid to
-    its members' mean vector (only direction matters under cosine —
-    normalization folds into the stored norm). Returns
-    (centroid model [(cid, emb, nrm)], per-iteration objective
-    Σ best-cosine).
+    qvec: DataFrame, k: int = NCENTROIDS, iters: int = KMEANS_ITERS
+) -> tuple[list[tuple[int, list[float]]], list[float]]:
+    """Spherical k-means (Lloyd's) under cosine geometry over the
+    QUANTIZED corpus: assign each vector to the centroid maximizing
+    dot(q, M) / |M| (the cosine argmax — the query norm is a positive
+    per-row constant, so dividing by it cannot change the winner),
+    then set each centroid to its members' RE-QUANTIZED mean,
+    M'_d = floor(sum_d / count + 0.5). Returns (centroid model
+    [(cid, M)], per-iteration objective = Σ best scores).
 
-    This is the trainer the IVF contract promises ("a production
-    deployment would plug k-means centroids into the same plan
-    shape"). The MODEL is what is small — k·EMB_DIM driver-held
-    doubles, the A9 collect-to-broadcast pattern — while the corpus
-    sees ONE job per iteration: an Arrow kernel fusing assignment with
-    the in-mapper partial gather (_kmeans_iter_stats), so each task
-    sends ≤ k·EMB_DIM sufficient-statistic cells to a final
-    hash-aggregate — the same bounded gather PageRank rides. Member
-    counts and the per-cid objective ride the same cells: one pass,
-    three statistics, nothing corpus-sized ever reaches the driver.
+    Every step is exact-integer arithmetic or a single
+    correctly-rounded IEEE op (see _train_vectors), so the trained
+    model is BIT-REPRODUCIBLE across partitionings and engines — the
+    property that upgraded kmeans_centroids / knn_ivf_kmeans from
+    rows-only to hash-gated driver rows, with the DuckDB oracle
+    replaying the whole loop as an unrolled CTE.
 
-    Empty clusters keep their previous centroid (standard Lloyd's
-    fallback). Iterative + FP-order-dependent ⇒ rows-only driver
-    surface; correctness is the NumPy-twin golden pin and objective
-    monotonicity in tests/test_similarity.py. The loop-with-small-
-    model driver shape mirrors the reference's PageRank loop
-    (a4/RunPersonalizedPageRankBasic.java:102-146); no clustering
-    exists in the reference surface itself."""
+    The MODEL is what is small — k·EMB_DIM driver-held integers, the
+    A9 collect-to-broadcast pattern — while the corpus sees ONE job
+    per iteration: an Arrow kernel fusing assignment with the
+    in-mapper partial gather (_kmeans_iter_stats), so each task sends
+    ≤ k·EMB_DIM sufficient-statistic cells to a final hash-aggregate —
+    the same bounded gather PageRank rides. Empty clusters keep their
+    previous centroid (standard Lloyd's fallback). The
+    loop-with-small-model driver shape mirrors the reference's
+    PageRank loop (a4/RunPersonalizedPageRankBasic.java:102-146); no
+    clustering exists in the reference surface itself."""
     import math
 
-    # Train on FINITE vectors only: one NaN embedding would otherwise
-    # poison every centroid sum (NaN → Arrow null → all-null stat
-    # cells), and a NaN seed centroid captures argmax for every row.
-    # A production trainer drops malformed vectors from the MODEL; the
-    # assignment output still covers every row (a garbage row gets a
-    # deterministic nearest-finite-centroid cid). Clean corpora are
-    # unaffected — the filter passes everything.
-    fin = vec.where(
-        F.forall("emb", lambda x: F.abs(x) < F.lit(float("inf")))
-        & (F.col("nrm") < F.lit(float("inf")))
-    )
-    seed = fin.where(F.col("vec_id") < k).orderBy("vec_id").collect()
-    cents = [(i, list(r.emb), float(r.nrm)) for i, r in enumerate(seed)]
+    seed = qvec.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = [(i, [float(x) for x in r.q]) for i, r in enumerate(seed)]
     history: list[float] = []
     if not cents:  # empty corpus: nothing to train
         return cents, [0.0] * iters
+    dims = len(cents[0][1])
     for _ in range(iters):
         cells = (
-            _kmeans_iter_stats(fin, cents)
+            _kmeans_iter_stats(qvec, cents)
             .groupBy("cid", "dim")
             .agg(
                 F.sum("s").alias("s"),
@@ -432,36 +428,62 @@ def train_spherical_kmeans(
         counts: dict[int, int] = {}
         obj = 0.0
         for c in cells:
-            # belt-and-braces: a NaN partial becomes an Arrow null and
-            # an all-null cell sums to None — fold it as NaN (garbage
-            # stays visible) instead of TypeError'ing the driver
-            sums.setdefault(c.cid, [0.0] * EMB_DIM)[c.dim] = (
-                float(c.s) if c.s is not None else float("nan")
-            )
+            sums.setdefault(c.cid, [0.0] * dims)[c.dim] = float(c.s)
             counts[c.cid] = c.n
             if c.dim == 0:
-                obj += float(c.obj) if c.obj is not None else float("nan")
+                obj += float(c.obj)
         history.append(obj)
-        new_cents = []
-        for cid, emb, nrm in cents:
-            if counts.get(cid):
-                m = [s / counts[cid] for s in sums[cid]]
-                new_cents.append((cid, m, math.sqrt(sum(x * x for x in m))))
-            else:  # empty cluster: keep the previous centroid
-                new_cents.append((cid, emb, nrm))
-        cents = new_cents
+        cents = [
+            (
+                cid,
+                [
+                    float(math.floor(s / counts[cid] + 0.5))
+                    for s in sums[cid]
+                ]
+                if counts.get(cid)
+                else m,  # empty cluster: keep the previous centroid
+            )
+            for cid, m in cents
+        ]
     return cents, history
 
 
-_KMEANS_CACHE: dict[tuple[str, str], tuple[DataFrame, list, list]] = {}
+def _model_rows(
+    cents: list[tuple[int, list[float]]],
+) -> list[tuple[int, list[float], float]]:
+    """Trained integer centroids → the (cid, c_emb, c_nrm) model rows
+    that _ivf_search / _assign_rows consume: c_emb = M / 1e6 (one
+    correctly-rounded division per coordinate), c_nrm =
+    sqrt(exact integer |M|²) / 1e6 — the oracle reproduces both with
+    the same two IEEE ops, so the model is bit-identical across
+    engines."""
+    import math
+
+    out = []
+    for cid, m in cents:
+        s2 = sum(int(x) * int(x) for x in m)  # exact (python int)
+        out.append(
+            (cid, [x / KM_QUANT for x in m], math.sqrt(float(s2)) / KM_QUANT)
+        )
+    return out
+
+
+_KMEANS_CACHE: dict[tuple[str, str], tuple[list, list, DataFrame]] = {}
 
 
 def _trained_model(spark: SparkSession, sf_dir: str):
-    """(checkpointed vectors, centroid model, objective history),
-    trained ONCE per (session, corpus) and shared by both registered
-    k-means queries — the converged_lineitem_ranks phase-handoff
-    pattern (operators/graph.py): the extractor/search reads the
-    trained model instead of re-running the iterations.
+    """(centroid model rows, objective history, checkpointed
+    raw-cosine assignment carrying best_cos), trained ONCE per
+    (session, corpus) and shared by both registered k-means queries —
+    the converged_lineitem_ranks phase-handoff pattern
+    (operators/graph.py): the extractor/search reads the trained
+    model instead of re-running the iterations.
+
+    The inverted-file assignment is _assign_rows — the same
+    bit-portable fold knn_ivf's inverted file uses — over the RAW
+    double vectors, so the search path is IDENTICAL to knn_ivf's
+    (only the model rows differ) and the oracle replays it with the
+    shared search-SQL body.
 
     The key folds in ``source_marker`` (path + mtime + size), the
     build_once staleness discipline: rewriting the embeddings table
@@ -471,13 +493,17 @@ def _trained_model(spark: SparkSession, sf_dir: str):
 
     key = (
         spark.sparkContext.applicationId,
-        source_marker(sf_dir, "embeddings", "kmeans_v1"),
+        source_marker(sf_dir, "embeddings", "kmeans_v2"),
     )
     hit = _KMEANS_CACHE.get(key)
     if hit is None:
-        vec = _vectors(spark, sf_dir).transform(artifact_checkpoint)
-        cents, hist = train_spherical_kmeans(vec)
-        hit = (vec, cents, hist)
+        qvec = _train_vectors(spark, sf_dir).transform(artifact_checkpoint)
+        cents, hist = train_spherical_kmeans(qvec)
+        model = _model_rows(cents)
+        assigned = _assign_rows(
+            _vectors(spark, sf_dir), model, with_cos=True
+        ).transform(artifact_checkpoint)
+        hit = (model, hist, assigned)
         evict_superseded(_KMEANS_CACHE, key)
         _KMEANS_CACHE[key] = hit
     return hit
@@ -486,32 +512,30 @@ def _trained_model(spark: SparkSession, sf_dir: str):
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered surface of the k-means trainer: per-cluster size,
     mean cosine-to-centroid (tightness), and the centroid rendered as
-    the canonical 6-dp comma-joined string (the winnow/array pattern —
-    scalar columns only, so the driver's pandas canon can hash it).
-    Rows-only (iterative, FP-order-dependent upstream); golden pins in
-    tests/test_similarity.py. The corpus is localCheckpoint'ed once so
-    the iteration re-reads materialized vectors, not the parquet scan
-    (on a cluster: cache/persist of the projected columns)."""
-    from ..sources.maintenance import session_memo
+    the canonical 6-dp comma-joined string (exact — centroid
+    coordinates ARE integer micro-units, so the 6-dp rendering loses
+    nothing).
 
-    vec, cents, _hist = _trained_model(spark, sf_dir)
-    assigned = session_memo(
-        spark,
-        sf_dir,
-        "embeddings",
-        "kmeans_assigned_cos_v1",
-        lambda: (
-            _assign_np(vec, cents, with_cos=True)
-            if cents
-            else _assign_rows(vec, cents).withColumn("best_cos", F.lit(0.0))
-        ).transform(artifact_checkpoint),
+    HASH-GATED since round 9 (was rows-only for seven rounds): the
+    quantized trainer is bit-reproducible, the per-row cosine against
+    the trained model comes from the portable fold (_assign_rows),
+    and the mean is taken over cosines QUANTIZED to integer
+    micro-units — the sum of integers < 2^53 is exact in any order,
+    so even the average is summation-order-free. Non-finite cosines
+    (garbage vectors) quantize to NULL, which both engines' AVG
+    skips."""
+    model, _hist, assigned = _trained_model(spark, sf_dir)
+    c = F.col("best_cos")
+    qcos = F.when(
+        F.abs(c) < F.lit(float("inf")),
+        F.floor(c * F.lit(KM_QUANT) + F.lit(0.5)).cast("double"),
     )
     stats = assigned.groupBy("cid").agg(
         F.count("*").alias("n_members"),
-        round6(F.avg("best_cos")).alias("mean_cos"),
+        (F.avg(qcos) / F.lit(KM_QUANT)).alias("mean_raw"),
     )
     cent_df = spark.createDataFrame(
-        [(cid, ",".join(f"{x:.6f}" for x in emb)) for cid, emb, _nrm in cents],
+        [(cid, ",".join(f"{x:.6f}" for x in emb)) for cid, emb, _nrm in model],
         "cid int, centroid string",
     )
     return (
@@ -522,7 +546,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cid",
             F.coalesce("n_members", F.lit(0)).alias("n_members"),
-            F.coalesce("mean_cos", F.lit(0.0)).alias("mean_cos"),
+            F.coalesce(round6(F.col("mean_raw")), F.lit(0.0)).alias("mean_cos"),
             "centroid",
         )
         .orderBy("cid")
@@ -532,28 +556,16 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with TRAINED centroids — the proof that k-means
     plugs into the same plan shape: identical probe/search plan as
-    knn_ivf, only the 16 model rows differ. Rows-only at the driver
-    (upstream training is FP-order-dependent); recall@K_NN against
-    the exact bruteforce is pinned in tests/test_similarity.py.
-    Training is shared with kmeans_centroids via _trained_model."""
-    from ..sources.maintenance import session_memo
-
-    vec, cents, _hist = _trained_model(spark, sf_dir)
-    cent = spark.createDataFrame(
-        list(cents), "cid int, c_emb array<double>, c_nrm double"
-    )
-    # The trained inverted file, like the seed-model one in knn_ivf:
-    # written once per (session, corpus), every search seeks into it.
-    assigned = session_memo(
-        spark,
-        sf_dir,
-        "embeddings",
-        "kmeans_assigned_v1",
-        lambda: (
-            _assign_np(vec, cents) if cents else _assign_rows(vec, cents)
-        ).transform(artifact_checkpoint),
-    )
-    return _ivf_search(cent, assigned)
+    knn_ivf, only the 16 model rows differ. HASH-GATED since round 9
+    (was rows-only): the trained model is bit-reproducible (quantized
+    trainer) and the search is knn_ivf's portable-fold plan verbatim,
+    so the oracle is the unrolled training CTE feeding knn_ivf's own
+    search SQL. recall@K_NN against the exact bruteforce is pinned in
+    tests/test_similarity.py. Training is shared with
+    kmeans_centroids via _trained_model; the checkpointed assignment
+    IS the trained inverted file (built once, every search seeks)."""
+    model, _hist, assigned = _trained_model(spark, sf_dir)
+    return _ivf_search(_cent_frame(spark, model), assigned.drop("best_cos"))
 
 
 def ivf_index_path(sf_dir: str) -> str:
@@ -802,41 +814,27 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VEC_CTE = f"""
-    WITH vec AS (
+_VEC_INNER = f"""
         SELECT vec_id,
                list_transform(embedding, x -> x::DOUBLE) AS emb,
                sqrt({dot_fold_sql('embedding', 'embedding', EMB_DIM)}) AS nrm
         FROM embeddings
-    )
+"""
+
+_VEC_CTE = f"""
+    WITH vec AS ({_VEC_INNER})
 """
 
 _COS_QV = dot_fold_sql("q.emb", "v.emb", EMB_DIM) + " / (q.nrm * v.nrm)"
 _COS_CV = dot_fold_sql("c.emb", "v.emb", EMB_DIM) + " / (c.nrm * v.nrm)"
 _COS_CQ = dot_fold_sql("c.emb", "q.emb", EMB_DIM) + " / (c.nrm * q.nrm)"
 
-ORACLE_SQL: dict[str, str] = {
-    "knn_bruteforce": _VEC_CTE + f"""
-        , q AS (SELECT vec_id AS query_id, emb, nrm FROM vec
-                WHERE vec_id < {N_QUERIES}),
-        scored AS (
-            SELECT q.query_id, v.vec_id AS neighbor_id, {_COS_QV} AS cos_raw
-            FROM q, vec v
-            WHERE v.vec_id <> q.query_id
-        ),
-        ranked AS (
-            SELECT query_id, neighbor_id, cos_raw,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
-            FROM scored
-        )
-        SELECT query_id, rank, neighbor_id, {round6_sql('cos_raw')} AS cosine
-        FROM ranked WHERE rank <= {K_NN}
-        ORDER BY query_id, rank
-    """,
-    "knn_ivf": _VEC_CTE + f"""
-        , cent AS (SELECT vec_id AS cid, emb, nrm FROM vec
-                   WHERE vec_id < {NCENTROIDS}),
+# The IVF search body shared by the seed-centroid and TRAINED-centroid
+# oracles: assignment of every raw vector to its best centroid, probe
+# selection, candidate scoring, top-K ranking — over whatever `vec`
+# (raw vectors) and `cent` (centroid model) CTEs precede it. This is
+# the SQL twin of _ivf_search + _assign_rows.
+_IVF_SEARCH_SQL = f"""
         assigned AS (
             SELECT vec_id, emb, nrm, cid FROM (
                 SELECT v.vec_id, v.emb, v.nrm, c.cid,
@@ -869,10 +867,142 @@ ORACLE_SQL: dict[str, str] = {
         SELECT query_id, rank, neighbor_id, {round6_sql('cos_raw')} AS cosine
         FROM ranked WHERE rank <= {K_NN}
         ORDER BY query_id, rank
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "knn_bruteforce": _VEC_CTE + f"""
+        , q AS (SELECT vec_id AS query_id, emb, nrm FROM vec
+                WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id, {_COS_QV} AS cos_raw
+            FROM q, vec v
+            WHERE v.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, {round6_sql('cos_raw')} AS cosine
+        FROM ranked WHERE rank <= {K_NN}
+        ORDER BY query_id, rank
+    """,
+    "knn_ivf": _VEC_CTE + f"""
+        , cent AS (SELECT vec_id AS cid, emb, nrm FROM vec
+                   WHERE vec_id < {NCENTROIDS}),
+        {_IVF_SEARCH_SQL}
     """,
 }
 
 ORACLE_SQL["knn_ivf_persisted"] = ORACLE_SQL["knn_ivf"]
+
+
+def _kmeans_train_sql() -> str:
+    """The quantized Lloyd's loop as an UNROLLED DuckDB CTE chain (the
+    PageRank-oracle pattern — aggregates are illegal inside a
+    recursive CTE, and KMEANS_ITERS is a fixed constant anyway):
+    qv = quantized training vectors, cents0 = seeds, then per
+    iteration assign{{i}} (exact-arithmetic argmax, ties → lowest cid)
+    → upd{{i}} (exact per-dim member sums, re-quantized mean) →
+    cents{{i+1}} (empty clusters keep their centroid). Every
+    arithmetic step mirrors the Spark trainer op-for-op (see
+    _train_vectors for the exactness argument), so the final
+    cents{{KMEANS_ITERS}}.m lists are bit-identical to the Python
+    model."""
+    dotq = dot_fold_sql
+    filt = (
+        "list_aggregate(list_transform(embedding, "
+        f"x -> x IS NOT NULL AND abs(x::DOUBLE) < {KM_CLAMP!r}), 'bool_and')"
+    )
+    blocks = [
+        f"""qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> floor(x::DOUBLE * {KM_QUANT!r} + 0.5)) AS q
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND {filt}
+    ),
+    cents0 AS (
+        SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, q AS m
+        FROM qv WHERE vec_id < {NCENTROIDS}
+    )"""
+    ]
+    for i in range(KMEANS_ITERS):
+        mm = dotq("c.m", "c.m", EMB_DIM)
+        score = (
+            f"CASE WHEN {mm} = 0 THEN -2.0 "
+            f"ELSE {dotq('v.q', 'c.m', EMB_DIM)} / sqrt({mm}) END"
+        )
+        blocks.append(
+            f"""assign{i} AS (
+        SELECT vec_id, q, cid FROM (
+            SELECT v.vec_id, v.q, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {score} DESC, c.cid) AS arank
+            FROM qv v, cents{i} c
+        ) WHERE arank = 1
+    ),
+    upd{i} AS (
+        SELECT cid, list(floor(s / n + 0.5) ORDER BY dim) AS m
+        FROM (
+            SELECT cid, dim, sum(val) AS s, count(*) AS n FROM (
+                SELECT a.cid, g.dim::INT AS dim, a.q[g.dim + 1] AS val
+                FROM assign{i} a,
+                     (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS dim) g
+            ) GROUP BY cid, dim
+        ) GROUP BY cid
+    ),
+    cents{i + 1} AS (
+        SELECT c.cid, COALESCE(u.m, c.m) AS m
+        FROM cents{i} c LEFT JOIN upd{i} u USING (cid)
+    )"""
+        )
+    return ",\n    ".join(blocks)
+
+
+# Trained-centroid model CTE body: c_emb = M/1e6, c_nrm =
+# sqrt(exact |M|²)/1e6 — the same two IEEE ops as _model_rows.
+_KM_CENT_SQL = (
+    f"SELECT cid, list_transform(m, x -> x / {KM_QUANT!r}) AS emb, "
+    f"sqrt({dot_fold_sql('m', 'm', EMB_DIM)}) / {KM_QUANT!r} AS nrm "
+    f"FROM cents{KMEANS_ITERS}"
+)
+
+ORACLE_SQL["knn_ivf_kmeans"] = f"""
+    WITH {_kmeans_train_sql()},
+    vec AS ({_VEC_INNER}),
+    cent AS ({_KM_CENT_SQL}),
+    {_IVF_SEARCH_SQL}
+"""
+
+ORACLE_SQL["kmeans_centroids"] = f"""
+    WITH {_kmeans_train_sql()},
+    vec AS ({_VEC_INNER}),
+    cent AS ({_KM_CENT_SQL}),
+    assigned AS (
+        SELECT vec_id, cid, ac FROM (
+            SELECT v.vec_id, c.cid, {_COS_CV} AS ac,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_COS_CV} DESC, c.cid) AS arank
+            FROM vec v, cent c
+        ) WHERE arank = 1
+    ),
+    stats AS (
+        SELECT cid, count(*) AS n_members,
+               avg(CASE WHEN isfinite(ac)
+                        THEN floor(ac * {KM_QUANT!r} + 0.5) END)
+               / {KM_QUANT!r} AS mean_raw
+        FROM assigned GROUP BY cid
+    )
+    SELECT c.cid, COALESCE(s.n_members, 0) AS n_members,
+           COALESCE({round6_sql('s.mean_raw')}, 0.0) AS mean_cos,
+           array_to_string(
+               list_transform(c.m, x -> printf('%.6f', x / {KM_QUANT!r})),
+               ',') AS centroid
+    FROM cents{KMEANS_ITERS} c LEFT JOIN stats s USING (cid)
+    ORDER BY c.cid
+"""
 
 ORACLE_SQL["embedding_quantize"] = f"""
     WITH vec AS (

@@ -90,34 +90,58 @@ def test_persisted_ivf_matches_in_session_and_prunes(spark, sf_dir):
 
 
 def test_kmeans_objective_monotone_and_numpy_twin(spark, sf_dir):
-    """Lloyd's invariants: the spherical objective (Σ best-cosine) is
-    non-decreasing across iterations, and the trained centroids match
-    an independent NumPy reimplementation of the same contract (seed =
-    lowest vec_ids, cosine assignment with first-max tie-break, mean
-    update, empty clusters keep their centroid) to FP tolerance."""
+    """Lloyd's invariants on the QUANTIZED trainer: the |x|-weighted
+    spherical objective (Σ best dot(q, M)/|M|) is non-decreasing up
+    to centroid re-quantization rounding, and the trained integer
+    centroids match an independent NumPy reimplementation EXACTLY —
+    bit-reproducibility is the trainer's whole contract (seed =
+    lowest vec_ids, exact-integer score argmax with first-max
+    tie-break, re-quantized mean update M' = floor(S/n + 0.5), empty
+    clusters keep their centroid)."""
     import numpy as np
 
     from hadoop_and_spark_spark.operators import similarity as sim
 
-    vec = sim._vectors(spark, sf_dir).localCheckpoint(eager=True)
-    cents, hist = sim.train_spherical_kmeans(vec)
-    assert all(b >= a - 1e-9 for a, b in zip(hist, hist[1:]))
+    qvec = sim._train_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    cents, hist = sim.train_spherical_kmeans(qvec)
+    # re-quantizing the mean can move each coordinate ≤0.5 micro-units,
+    # so allow that rounding in the monotonicity pin
+    assert all(b >= a - 1e-6 * abs(a) - 1e-3 for a, b in zip(hist, hist[1:]))
 
-    rows = sorted(vec.collect(), key=lambda r: r.vec_id)
-    X = np.array([r.emb for r in rows])
-    nrm = np.linalg.norm(X, axis=1)
+    rows = sorted(qvec.collect(), key=lambda r: r.vec_id)
+    X = np.array([r.q for r in rows])
     k = sim.NCENTROIDS
-    seeds = [r for r in rows if r.vec_id < k]
-    C = np.array([r.emb for r in seeds])
+    C = np.array([r.q for r in rows if r.vec_id < k])
     for _ in range(sim.KMEANS_ITERS):
-        cos = (X @ C.T) / np.outer(nrm, np.linalg.norm(C, axis=1))
-        assign = np.argmax(cos, axis=1)  # first max = lowest cid
-        for j in range(k):
+        cn = np.sqrt((C * C).sum(axis=1))
+        safe = np.where(cn == 0.0, 1.0, cn)
+        score = (X @ C.T) / safe
+        score[:, cn == 0.0] = -2.0
+        assign = np.argmax(score, axis=1)  # first max = lowest cid
+        for j in range(len(C)):
             members = X[assign == j]
             if len(members):
-                C[j] = members.mean(axis=0)
-    got = np.array([emb for _cid, emb, _nrm in cents])
-    np.testing.assert_allclose(got, C, rtol=1e-6, atol=1e-9)
+                C[j] = np.floor(members.sum(axis=0) / len(members) + 0.5)
+    got = np.array([m for _cid, m in cents])
+    assert np.array_equal(got, C)
+
+
+def test_kmeans_training_is_partition_invariant(spark, sf_dir):
+    """The trainer's defining claim, tested directly: partial sums
+    are exact integers below 2^53, so the trained model is
+    bit-identical whatever partitioning the corpus arrives in. The
+    old double-arithmetic trainer failed exactly this (FP summation
+    order), which is why it spent seven rounds rows-only."""
+    from hadoop_and_spark_spark.operators import similarity as sim
+
+    qvec = sim._train_vectors(spark, sf_dir)
+    a, _ = sim.train_spherical_kmeans(
+        qvec.repartition(1).localCheckpoint(eager=True)
+    )
+    b, _ = sim.train_spherical_kmeans(
+        qvec.repartition(13).localCheckpoint(eager=True)
+    )
+    assert a == b and a
 
 
 def test_ivf_kmeans_recall_beats_seed_model(spark, sf_dir):
@@ -145,19 +169,38 @@ def test_ivf_kmeans_recall_beats_seed_model(spark, sf_dir):
     assert r_trained >= r_seed - 0.05
 
 
-def test_np_assignment_matches_fold(spark, sf_dir):
-    """The Arrow assignment kernel must agree with the bit-portable
-    fold assignment on every vector (same highest-cosine contract,
-    same first-max tie rule) — the declarative differential reference
-    for the kernel used on the trained-model paths."""
+def test_kmeans_kernel_assignment_matches_model_fold(spark, sf_dir):
+    """The training kernel's Arrow-side argmax must agree with the
+    portable score computed declaratively for every vector (same
+    exact-integer score, same first-max = lowest-cid tie rule) — the
+    differential reference for the fused assignment inside
+    _kmeans_iter_stats (its per-cluster member COUNTS are the
+    assignment, read back through the n statistic)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
     from hadoop_and_spark_spark.operators import similarity as sim
 
-    vec = sim._vectors(spark, sf_dir).localCheckpoint(eager=True)
-    seed = vec.where("vec_id < %d" % sim.NCENTROIDS).orderBy("vec_id").collect()
-    cents = [(i, list(r.emb), float(r.nrm)) for i, r in enumerate(seed)]
-    fold = {r.vec_id: r.cid for r in sim._assign_rows(vec, cents).collect()}
-    np_ = {r.vec_id: r.cid for r in sim._assign_np(vec, cents).collect()}
-    assert fold == np_ and fold
+    qvec = sim._train_vectors(spark, sf_dir).localCheckpoint(eager=True)
+    seed = qvec.where("vec_id < %d" % sim.NCENTROIDS).orderBy("vec_id").collect()
+    cents = [(i, [float(x) for x in r.q]) for i, r in enumerate(seed)]
+    kernel_counts = {
+        r.cid: r.n
+        for r in sim._kmeans_iter_stats(qvec, cents)
+        .where(F.col("dim") == 0)
+        .groupBy("cid")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    C = np.array([m for _cid, m in cents])
+    cn = np.sqrt((C * C).sum(axis=1))
+    X = np.stack([np.asarray(r.q) for r in qvec.collect()])
+    score = (X @ C.T) / np.where(cn == 0.0, 1.0, cn)
+    score[:, cn == 0.0] = -2.0
+    assign = np.argmax(score, axis=1)
+    ref = {int(j): int((assign == j).sum()) for j in set(assign.tolist())}
+    assert kernel_counts == ref and kernel_counts
 
 
 def test_embedding_quantize_roundtrip_error_bounded(spark, sf_dir):
