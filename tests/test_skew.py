@@ -146,3 +146,72 @@ def test_hot_key_distribution_is_actually_skewed(spark, sf_dir):
     total = ev.count()
     hot = ev.where(F.col("user_id") % HOT_MOD != 0).count()
     assert hot / total > 0.9, (hot, total)
+
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def hot_user_corpus_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """Hot-GROUP corpus: ONE user holds ~half of all events (every
+    even event_id is reassigned to user 7 — the one-celebrity-account
+    shape along the GROUP axis rather than the join-key axis
+    tools/skew_compare.py measures). Events keep their timestamps and
+    ids, so every replay script and watermark scenario stays valid;
+    the other tables are symlinked untouched."""
+    import os
+
+    from hadoop_and_spark_spark.catalog import TABLES, load_table
+
+    hd = str(tmp_path_factory.mktemp("sf_hotuser"))
+    for t in TABLES:
+        if t == "events":
+            df = load_table(spark, sf_dir, t).withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 2 == 0, F.lit(7).cast("long"))
+                .otherwise(F.col("user_id")),
+            )
+            df.write.parquet(os.path.join(hd, "events.parquet"))
+        else:
+            os.symlink(
+                os.path.join(sf_dir, f"{t}.parquet"),
+                os.path.join(hd, f"{t}.parquet"),
+            )
+    return hd
+
+
+def test_user_keyed_state_handles_hot_user(spark, hot_user_corpus_dir):
+    """Round 8's adversarial corpus stressed value/width extremes; the
+    remaining untested axis is the hot GROUP: one user holding ~half
+    the events concentrates per-user state — the session window
+    (user_sessions, user_sessions_stream's open-session state), the
+    interval join's per-user click buffer (purchase_click_pairs), and
+    next_event_pairs' per-user lead window — into single window
+    partitions / state-store keys. This sweep runs every temporal,
+    skew, and streaming-family query on exactly that corpus and pins
+    ORACLE PARITY (the driver's own check) wherever an oracle exists,
+    totality otherwise."""
+    from conftest import run_queries_concurrently
+
+    from hadoop_and_spark_spark import oracle
+    from hadoop_and_spark_spark.registry import collect, query_modules
+
+    mods = query_modules()
+    queries, oracles = collect()
+    names = [
+        n
+        for n in queries
+        if mods.get(n) in ("temporal", "skew", "streaming")
+    ]
+    assert len(names) >= 25  # the sweep must not silently shrink
+
+    def check(name: str) -> None:
+        if name in oracles:
+            ok, msg = oracle.compare(
+                spark, hot_user_corpus_dir, queries[name], oracles[name]
+            )
+            assert ok, f"hot-user oracle drift: {name}: {msg}"
+        else:
+            queries[name](spark, hot_user_corpus_dir).collect()
+
+    run_queries_concurrently(names, check)
