@@ -457,13 +457,23 @@ before each timed run, so the numbers INCLUDE the artifact builds the
 steady-state bench (`BENCH_QUERIES.json`, key `memoized`) amortizes.
 min of two timed runs, untimed warm-up first, local[32].
 
-Reading the growth column: ~1-3x = scan/partial-agg bound; larger
-growth is either output volume the harness collects (stated in the
-why column) or data-inherent pair volume (dedup on a 10x-replicated
-corpus has ~x1000 true pairs by construction).
+The engine columns re-run the identical cold protocol draining into
+Spark's JVM noop sink instead of collect(): executors do all the
+plan's work, zero rows reach the driver. The gap between the collect
+and engine columns is the probe harness's own driver-side
+materialization of corpus-proportional output — a cost a production
+job writing to a distributed sink never pays — MEASURED per row
+rather than attributed in prose (same protocol as the 100x spot
+table below).
 
-| Query | 1x | 10x | Growth | Why |
-|---|---|---|---|---|
+Reading the growth columns: ~1-3x = scan/partial-agg bound; larger
+growth is either output volume (visible as collect-growth >>
+engine-growth, or stated in the why column) or data-inherent pair
+volume (dedup on a 10x-replicated corpus has ~x1000 true pairs by
+construction).
+
+| Query | 1x | 10x | Growth | 1x engine | 10x engine | Engine growth | Why |
+|---|---|---|---|---|---|---|---|
 """
 
 
@@ -565,24 +575,19 @@ def main() -> None:
     print(f"{'query':32s} {'1x':>7s} {factor:>6d}x {'growth':>7s}")
     rows = []
     for name in names:
+        # Both tables carry measured engine-side (noop sink) twins —
+        # the 10x table gained them in round 9 so neither table mixes
+        # harness collect cost into its growth column.
         one = steady_state(name, queries[name], spark, BASE_SF)
         big = steady_state(name, queries[name], spark, probe_dir)
-        if spot:
-            # spot rows carry measured engine-side (noop sink) twins
-            eone = engine_side(name, queries[name], spark, BASE_SF)
-            ebig = engine_side(name, queries[name], spark, probe_dir)
-            print(
-                f"{name:32s} {one:6.2f}s {big:6.2f}s {big / one:6.1f}x "
-                f"eng {eone:6.2f}s {ebig:6.2f}s {ebig / eone:6.1f}x",
-                flush=True,
-            )
-            rows.append((name, one, big, eone, ebig))
-        else:
-            print(
-                f"{name:32s} {one:6.2f}s {big:6.2f}s {big / one:6.1f}x",
-                flush=True,
-            )
-            rows.append((name, one, big))
+        eone = engine_side(name, queries[name], spark, BASE_SF)
+        ebig = engine_side(name, queries[name], spark, probe_dir)
+        print(
+            f"{name:32s} {one:6.2f}s {big:6.2f}s {big / one:6.1f}x "
+            f"eng {eone:6.2f}s {ebig:6.2f}s {ebig / eone:6.1f}x",
+            flush=True,
+        )
+        rows.append((name, one, big, eone, ebig))
 
     if os.path.exists(PROBE_MD):
         with open(PROBE_MD) as fh:
