@@ -242,6 +242,7 @@ def lineitem_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANKS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_RANKS_CACHE_LOCKS: dict[tuple[str, str], object] = {}
 
 
 def converged_lineitem_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,13 +270,19 @@ def converged_lineitem_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.applicationId,
         source_marker(sf_dir, "lineitem", "ppr_v1"),
     )
-    ranks = _RANKS_CACHE.get(key)
-    if ranks is None:
-        graph = lineitem_graph(spark, sf_dir)
-        ranks = personalized_pagerank(
-            graph, partitions=4, gather_partitions=4
-        ).localCheckpoint(eager=True)
-        _RANKS_CACHE[key] = ranks
+    from ..sources.maintenance import _keyed_lock
+
+    # Per-key lock (maintenance._keyed_lock): both registered PageRank
+    # queries may now arrive on concurrent sweep threads; one trains,
+    # the other waits and reads the checkpointed ranks.
+    with _keyed_lock(_RANKS_CACHE_LOCKS, key):
+        ranks = _RANKS_CACHE.get(key)
+        if ranks is None:
+            graph = lineitem_graph(spark, sf_dir)
+            ranks = personalized_pagerank(
+                graph, partitions=4, gather_partitions=4
+            ).localCheckpoint(eager=True)
+            _RANKS_CACHE[key] = ranks
     return ranks
 
 

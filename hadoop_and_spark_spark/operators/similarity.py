@@ -169,6 +169,10 @@ def _assign_rows(
 
 _IVF_CACHE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
 _PERSISTED_CENT_CACHE: dict[tuple[str, str], list] = {}
+# Per-key locks (maintenance._keyed_lock): queries sharing a model
+# may now arrive on concurrent sweep threads; one builds, the rest
+# wait and read.
+_MODEL_LOCKS: dict[tuple[str, str], object] = {}
 
 
 def _session_ivf_index(
@@ -183,24 +187,29 @@ def _session_ivf_index(
     tools/scaling_probe.py, which clears this cache per timed run."""
     from ..sources.maintenance import evict_superseded, source_marker
 
+    from ..sources.maintenance import _keyed_lock
+
     key = (
         spark.sparkContext.applicationId,
         source_marker(sf_dir, "embeddings", "ivf_mem_v1"),
     )
-    hit = _IVF_CACHE.get(key)
-    if hit is None:
-        vec = _vectors(spark, sf_dir)
-        cent_rows = [
-            (int(r.cid), list(r.c_emb), float(r.c_nrm))
-            for r in _centroids(vec).orderBy("cid").collect()
-        ]
-        # Materialized once: this is the step that WRITES the inverted
-        # file on a cluster (knn_ivf_persisted is exactly that);
-        # localCheckpoint is its in-session stand-in.
-        assigned = _assign_rows(vec, cent_rows).transform(artifact_checkpoint)
-        hit = (cent_rows, assigned)
-        evict_superseded(_IVF_CACHE, key)
-        _IVF_CACHE[key] = hit
+    with _keyed_lock(_MODEL_LOCKS, key):
+        hit = _IVF_CACHE.get(key)
+        if hit is None:
+            vec = _vectors(spark, sf_dir)
+            cent_rows = [
+                (int(r.cid), list(r.c_emb), float(r.c_nrm))
+                for r in _centroids(vec).orderBy("cid").collect()
+            ]
+            # Materialized once: this is the step that WRITES the
+            # inverted file on a cluster (knn_ivf_persisted is exactly
+            # that); localCheckpoint is its in-session stand-in.
+            assigned = _assign_rows(vec, cent_rows).transform(
+                artifact_checkpoint
+            )
+            hit = (cent_rows, assigned)
+            evict_superseded(_IVF_CACHE, key)
+            _IVF_CACHE[key] = hit
     return hit
 
 
@@ -491,21 +500,24 @@ def _trained_model(spark: SparkSession, sf_dir: str):
     of serving a model trained on the old corpus."""
     from ..sources.maintenance import evict_superseded, source_marker
 
+    from ..sources.maintenance import _keyed_lock
+
     key = (
         spark.sparkContext.applicationId,
         source_marker(sf_dir, "embeddings", "kmeans_v2"),
     )
-    hit = _KMEANS_CACHE.get(key)
-    if hit is None:
-        qvec = _train_vectors(spark, sf_dir).transform(artifact_checkpoint)
-        cents, hist = train_spherical_kmeans(qvec)
-        model = _model_rows(cents)
-        assigned = _assign_rows(
-            _vectors(spark, sf_dir), model, with_cos=True
-        ).transform(artifact_checkpoint)
-        hit = (model, hist, assigned)
-        evict_superseded(_KMEANS_CACHE, key)
-        _KMEANS_CACHE[key] = hit
+    with _keyed_lock(_MODEL_LOCKS, key):
+        hit = _KMEANS_CACHE.get(key)
+        if hit is None:
+            qvec = _train_vectors(spark, sf_dir).transform(artifact_checkpoint)
+            cents, hist = train_spherical_kmeans(qvec)
+            model = _model_rows(cents)
+            assigned = _assign_rows(
+                _vectors(spark, sf_dir), model, with_cos=True
+            ).transform(artifact_checkpoint)
+            hit = (model, hist, assigned)
+            evict_superseded(_KMEANS_CACHE, key)
+            _KMEANS_CACHE[key] = hit
     return hit
 
 
@@ -621,18 +633,21 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so serving depends only on the persisted artifact, never on a
     # fresh corpus scan. Memoized per index marker: serving loads the
     # model once alongside the index, not once per query.
+    from ..sources.maintenance import _keyed_lock
+
     ckey = (spark.sparkContext.applicationId, marker)
-    cent_rows = _PERSISTED_CENT_CACHE.get(ckey)
-    if cent_rows is None:
-        cent_rows = [
-            (int(r.vec_id), list(r.emb), float(r.nrm))
-            for r in idx.where(F.col("vec_id") < NCENTROIDS)
-            .select("vec_id", "emb", "nrm")
-            .orderBy("vec_id")
-            .collect()
-        ]
-        evict_superseded(_PERSISTED_CENT_CACHE, ckey)
-        _PERSISTED_CENT_CACHE[ckey] = cent_rows
+    with _keyed_lock(_MODEL_LOCKS, ckey):
+        cent_rows = _PERSISTED_CENT_CACHE.get(ckey)
+        if cent_rows is None:
+            cent_rows = [
+                (int(r.vec_id), list(r.emb), float(r.nrm))
+                for r in idx.where(F.col("vec_id") < NCENTROIDS)
+                .select("vec_id", "emb", "nrm")
+                .orderBy("vec_id")
+                .collect()
+            ]
+            evict_superseded(_PERSISTED_CENT_CACHE, ckey)
+            _PERSISTED_CENT_CACHE[ckey] = cent_rows
     return _ivf_search(_cent_frame(spark, cent_rows), idx)
 
 
@@ -929,18 +944,24 @@ def _kmeans_train_sql() -> str:
     )"""
     ]
     for i in range(KMEANS_ITERS):
-        mm = dotq("c.m", "c.m", EMB_DIM)
+        # centroid norm computed ONCE per centroid per iteration (the
+        # kernel precomputes cn the same way) — folding |m|² inside
+        # the per-(vector, centroid) score re-ran the 64-step fold
+        # 2·|qv| times per centroid and dominated the oracle's cost
         score = (
-            f"CASE WHEN {mm} = 0 THEN -2.0 "
-            f"ELSE {dotq('v.q', 'c.m', EMB_DIM)} / sqrt({mm}) END"
+            f"CASE WHEN c.mm = 0 THEN -2.0 "
+            f"ELSE {dotq('v.q', 'c.m', EMB_DIM)} / sqrt(c.mm) END"
         )
         blocks.append(
-            f"""assign{i} AS (
+            f"""centn{i} AS (
+        SELECT cid, m, {dotq('m', 'm', EMB_DIM)} AS mm FROM cents{i}
+    ),
+    assign{i} AS (
         SELECT vec_id, q, cid FROM (
             SELECT v.vec_id, v.q, c.cid,
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY {score} DESC, c.cid) AS arank
-            FROM qv v, cents{i} c
+            FROM qv v, centn{i} c
         ) WHERE arank = 1
     ),
     upd{i} AS (

@@ -91,14 +91,10 @@ def last_green_round(has_oracle: set[str] | None = None) -> dict[str, int]:
 
 
 def query_modules() -> dict[str, str]:
-    """Query name -> owning operator module (short name). Queries from
-    one module may share session-memoized artifacts (the minhash pair
-    graph, the k-means model, the z-order layout, persisted indexes),
-    and every ``streaming.*`` + ``sources.taxi`` query runs the replay
-    harness, which mutates session-wide state (the scoped
-    shuffle-partition conf, the memory-sink sequence). Callers that
-    run queries CONCURRENTLY must therefore serialize within these
-    groups; see tests' run_queries_concurrently."""
+    """Query name -> owning operator module (short name) — the
+    ATTRIBUTION map (which family owns a query), used by family-scoped
+    sweeps like the hot-user test. For concurrency grouping see
+    ``sweep_groups``."""
     out: dict[str, str] = {}
     for modname in _OPERATOR_MODULES:
         try:
@@ -106,11 +102,36 @@ def query_modules() -> dict[str, str]:
         except ImportError:
             continue
         short = modname.rsplit(".", 1)[1]
-        if ".streaming." in modname or modname.endswith(".taxi"):
-            short = "streaming"
+        if ".streaming." in modname:
+            short = f"streaming.{short}"
         for name in getattr(mod, "QUERIES", {}):
             out[name] = short
     return out
+
+
+def sweep_groups() -> dict[str, str]:
+    """Serialization groups for callers running registered queries on
+    CONCURRENT threads (tests' run_queries_concurrently): query name
+    -> group key; queries in different groups may run simultaneously.
+
+    Returns the EMPTY map — every query is its own group — because as
+    of round 9 every piece of cross-query shared state is guarded at
+    its own source, each behind a per-key lock so distinct artifacts
+    still build in parallel: session-memoized artifacts
+    (maintenance.session_memo), on-disk builds incl. the replay dirs
+    three streaming modules share (maintenance.build_once), the
+    module-local model caches (similarity._MODEL_LOCKS,
+    graph._RANKS_CACHE_LOCKS), the replay shuffle-partition pin
+    (streaming/runtime.py, refcounted), the memory-sink sequence
+    (trending._SEQ_LOCK), and scoped SQL-conf mutation
+    (catalog._CONF_LOCK). History: rounds 7-8 serialized per MODULE
+    (double-build races) with one coarse group for all streaming
+    (session-wide replay state); both hazards are now locked where
+    they live, which is what lets the all-query sweeps pack the
+    thread pool instead of queueing behind the widest family. A new
+    module-level mutable cache MUST either take a per-key lock like
+    the above or re-introduce its group here."""
+    return {}
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +58,18 @@ def source_marker(sf_dir: str, table: str, version: str) -> str:
     return f"{p}|{st.st_mtime_ns}|{st.st_size}|{version}"
 
 
+_BUILD_LOCKS: dict[str, object] = {}
+_LOCK_GUARD = threading.Lock()
+
+
+def _keyed_lock(locks: dict, key) -> object:
+    """One lock per key, allocated under a module guard — concurrent
+    sweep threads building the SAME artifact serialize on its key
+    while different artifacts build in parallel."""
+    with _LOCK_GUARD:
+        return locks.setdefault(key, threading.Lock())
+
+
 def build_once(out_path: str, marker: str, build) -> bool:
     """Idempotent derived-artifact builder — the "index built once,
     queries seek" deployment contract of the persisted-index family.
@@ -68,25 +81,34 @@ def build_once(out_path: str, marker: str, build) -> bool:
     directory is current — regardless of whether the builder
     overwrites ``out_path`` itself or only subdirectories beneath it
     (write_index overwrites postings/doclen/stats, not the root).
-    Returns True when a build ran."""
-    mp = os.path.join(out_path, "_BUILD_MARKER")
-    try:
-        with open(mp) as fh:
-            if fh.read() == marker:
-                return False
-    except OSError:
-        pass
-    try:
-        os.remove(mp)
-    except OSError:
-        pass
-    build()
-    with open(mp, "w") as fh:
-        fh.write(marker)
-    return True
+    Returns True when a build ran.
+
+    Check-and-build holds a per-path lock: the default weekly-replay
+    dir is shared by three streaming modules, whose queries may now
+    run on concurrent sweep threads — without the lock two threads
+    could both miss the marker and overwrite each other's half-built
+    directory. (Cross-PROCESS builders still race, as ever; the
+    driver and tests are single-process.)"""
+    with _keyed_lock(_BUILD_LOCKS, os.path.abspath(out_path)):
+        mp = os.path.join(out_path, "_BUILD_MARKER")
+        try:
+            with open(mp) as fh:
+                if fh.read() == marker:
+                    return False
+        except OSError:
+            pass
+        try:
+            os.remove(mp)
+        except OSError:
+            pass
+        build()
+        with open(mp, "w") as fh:
+            fh.write(marker)
+        return True
 
 
 _SESSION_MEMO: dict[tuple[str, str], object] = {}
+_MEMO_LOCKS: dict[tuple[str, str], object] = {}
 
 # Total session_memo calls (hits AND builds). bench.py diffs this
 # around each query to tag memo-served rows in BENCH_QUERIES.json, so
@@ -195,11 +217,16 @@ def session_memo(spark: SparkSession, sf_dir: str, table: str, version: str, bui
     global MEMO_TOUCHES
     MEMO_TOUCHES += 1
     key = (spark.sparkContext.applicationId, source_marker(sf_dir, table, version))
-    hit = _SESSION_MEMO.get(key)
-    if hit is None:
-        hit = build()
-        evict_superseded(_SESSION_MEMO, key)
-        _SESSION_MEMO[key] = hit
+    # Per-key lock: concurrent sweep threads wanting the SAME artifact
+    # wait for one build instead of double-building (and with
+    # streaming replays, double-STARTING a stream); different
+    # artifacts still build in parallel.
+    with _keyed_lock(_MEMO_LOCKS, key):
+        hit = _SESSION_MEMO.get(key)
+        if hit is None:
+            hit = build()
+            evict_superseded(_SESSION_MEMO, key)
+            _SESSION_MEMO[key] = hit
     return hit
 
 

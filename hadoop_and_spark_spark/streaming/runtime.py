@@ -36,9 +36,20 @@ session default. The env override models that decision.
 from __future__ import annotations
 
 import os
+import threading
 
 REPLAY_SHUFFLE_ENV = "SPARK_GRAFT_STREAM_SHUFFLE"
 _KEY = "spark.sql.shuffle.partitions"
+
+# Refcounted pin: replay streams may now run on CONCURRENT sweep
+# threads (the per-module sweep groups), and a naive save/set/restore
+# pair interleaved across two streams can capture the OTHER stream's
+# pinned value as "prev" and leave the session pinned forever. The
+# first stream in saves the session value and sets the pin; the last
+# one out restores it; everyone in between just counts.
+_PIN_LOCK = threading.Lock()
+_PIN_DEPTH = 0
+_PIN_PREV: str | None = None
 
 
 def replay_shuffle_partitions() -> str:
@@ -49,13 +60,21 @@ def start_and_await(spark, writer) -> None:
     """Start a fully-configured ``DataStreamWriter`` under the replay
     state-partitioning and block until the availableNow trigger drains
     the source. The session's shuffle-partition setting is restored
-    even if the stream fails; foreachBatch bodies intentionally run
-    INSIDE the pinned conf (their per-batch merges shuffle micro-batch
-    -sized data, same argument as the state stores)."""
-    prev = spark.conf.get(_KEY)
-    spark.conf.set(_KEY, replay_shuffle_partitions())
+    even if the stream fails (by whichever concurrent replay exits
+    last); foreachBatch bodies intentionally run INSIDE the pinned
+    conf (their per-batch merges shuffle micro-batch-sized data, same
+    argument as the state stores)."""
+    global _PIN_DEPTH, _PIN_PREV
+    with _PIN_LOCK:
+        if _PIN_DEPTH == 0:
+            _PIN_PREV = spark.conf.get(_KEY)
+            spark.conf.set(_KEY, replay_shuffle_partitions())
+        _PIN_DEPTH += 1
     try:
         query = writer.start()
         query.awaitTermination()
     finally:
-        spark.conf.set(_KEY, prev)
+        with _PIN_LOCK:
+            _PIN_DEPTH -= 1
+            if _PIN_DEPTH == 0:
+                spark.conf.set(_KEY, _PIN_PREV)

@@ -30,6 +30,7 @@ production stream executes continuously; re-invoking reads its sink.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 from typing import Any
 
@@ -100,6 +101,7 @@ def _trend_fn_week(
 
 
 _STREAM_SEQ = [0]  # unique memory-sink names across repeat invocations
+_SEQ_LOCK = threading.Lock()  # guards seq + _SINKS registration
 
 # Newest memory-sink name per (tag, corpus): replay streams run once
 # per (session, corpus), but the TOTALITY sweeps run every registered
@@ -123,10 +125,13 @@ def register_sink(tag: str, sf_dir: str) -> str:
     """Allocate a unique memory-sink name for a replay stream over
     ``sf_dir`` and record it as the newest sink for (tag, corpus).
     The name embeds the corpus digest so sinks from different corpora
-    can never shadow each other."""
-    _STREAM_SEQ[0] += 1
-    qname = f"{tag}_{_corpus_digest(sf_dir)}_{_STREAM_SEQ[0]}"
-    _SINKS[(tag, _corpus_digest(sf_dir))] = qname
+    can never shadow each other. Locked: replay queries may run on
+    concurrent sweep threads, and a duplicated seq would alias two
+    streams onto one memory-sink table."""
+    with _SEQ_LOCK:
+        _STREAM_SEQ[0] += 1
+        qname = f"{tag}_{_corpus_digest(sf_dir)}_{_STREAM_SEQ[0]}"
+        _SINKS[(tag, _corpus_digest(sf_dir))] = qname
     return qname
 
 

@@ -28,20 +28,18 @@ def run_queries_concurrently(names, worker, max_workers: int = 8) -> list:
     the registry-wide sweeps are latency-bound (driver-side planning,
     Py4J round-trips, many small jobs), so concurrent submission cuts
     their wall time ~3-4x without changing what executes. Spark
-    supports concurrent job submission from threads; the two stateful
-    hazards are serialized with per-group locks keyed by
-    registry.query_modules(): queries of one MODULE may share
-    session-memoized artifacts (double-build race), and every
-    streaming-replay query mutates session-wide state (scoped shuffle
-    conf, memory-sink sequence) so all of those share one lock.
+    supports concurrent job submission from threads; serialization
+    groups come from registry.sweep_groups(), which is EMPTY since
+    round 9 (every cross-query shared-state hazard is locked at its
+    own source — see its docstring), so queries pack the pool freely.
     Worker exceptions are collected, not raised mid-pool, and
     re-raised as one AssertionError naming every failed query."""
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    from hadoop_and_spark_spark.registry import query_modules
+    from hadoop_and_spark_spark.registry import sweep_groups
 
-    groups = query_modules()
+    groups = sweep_groups()
     locks: dict[str, threading.Lock] = {}
     failures: list[str] = []
     results: list = []

@@ -201,7 +201,8 @@ def test_user_keyed_state_handles_hot_user(spark, hot_user_corpus_dir):
     names = [
         n
         for n in queries
-        if mods.get(n) in ("temporal", "skew", "streaming")
+        if mods.get(n, "") in ("temporal", "skew", "taxi")
+        or mods.get(n, "").startswith("streaming")
     ]
     assert len(names) >= 25  # the sweep must not silently shrink
 
