@@ -226,19 +226,37 @@ def write_weekly_replay(
         delivery.append(weeks[displace_idx])
     os.makedirs(out_path, exist_ok=True)
     base = time.time()
-    for i, wk in enumerate(delivery):
+    # ONE pass writes every week's file: hash-partition by week (each
+    # week's rows land in a single task → a single file per partition
+    # directory) instead of re-scanning events once per week — this
+    # builder sits on the cold path of every registered streaming
+    # query, across three replay variants. The week is duplicated into
+    # a partition column because partitionBy moves its column into the
+    # directory NAME, and the replay schema (and the trend state fn)
+    # still needs `wk` inside the file. Per-file row sets are
+    # identical to the old per-week filter loop; intra-file row order
+    # is load-order either way, and no consumer depends on it (state
+    # ops and windowed aggs shuffle by key before any order matters).
+    if delivery:
         stage = os.path.join(out_path, "_stage")
-        ev.where(F.col("wk") == wk).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
-        dest = os.path.join(out_path, f"wk{i:03d}.parquet")
-        os.replace(part, dest)
+        (
+            ev.withColumn("_wkpart", F.col("wk"))
+            .repartition(len(delivery), "_wkpart")
+            .write.partitionBy("_wkpart")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        for i, wk in enumerate(delivery):
+            (part,) = glob.glob(
+                os.path.join(stage, f"_wkpart={wk}", "*.parquet")
+            )
+            dest = os.path.join(out_path, f"wk{i:03d}.parquet")
+            os.replace(part, dest)
+            # mtime strictly increasing in DELIVERY order (path order
+            # agrees), so the file source's oldest-first admission
+            # replays the scripted sequence.
+            os.utime(dest, (base + i, base + i))
         shutil.rmtree(stage)
-        # mtime strictly increasing in DELIVERY order (path order
-        # agrees), so the file source's oldest-first admission replays
-        # the scripted sequence.
-        os.utime(dest, (base + i, base + i))
     if flush_days is not None and weeks:
         # TWO sentinel files, each its own micro-batch: the watermark
         # computed at the END of sentinel batch 1 only takes effect
