@@ -270,19 +270,22 @@ def converged_lineitem_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.applicationId,
         source_marker(sf_dir, "lineitem", "ppr_v1"),
     )
-    from ..sources.maintenance import _keyed_lock
+    from ..sources.maintenance import _keyed_lock, cache_get, insert_evicting
 
     # Per-key lock (maintenance._keyed_lock): both registered PageRank
     # queries may now arrive on concurrent sweep threads; one trains,
-    # the other waits and reads the checkpointed ranks.
+    # the other waits and reads the checkpointed ranks. Mutation goes
+    # through insert_evicting so the shared _CACHE_LOCK covers this
+    # dict too (an in-place lineitem rewrite also evicts the stale
+    # ranks entry instead of leaking its checkpoint blocks).
     with _keyed_lock(_RANKS_CACHE_LOCKS, key):
-        ranks = _RANKS_CACHE.get(key)
+        ranks = cache_get(_RANKS_CACHE, key)
         if ranks is None:
             graph = lineitem_graph(spark, sf_dir)
             ranks = personalized_pagerank(
                 graph, partitions=4, gather_partitions=4
             ).localCheckpoint(eager=True)
-            _RANKS_CACHE[key] = ranks
+            insert_evicting(_RANKS_CACHE, key, ranks)
     return ranks
 
 

@@ -53,9 +53,19 @@ NPROBE = 4
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings cast to double once, with their norm. fan_out: the
     per-vector fold projections downstream must not run on one input
-    split."""
+    split.
+
+    Rows with a literally-NULL embedding are dropped HERE, in the one
+    place every similarity consumer reads vectors from (the oracle
+    twin is _VEC_INNER's matching WHERE): a NULL vector has no
+    geometry — no norm, no cosine, no centroid — and letting it
+    through diverged between engines (Spark's fold yields a NULL cid
+    that joins away; DuckDB's row_number over 16 all-NULL scores ties
+    the row onto cid 0, inflating n_members). NaN/Inf GARBAGE vectors,
+    by contrast, stay: both engines score them deterministically (the
+    round-8 contract)."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    vec = emb.select(
+    vec = emb.where(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
@@ -185,16 +195,19 @@ def _session_ivf_index(
     the key invalidates the memo when the embeddings table is
     rewritten in-place. Cold build cost is published honestly by
     tools/scaling_probe.py, which clears this cache per timed run."""
-    from ..sources.maintenance import evict_superseded, source_marker
-
-    from ..sources.maintenance import _keyed_lock
+    from ..sources.maintenance import (
+        _keyed_lock,
+        cache_get,
+        insert_evicting,
+        source_marker,
+    )
 
     key = (
         spark.sparkContext.applicationId,
         source_marker(sf_dir, "embeddings", "ivf_mem_v1"),
     )
     with _keyed_lock(_MODEL_LOCKS, key):
-        hit = _IVF_CACHE.get(key)
+        hit = cache_get(_IVF_CACHE, key)
         if hit is None:
             vec = _vectors(spark, sf_dir)
             cent_rows = [
@@ -208,8 +221,7 @@ def _session_ivf_index(
                 artifact_checkpoint
             )
             hit = (cent_rows, assigned)
-            evict_superseded(_IVF_CACHE, key)
-            _IVF_CACHE[key] = hit
+            insert_evicting(_IVF_CACHE, key, hit)
     return hit
 
 
@@ -289,6 +301,32 @@ KMEANS_ITERS = 4  # Lloyd's rounds (testdata objective plateaus by ~3)
 KM_QUANT = 1_000_000.0  # integer micro-units for the portable trainer
 KM_CLAMP = 10.0  # training-vector magnitude bound (exactness budget)
 
+# 2^53: the magnitude below which every integer is exactly
+# representable as an IEEE-754 double, so integer sums/products under
+# it are exact in ANY evaluation order — the property the whole
+# bit-reproducible trainer rests on. Module constant (not inlined) so
+# the budget test can lower it and prove the guard trips.
+KM_EXACT_BUDGET = 2.0**53
+
+# The per-ROW budget (dot products, |M|² folds) is static — guaranteed
+# by the constants, so check it once at import: max coordinate is
+# KM_CLAMP·KM_QUANT and a dot/norm² folds EMB_DIM products of two such.
+assert EMB_DIM * (KM_CLAMP * KM_QUANT) ** 2 < KM_EXACT_BUDGET, (
+    "k-means dot-product budget exceeded by the module constants "
+    "themselves; shrink KM_QUANT or KM_CLAMP"
+)
+
+
+class KMeansExactnessError(RuntimeError):
+    """A cluster's membership grew past the integer-exactness budget:
+    its per-dimension member sums can exceed 2^53, where double
+    addition starts rounding and the trained model silently stops
+    being bit-reproducible across partitionings and engines. Raised
+    instead of training on: at this scale a production trainer must
+    re-quantize SHARD partials (sum ≤9e8-row shards exactly, floor
+    each shard's partial mean back to integer micro-units, then
+    average the shard means) before the global fold."""
+
 
 def _train_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training corpus for the k-means trainer: embeddings QUANTIZED
@@ -306,7 +344,9 @@ def _train_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the DuckDB oracle replays it as an unrolled CTE (the PageRank
     oracle pattern). Member sums stay exact to ~9e8 vectors per
     cluster; past that a production trainer re-quantizes shard
-    partials first.
+    partials first — and since round 10 the trainer ENFORCES that
+    budget per iteration (KMeansExactnessError) instead of silently
+    training on possibly-rounded sums.
 
     The filter drops malformed vectors (NULL / non-finite /
     |x| >= KM_CLAMP components) from the MODEL — the round-8
@@ -441,6 +481,20 @@ def train_spherical_kmeans(
             counts[c.cid] = c.n
             if c.dim == 0:
                 obj += float(c.obj)
+        # ENFORCED exactness budget (was documentation-only until
+        # round 10): a coordinate's member sum is bounded by
+        # count·KM_CLAMP·KM_QUANT; past 2^53 the sums this iteration
+        # just folded may already have rounded, so refuse to build a
+        # model from them. Counts come with the stats anyway — the
+        # guard is one comparison per cluster per iteration.
+        for cid, n in counts.items():
+            if n * KM_CLAMP * KM_QUANT >= KM_EXACT_BUDGET:
+                raise KMeansExactnessError(
+                    f"cluster {cid} has {n} members; member sums may "
+                    f"exceed {KM_EXACT_BUDGET:.0f} (= 2^53) and stop "
+                    "being exact integers — re-quantize shard partials "
+                    "before the global fold (see class docstring)"
+                )
         history.append(obj)
         cents = [
             (
@@ -498,16 +552,19 @@ def _trained_model(spark: SparkSession, sf_dir: str):
     build_once staleness discipline: rewriting the embeddings table
     in-place during a long-lived session invalidates the memo instead
     of serving a model trained on the old corpus."""
-    from ..sources.maintenance import evict_superseded, source_marker
-
-    from ..sources.maintenance import _keyed_lock
+    from ..sources.maintenance import (
+        _keyed_lock,
+        cache_get,
+        insert_evicting,
+        source_marker,
+    )
 
     key = (
         spark.sparkContext.applicationId,
         source_marker(sf_dir, "embeddings", "kmeans_v2"),
     )
     with _keyed_lock(_MODEL_LOCKS, key):
-        hit = _KMEANS_CACHE.get(key)
+        hit = cache_get(_KMEANS_CACHE, key)
         if hit is None:
             qvec = _train_vectors(spark, sf_dir).transform(artifact_checkpoint)
             cents, hist = train_spherical_kmeans(qvec)
@@ -516,8 +573,7 @@ def _trained_model(spark: SparkSession, sf_dir: str):
                 _vectors(spark, sf_dir), model, with_cos=True
             ).transform(artifact_checkpoint)
             hit = (model, hist, assigned)
-            evict_superseded(_KMEANS_CACHE, key)
-            _KMEANS_CACHE[key] = hit
+            insert_evicting(_KMEANS_CACHE, key, hit)
     return hit
 
 
@@ -617,7 +673,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings-keyed marker is missing/stale (maintenance.build_once)
     — ANN serving builds the index once and every query seeks, so
     repeat invocations measure the probe path."""
-    from ..sources.maintenance import build_once, evict_superseded, source_marker
+    from ..sources.maintenance import build_once, source_marker
 
     out = ivf_index_path(sf_dir)
     marker = source_marker(sf_dir, "embeddings", "ivf_v1")
@@ -633,11 +689,11 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so serving depends only on the persisted artifact, never on a
     # fresh corpus scan. Memoized per index marker: serving loads the
     # model once alongside the index, not once per query.
-    from ..sources.maintenance import _keyed_lock
+    from ..sources.maintenance import _keyed_lock, cache_get, insert_evicting
 
     ckey = (spark.sparkContext.applicationId, marker)
     with _keyed_lock(_MODEL_LOCKS, ckey):
-        cent_rows = _PERSISTED_CENT_CACHE.get(ckey)
+        cent_rows = cache_get(_PERSISTED_CENT_CACHE, ckey)
         if cent_rows is None:
             cent_rows = [
                 (int(r.vec_id), list(r.emb), float(r.nrm))
@@ -646,8 +702,7 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("vec_id")
                 .collect()
             ]
-            evict_superseded(_PERSISTED_CENT_CACHE, ckey)
-            _PERSISTED_CENT_CACHE[ckey] = cent_rows
+            insert_evicting(_PERSISTED_CENT_CACHE, ckey, cent_rows)
     return _ivf_search(_cent_frame(spark, cent_rows), idx)
 
 
@@ -670,7 +725,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     presentation (the driver hash is order-insensitive).
     """
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    vec = emb.select(
+    # NULL embeddings drop (same contract as _vectors): Spark's
+    # posexplode(NULL) emits no rows while the oracle's
+    # generate_series cross join would emit 64 NULL cells.
+    vec = emb.where(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
@@ -834,6 +892,7 @@ _VEC_INNER = f"""
                list_transform(embedding, x -> x::DOUBLE) AS emb,
                sqrt({dot_fold_sql('embedding', 'embedding', EMB_DIM)}) AS nrm
         FROM embeddings
+        WHERE embedding IS NOT NULL
 """
 
 _VEC_CTE = f"""
@@ -1029,6 +1088,7 @@ ORACLE_SQL["embedding_quantize"] = f"""
     WITH vec AS (
         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     scaled AS (
         SELECT vec_id, emb,

@@ -110,6 +110,15 @@ def build_once(out_path: str, marker: str, build) -> bool:
 _SESSION_MEMO: dict[tuple[str, str], object] = {}
 _MEMO_LOCKS: dict[tuple[str, str], object] = {}
 
+# Guards ITERATION + MUTATION of every shared artifact cache (the
+# session memo here and the similarity-module model caches). The
+# per-KEY locks above serialize same-artifact builds but still allow
+# thread A to insert key X while thread B's evict_superseded iterates
+# the same dict for key Y — CPython raises 'dictionary changed size
+# during iteration'. All cache inserts/evictions/clears take THIS
+# lock; it is never held across a Spark call (unpersist runs outside).
+_CACHE_LOCK = threading.Lock()
+
 # Total session_memo calls (hits AND builds). bench.py diffs this
 # around each query to tag memo-served rows in BENCH_QUERIES.json, so
 # a 0.02 s cached-read timing can never be mistaken for pipeline cost.
@@ -123,7 +132,6 @@ def clear_session_caches() -> None:
     tools/scaling_probe.py to price COLD runs honestly; persisted
     on-disk artifacts (build_once markers) are deliberately left —
     those are built once across sessions by contract."""
-    _SESSION_MEMO.clear()
     from ..operators.graph import _RANKS_CACHE
     from ..operators.similarity import (
         _IVF_CACHE,
@@ -131,10 +139,12 @@ def clear_session_caches() -> None:
         _PERSISTED_CENT_CACHE,
     )
 
-    _IVF_CACHE.clear()
-    _KMEANS_CACHE.clear()
-    _PERSISTED_CENT_CACHE.clear()
-    _RANKS_CACHE.clear()
+    with _CACHE_LOCK:
+        _SESSION_MEMO.clear()
+        _IVF_CACHE.clear()
+        _KMEANS_CACHE.clear()
+        _PERSISTED_CENT_CACHE.clear()
+        _RANKS_CACHE.clear()
 
 
 def _try_unpersist(obj) -> None:
@@ -153,22 +163,59 @@ def _try_unpersist(obj) -> None:
             pass
 
 
+def _pop_superseded(cache: dict, key: tuple[str, str]) -> list:
+    """Under _CACHE_LOCK (caller holds it): remove and return the
+    values whose key shares ``key``'s (applicationId, table path,
+    artifact version) but a DIFFERENT source mtime/size."""
+    app, marker = key
+    parts = marker.split("|")
+    if len(parts) != 4:
+        return []
+    path, _mt, _sz, version = parts
+    victims = []
+    for k in [k for k in cache if k != key and k[0] == app]:
+        kp = k[1].split("|")
+        if len(kp) == 4 and kp[0] == path and kp[3] == version:
+            victims.append(cache.pop(k))
+    return victims
+
+
 def evict_superseded(cache: dict, key: tuple[str, str]) -> None:
     """Drop cache entries for the same (applicationId, table path,
     artifact version) as ``key`` but a DIFFERENT source mtime/size —
     i.e. entries superseded by an in-place table rewrite. Without this
     every rewrite would leak the old entry (and its localCheckpoint
     blocks) for the application lifetime. Shared by the central
-    session_memo and the similarity-module model caches."""
-    app, marker = key
-    parts = marker.split("|")
-    if len(parts) != 4:
-        return
-    path, _mt, _sz, version = parts
-    for k in [k for k in cache if k != key and k[0] == app]:
-        kp = k[1].split("|")
-        if len(kp) == 4 and kp[0] == path and kp[3] == version:
-            _try_unpersist(cache.pop(k))
+    session_memo and the similarity-module model caches.
+
+    Iterates under _CACHE_LOCK: concurrent sweep threads holding
+    OTHER keys' build locks may insert into the same dict, and an
+    unlocked scan races their resize. The superseded values'
+    unpersist (a Py4J call) runs after the lock is released."""
+    with _CACHE_LOCK:
+        victims = _pop_superseded(cache, key)
+    for v in victims:
+        _try_unpersist(v)
+
+
+def cache_get(cache: dict, key):
+    """Shared-cache read under _CACHE_LOCK (a bare dict.get is safe in
+    CPython, but taking the lock keeps every access to these dicts on
+    one discipline and costs nothing off the contended path)."""
+    with _CACHE_LOCK:
+        return cache.get(key)
+
+
+def insert_evicting(cache: dict, key: tuple[str, str], value) -> None:
+    """The evict-superseded + insert pair as ONE atomic cache
+    mutation — every shared-cache build site uses this, so no window
+    exists where a concurrent same-table build could slip a second
+    entry in between the eviction scan and the insert."""
+    with _CACHE_LOCK:
+        victims = _pop_superseded(cache, key)
+        cache[key] = value
+    for v in victims:
+        _try_unpersist(v)
 
 
 def artifact_checkpoint(df, eager: bool = True):
@@ -222,11 +269,11 @@ def session_memo(spark: SparkSession, sf_dir: str, table: str, version: str, bui
     # streaming replays, double-STARTING a stream); different
     # artifacts still build in parallel.
     with _keyed_lock(_MEMO_LOCKS, key):
-        hit = _SESSION_MEMO.get(key)
+        with _CACHE_LOCK:
+            hit = _SESSION_MEMO.get(key)
         if hit is None:
             hit = build()
-            evict_superseded(_SESSION_MEMO, key)
-            _SESSION_MEMO[key] = hit
+            insert_evicting(_SESSION_MEMO, key, hit)
     return hit
 
 

@@ -18,6 +18,35 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def single_parquet_file(dir_path: str, required: bool = True) -> str | None:
+    """The ONE parquet data file under ``dir_path``, or None when the
+    directory is absent/empty and ``required`` is False.
+
+    The replay writers rename per-partition write outputs into
+    scripted per-batch files. That rename is only sound while Spark
+    emits exactly one data file per partition directory — true here
+    because each partition is written by a single task and
+    ``spark.sql.files.maxRecordsPerFile`` is unset (0). If that conf
+    (or a future writer change) ever splits a task's output, renaming
+    file [0] would silently DROP the rest of the batch — so a
+    multi-file directory fails loudly, naming the assumption, instead
+    of corrupting the replay."""
+    found = sorted(glob.glob(os.path.join(dir_path, "*.parquet")))
+    if len(found) > 1:
+        raise AssertionError(
+            f"{dir_path} holds {len(found)} parquet files; the replay "
+            "writers rename exactly ONE data file per partition "
+            "directory (requires spark.sql.files.maxRecordsPerFile=0 "
+            "and one-task-per-partition writes) — refusing to pick one "
+            "and silently drop the rest"
+        )
+    if not found:
+        if required:
+            raise AssertionError(f"no parquet data file under {dir_path}")
+        return None
+    return found[0]
+
+
 def write_replay_files(df: DataFrame, ts_col: str, out_dir: str, n_files: int) -> int:
     """Split `df` into `n_files` contiguous equal-count time ranges
     (ntile semantics: the remainder rows go to the EARLIEST buckets),
@@ -98,9 +127,9 @@ def write_replay_files(df: DataFrame, ts_col: str, out_dir: str, n_files: int) -
     empty = None
     for b in range(1, n_files + 1):
         dest = os.path.join(out_dir, f"part-{b:04d}.parquet")
-        found = glob.glob(os.path.join(tmp, f"_bucket={b}", "*.parquet"))
-        if found:
-            os.replace(found[0], dest)
+        part = single_parquet_file(os.path.join(tmp, f"_bucket={b}"), required=False)
+        if part is not None:
+            os.replace(part, dest)
         else:
             if empty is None:
                 empty = spark.createDataFrame([], df.schema)
@@ -108,8 +137,7 @@ def write_replay_files(df: DataFrame, ts_col: str, out_dir: str, n_files: int) -
                     os.path.join(tmp, "_empty")
                 )
             shutil.copyfile(
-                glob.glob(os.path.join(tmp, "_empty", "part-*.parquet"))[0],
-                dest,
+                single_parquet_file(os.path.join(tmp, "_empty")), dest
             )
         os.utime(dest, (mtime + 10 * b, mtime + 10 * b))
     shutil.rmtree(tmp)
@@ -134,7 +162,7 @@ def write_scripted_batches(dfs: list[DataFrame], out_dir: str) -> int:
     base = time.time()
     for b, df in enumerate(dfs):
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        src = single_parquet_file(tmp)
         dst = os.path.join(out_dir, f"part-{b:04d}.parquet")
         os.replace(src, dst)
         os.utime(dst, (base + 10 * b, base + 10 * b))

@@ -191,7 +191,6 @@ def write_weekly_replay(
     unflushed. The sentinel's OWN session stays open (never emitted),
     so it is invisible in any append sink by construction."""
     import datetime as dt
-    import glob
     import os
     import shutil
     import time
@@ -199,6 +198,7 @@ def write_weekly_replay(
     from pyspark.sql import functions as F
 
     from ..catalog import load_table
+    from ..sources.mock_stream import single_parquet_file
 
     cols = [
         F.col("event_id"),  # for the stream-stream pair join (T9)
@@ -247,9 +247,7 @@ def write_weekly_replay(
             .parquet(stage)
         )
         for i, wk in enumerate(delivery):
-            (part,) = glob.glob(
-                os.path.join(stage, f"_wkpart={wk}", "*.parquet")
-            )
+            part = single_parquet_file(os.path.join(stage, f"_wkpart={wk}"))
             dest = os.path.join(out_path, f"wk{i:03d}.parquet")
             os.replace(part, dest)
             # mtime strictly increasing in DELIVERY order (path order
@@ -273,7 +271,7 @@ def write_weekly_replay(
             )
             stage = os.path.join(out_path, "_stage")
             sentinel.coalesce(1).write.mode("overwrite").parquet(stage)
-            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            part = single_parquet_file(stage)
             seq = len(delivery) + j
             dest = os.path.join(out_path, f"wk{seq:03d}.parquet")
             os.replace(part, dest)

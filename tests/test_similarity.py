@@ -260,3 +260,78 @@ def test_embedding_pca_matches_numpy_twin_and_orders_variance(spark, sf_dir):
     for row, vid in enumerate(ids):
         for k in range(similarity.PCA_K):
             assert abs(got[(vid, k)] - P[row, k]) < 2e-6
+
+
+def test_kmeans_budget_guard_trips_when_lowered(spark, sf_dir, monkeypatch):
+    """The 2^53 exactness budget is ENFORCED, not just documented:
+    with the budget constant lowered beneath the fixture's cluster
+    sizes, training raises the typed error naming the overflowing
+    cluster; at the real constant the same corpus trains clean (the
+    oracle-parity test above pins THAT)."""
+    qvec = similarity._train_vectors(spark, sf_dir)
+    # smallest budget any cluster trips: 1 member * KM_CLAMP * KM_QUANT
+    monkeypatch.setattr(
+        similarity, "KM_EXACT_BUDGET", similarity.KM_CLAMP * similarity.KM_QUANT
+    )
+    with pytest.raises(similarity.KMeansExactnessError, match="members"):
+        similarity.train_spherical_kmeans(qvec, iters=1)
+
+
+@pytest.fixture(scope="module")
+def null_embedding_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """Corpus where some embeddings are literally NULL (one inside the
+    query/centroid id range, several outside) — the input class the
+    round-9 advice flagged: a NULL vector made Spark drop the row
+    (NULL cid joins away) while DuckDB's row_number over 16 all-NULL
+    scores tied it onto cid 0, breaking kmeans hash parity."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.catalog import TABLES, load_table
+
+    nd = str(tmp_path_factory.mktemp("sf_null_emb"))
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    (F.col("vec_id") == 5) | (F.col("vec_id") % 97 == 70),
+                    F.lit(None).cast("array<float>"),
+                ).otherwise(F.col("embedding")),
+            )
+        else:
+            df = df.limit(0)  # oracle views need the file; queries don't
+        df.write.parquet(os.path.join(nd, f"{t}.parquet"))
+    return nd
+
+
+@pytest.mark.parametrize(
+    "name", ["kmeans_centroids", "knn_ivf_kmeans", "knn_bruteforce", "knn_ivf"]
+)
+def test_null_embeddings_keep_oracle_parity(spark, null_embedding_dir, name):
+    """NULL-embedding rows must vanish identically in both engines
+    (dropped at _vectors / _VEC_INNER — no geometry, no cluster, no
+    inflated n_members), pinned with the full driver-shaped compare."""
+    ok, msg = compare(
+        spark,
+        null_embedding_dir,
+        similarity.QUERIES[name],
+        similarity.ORACLE_SQL[name],
+    )
+    assert ok, f"{name}: {msg}"
+
+
+def test_null_embeddings_are_dropped_not_assigned(spark, null_embedding_dir):
+    """The cluster sizes must account for exactly the non-NULL rows —
+    no NULL row lands in any cluster (the DuckDB tie-onto-cid-0 bug
+    shape), none survives into the assignment output."""
+    from hadoop_and_spark_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, null_embedding_dir, "embeddings")
+    n_nonnull = emb.where(F.col("embedding").isNotNull()).count()
+    assert n_nonnull < emb.count()  # fixture really nulled some
+    rows = similarity.kmeans_centroids(spark, null_embedding_dir).collect()
+    assert sum(r.n_members for r in rows) == n_nonnull

@@ -627,3 +627,40 @@ def test_scoped_conf_is_thread_safe(spark):
     finally:
         if prior is not None:
             spark.conf.set(key, prior)
+
+
+def test_cache_mutation_is_safe_under_concurrent_inserts():
+    """Round-9 advice: evict_superseded iterated a shared cache dict
+    while per-KEY locks still allowed a thread holding a DIFFERENT
+    key's lock to insert concurrently — CPython raises 'dictionary
+    changed size during iteration'. All mutation now goes through
+    insert_evicting under one cache-wide lock; this stress drives
+    many threads through interleaved insert+evict cycles on one dict
+    (the unlocked form fails this reliably at these sizes)."""
+    import threading
+
+    from hadoop_and_spark_spark.sources.maintenance import (
+        evict_superseded,
+        insert_evicting,
+    )
+
+    cache: dict = {}
+    errs: list[str] = []
+
+    def worker(tid: int) -> None:
+        try:
+            for i in range(300):
+                key = ("app", f"/t/tab{tid}_{i % 7}.parquet|{i}|{i}|v1")
+                insert_evicting(cache, key, object())
+                evict_superseded(
+                    cache, ("app", f"/t/tab{tid}_{i % 7}.parquet|{i + 1}|{i}|v1")
+                )
+        except Exception as exc:  # noqa: BLE001
+            errs.append(repr(exc))
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs[:3]
