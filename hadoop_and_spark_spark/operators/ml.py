@@ -11,13 +11,18 @@ Spark-first re-expression:
   reference surface (SURVEY §2.12): a single-partition Arrow-batched
   ``mapInPandas`` pass that streams batches through a running weight
   dict — the only place Python touches row data, and it touches each
-  row exactly once.
+  row exactly once. Since round 10 the kernel is FIXED-POINT (integer
+  micro-unit weights, shared quantized sigmoid table — see the SGD_*
+  constants), which makes the weight trajectory bit-reproducible and
+  lets a DuckDB recursive CTE replay the sequential pass op-for-op:
+  spam_train and spam_eval_trained are hash-gated driver rows.
 - Scoring is relational: explode(features) ⋈ broadcast(model) →
   grouped sum. No UDF.
 - The driver-checked scoring/ensemble entries use arithmetic
   ("Knuth-hash") weight models so the DuckDB oracle can reproduce
   them exactly; scores are summed in INTEGER space (weight = w/500)
   so the order-insensitive compare is immune to FP summation order.
+  The TRAINED eval scores the same way, in integer micro-units.
 
 Scale notes: sequential SGD fundamentally doesn't parallelize —
 at 100 TB you train per-shard models and ensemble them (exactly the
@@ -46,6 +51,58 @@ DELTA = 0.002  # SGD step, a6/TrainSpamClassifier.scala:88
 SPAM_MARKER = "spark"
 N_FEATURES = 1009
 ENSEMBLE_MULTS = (2654435761, 2246822519, 3266489917)
+
+# --- fixed-point SGD (round 10): the k-means integer-quantization
+# recipe applied to the sequential trainer, which upgraded spam_train
+# / spam_eval_trained from rows-only to hash-gated driver rows.
+#
+# Weights live in integer micro-units (SGD_WQ per 1.0) and every
+# update is an exact-integer add, so the weight trajectory is
+# bit-reproducible — the one non-algebraic step, the sigmoid, goes
+# through a SHARED precomputed table: p is quantized to SGD_PQ
+# micro-units on a grid of SGD_GRID cells per unit of score, clamped
+# at |score| = SGD_CLAMP (sigmoid(±16) is within 1.2e-7 of its
+# asymptote, far below the table's own 0.5/PQ rounding). The table is
+# built ONCE here with math.exp and embedded verbatim in the oracle
+# SQL, so both engines index the identical constants — libm precision
+# affects which model both engines train, never whether they agree.
+#
+# Update arithmetic, mirrored op-for-op in SQL (all exact-integer
+# except ONE correctly-rounded division each):
+#   S   = Σ w_q[f]                       exact integer (< 2^53)
+#   k   = clamp(floor(S / (WQ/GRID) + 0.5), ±CLAMP·GRID)
+#   p_q = TBL[k]                         table lookup
+#   u   = floor((y·PQ − p_q) / (1/δ) + 0.5)   |u| ≤ PQ·δ = 2000
+#   w_q[f] += u  for every f in the doc  exact integer
+# Exactness budget: |w_q| ≤ 2000·(doc touches), so S stays below 2^53
+# through ~4.4e6 updates per feature × full feature width — far past
+# any corpus a SEQUENTIAL pass can traverse; at real scale training
+# shards per ensemble member (train_sharded) and each shard holds the
+# same bound independently.
+SGD_WQ = 1_000_000.0  # weight micro-units
+SGD_PQ = 1_000_000  # probability micro-units
+SGD_GRID = 64  # sigmoid-table cells per unit of score
+SGD_CLAMP = 16  # |score| beyond which the table saturates
+_SGD_STEP = SGD_WQ / SGD_GRID  # score units per table cell (15625.0)
+_SGD_KMAX = SGD_CLAMP * SGD_GRID  # 1024 → 2049-entry table
+
+import math as _math
+
+SGD_SIGMOID_TBL: tuple[int, ...] = tuple(
+    int(_math.floor(1.0 / (1.0 + _math.exp(-(k / SGD_GRID))) * SGD_PQ + 0.5))
+    for k in range(-_SGD_KMAX, _SGD_KMAX + 1)
+)
+
+
+def _inv_delta(delta: float) -> float:
+    """The portable update divides by round(1/δ) — an exact small
+    integer both engines represent identically — instead of
+    multiplying by a δ that may not be binary-representable."""
+    inv = round(1.0 / delta)
+    if abs(inv * delta - 1.0) > 1e-9:
+        raise ValueError(f"delta {delta!r} is not 1/integer; the "
+                         "portable fixed-point update requires it")
+    return float(inv)
 
 # Feature id from cheap char arithmetic (NOT a quality hash — chosen
 # because Spark SQL and DuckDB can both compute it exactly, which is
@@ -83,10 +140,15 @@ def train_spam_classifier(
     shuffle_seed: int | None = None,
     epochs: int = 1,
 ) -> DataFrame:
-    """Sequential SGD logistic regression → model (feature, weight).
+    """Sequential SGD logistic regression → model (feature, weight,
+    w_q) where w_q is the integer micro-unit weight and
+    weight = w_q / SGD_WQ.
 
     Mirrors a6/TrainSpamClassifier.scala:52-101: single sequential
-    pass, score = Σ w[f], p = 1/(1+e^-score), w[f] += (y−p)·δ.
+    pass, score = Σ w[f], p = σ(score), w[f] += (y−p)·δ — in the
+    FIXED-POINT arithmetic documented at the module constants, so the
+    trained model is bit-reproducible across runs AND engines (the
+    DuckDB oracle replays the pass as a recursive CTE).
     ``shuffle_seed`` reproduces the a6 Q5 shuffled-training variant
     (orderBy(rand(seed)), a6/TrainSpamClassifier.scala:63-68);
     default is docid order for determinism. ``epochs`` > 1 replays
@@ -94,6 +156,7 @@ def train_spam_classifier(
     """
     import math
 
+    inv = _inv_delta(delta)
     # Materialize BEFORE the global sort: orderBy's range-partition
     # sampling pass executes its child, so an unmaterialized
     # tokenize+feature projection would run twice.
@@ -107,7 +170,7 @@ def train_spam_classifier(
     )
 
     def sgd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w: dict[int, float] = {}
+        w: dict[int, int] = {}
         # Buffer the (single coalesced) partition so multi-epoch
         # replay never re-reads from Spark; one epoch streams.
         buffered = list(batches) if epochs > 1 else batches
@@ -121,18 +184,27 @@ def train_spam_classifier(
                         # no-op the relational scorer mirrors (its
                         # explode emits no rows for the doc).
                         feats = ()
-                    score = sum(w.get(int(f), 0.0) for f in feats)
-                    p = 1.0 / (1.0 + math.exp(-score))
-                    y = 1.0 if label == "spam" else 0.0
+                    s = sum(w.get(int(f), 0) for f in feats)
+                    k = int(math.floor(s / _SGD_STEP + 0.5))
+                    k = max(-_SGD_KMAX, min(_SGD_KMAX, k))
+                    p_q = SGD_SIGMOID_TBL[k + _SGD_KMAX]
+                    yq = SGD_PQ if label == "spam" else 0
+                    u = int(math.floor((yq - p_q) / inv + 0.5))
                     for f in feats:
-                        w[int(f)] = w.get(int(f), 0.0) + (y - p) * delta
+                        w[int(f)] = w.get(int(f), 0) + u
         yield pd.DataFrame(
-            {"feature": list(w.keys()), "weight": list(w.values())}
+            {
+                "feature": list(w.keys()),
+                "weight": [wq / SGD_WQ for wq in w.values()],
+                "w_q": list(w.values()),
+            }
         )
 
     # coalesce(1) preserves the global sort (partitions merge in
     # order); the entire pass is one Arrow stream through Python.
-    return inst.coalesce(1).mapInPandas(sgd, "feature int, weight double")
+    return inst.coalesce(1).mapInPandas(
+        sgd, "feature int, weight double, w_q long"
+    )
 
 
 def score_with_model(instances: DataFrame, model: DataFrame) -> DataFrame:
@@ -275,18 +347,22 @@ def grouped_score_auc(scored: DataFrame, score_col: str = "s") -> DataFrame:
 
 
 def spam_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-ROCA% of the REAL sharded-SGD ensemble (rows-only driver
-    entry: SGD training is order-sensitive and not SQL-expressible;
-    quality is pinned by the golden AUC test instead).
+    """1-ROCA% of the REAL sharded-SGD ensemble. HASH-GATED since
+    round 10 (was rows-only for nine rounds): the fixed-point trainer
+    is bit-reproducible and the ensemble is scored in INTEGER space —
+    summing the shards' integer micro-unit weights per feature and
+    per doc — so the AUC tie groups are exact-arithmetic and the
+    DuckDB oracle replays the whole pipeline (one recursive-CTE
+    trainer per shard feeding the shared relational AUC).
 
     The a6 pipeline end-to-end (TrainSpamClassifier → part-00000/1/2
     → ApplyEnsembleSpamClassifier --method average → spam_eval.sh):
     train one model per docid-shard, combine by averaging — scoring
-    is linear, so the averaged ensemble equals scoring against ONE
-    merged model with weight = Σ_i w_i/n (a feature-keyed grouped
-    sum, no per-model scoring passes) — then the shared relational
-    AUC. Scores are rounded to 6 dp before the tie grouping so FP
-    summation order can't split a tie group.
+    is linear, so the averaged ensemble RANKS identically to scoring
+    against ONE merged model with weight = Σ_i w_q_i (a feature-keyed
+    grouped integer sum; the 1/(n·WQ) rescale is a positive constant
+    that cannot change any tie group or the AUC) — then the shared
+    relational AUC over the exact integer scores.
     """
     from ..sources.maintenance import session_memo
 
@@ -301,16 +377,19 @@ def spam_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "documents",
-        "spam_merged_v1",
+        "spam_merged_v2",
         lambda: _union_all(train_sharded(inst, n_shards=n))
         .groupBy("feature")
-        .agg((F.sum("weight") / n).alias("weight"))
+        .agg(F.sum("w_q").alias("w_m"))
         .localCheckpoint(eager=True),
     )
-    scored = score_with_model(inst, merged).select(
-        "label", F.round("score", 6).alias("s")
+    feats = inst.select("docid", "label", F.explode("features").alias("feature"))
+    scored = (
+        feats.join(F.broadcast(merged), "feature", "left")
+        .groupBy("docid", "label")
+        .agg(F.sum(F.coalesce("w_m", F.lit(0))).alias("s"))
     )
-    return grouped_score_auc(scored)
+    return grouped_score_auc(scored.select("label", "s"))
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame:
@@ -321,26 +400,29 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
 
 
 def spam_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-model driver entry (rows-only: order-sensitive SGD is
-    not SQL-expressible; quality pinned by the AUC test instead)."""
+    """Trained-model driver entry. HASH-GATED since round 10 (was
+    rows-only for nine rounds — the old float trainer's weight
+    trajectory was libm/exp-dependent): the fixed-point trainer is
+    bit-reproducible, and the DuckDB oracle replays the sequential
+    pass as a recursive CTE over the docid-ordered instances, sharing
+    the module's sigmoid table verbatim. weight = w_q / SGD_WQ is one
+    correctly-rounded IEEE division per feature, identical in both
+    engines."""
     from ..sources.maintenance import session_memo
 
     model = session_memo(
         spark,
         sf_dir,
         "documents",
-        "spam_model_v1",
+        "spam_model_v2",
         lambda: train_spam_classifier(
             spam_instances(spark, sf_dir)
         ).localCheckpoint(eager=True),
     )
-    return model.select("feature", F.round("weight", 6).alias("weight")).orderBy(
-        "feature"
-    )
+    return model.select("feature", "weight").orderBy("feature")
 
 
-_INST_CTE = f"""
-    WITH inst AS (
+_INST_BODY = f"""inst AS (
         SELECT doc_id AS docid,
                CASE WHEN list_contains(toks, '{SPAM_MARKER}') THEN 'spam'
                     ELSE 'ham' END AS label,
@@ -351,9 +433,80 @@ _INST_CTE = f"""
                        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
             FROM documents
         )
-    ),
+    )"""
+
+_INST_CTE = f"""
+    WITH {_INST_BODY},
     feats AS (SELECT docid, label, unnest(features) AS f FROM inst)
 """
+
+
+def _sgd_train_ctes(sfx: str, where: str = "TRUE") -> str:
+    """The fixed-point sequential SGD pass over ``inst`` rows matching
+    ``where`` (docid order) as a RECURSIVE-CTE chain — the SQL twin of
+    train_spam_classifier's kernel, one recursion step per training
+    row, every arithmetic op mirrored (see the module constants for
+    the exactness argument). Expects an ``inst`` CTE and the shared
+    ``sig`` sigmoid-table CTE in scope; emits nb/fx/mk/tr/fin{sfx}.
+
+    Why a recursive CTE is affordable here and not in general: each
+    step probes the MATERIALIZED per-doc table by row number, which
+    DuckDB executes as an O(corpus) scan per step — O(n²) overall,
+    measured ~2.5 s per 1000 docs. Fine for the instance counts the
+    driver compares (500 docs at sf0.01); the same shape at 10⁶ rows
+    would be the oracle's bottleneck, which is why the trainer shards
+    per ensemble member at scale (train_sharded) and each shard's CTE
+    stays small. The per-doc feature MASK (mk) is precomputed
+    set-wise so the recursion's update is a flat
+    w[j] + u·m[j] over the weight vector, not a per-j list_contains.
+    """
+    yq = f"(CASE WHEN n.label = 'spam' THEN {SGD_PQ} ELSE 0 END)"
+    s_expr = (
+        "coalesce(list_sum(list_transform(n.features, f -> t.w[f + 1])), 0)"
+    )
+    k_expr = (
+        f"least(greatest(floor({s_expr} / {_SGD_STEP!r} + 0.5), "
+        f"-{_SGD_KMAX}), {_SGD_KMAX})::BIGINT"
+    )
+    u_expr = (
+        f"floor(({yq} - g.t[({k_expr}) + {_SGD_KMAX + 1}]) "
+        f"/ {_inv_delta(DELTA)!r} + 0.5)::BIGINT"
+    )
+    return f"""nb{sfx} AS MATERIALIZED (
+        SELECT label, coalesce(features, []) AS features,
+               row_number() OVER (ORDER BY docid) AS rn
+        FROM inst WHERE {where}
+    ),
+    fx{sfx} AS (SELECT rn, unnest(features) AS f FROM nb{sfx}),
+    mk{sfx} AS MATERIALIZED (
+        SELECT grd.rn, any_value(grd.label) AS label,
+               any_value(grd.features) AS features,
+               list(CASE WHEN fx.f IS NULL THEN 0 ELSE 1 END
+                    ORDER BY grd.j) AS m
+        FROM (SELECT nb.rn, nb.label, nb.features, gs.j
+              FROM nb{sfx} nb,
+                   (SELECT unnest(generate_series(0, {N_FEATURES - 1})) AS j) gs
+             ) grd
+        LEFT JOIN fx{sfx} fx ON fx.rn = grd.rn AND fx.f = grd.j
+        GROUP BY grd.rn
+    ),
+    tr{sfx} AS (
+        SELECT 0::BIGINT AS step,
+               list_transform(generate_series(1, {N_FEATURES}),
+                              x -> 0::BIGINT) AS w
+        UNION ALL
+        SELECT s.step + 1,
+               list_transform(generate_series(1, {N_FEATURES}),
+                              j -> s.w[j] + s.u * s.m[j])
+        FROM (
+            SELECT t.step, t.w, n.m, {u_expr} AS u
+            FROM tr{sfx} t JOIN mk{sfx} n ON n.rn = t.step + 1, sig g
+        ) s
+    ),
+    fin{sfx} AS (SELECT w FROM tr{sfx} ORDER BY step DESC LIMIT 1)"""
+
+
+_SIG_CTE = f"sig AS (SELECT {list(SGD_SIGMOID_TBL)} AS t)"
 
 # Decision thresholds in INTEGER score space (s, where score = s/500):
 # comparing integers sidesteps any float-threshold edge disagreement.
@@ -515,6 +668,67 @@ def _spam_eval_sql() -> str:
 
 
 ORACLE_SQL["spam_eval"] = _spam_eval_sql()
+
+ORACLE_SQL["spam_train"] = f"""
+    WITH RECURSIVE {_INST_BODY},
+    {_SIG_CTE},
+    {_sgd_train_ctes('')}
+    SELECT u.f AS feature, fin.w[u.f + 1] / {SGD_WQ!r} AS weight
+    FROM (SELECT DISTINCT unnest(features) AS f FROM inst
+          WHERE features IS NOT NULL) u, fin
+    ORDER BY feature
+"""
+
+
+def _spam_eval_trained_sql() -> str:
+    """Three recursive-CTE shard trainers → integer-merged ensemble →
+    the shared grouped-score AUC: the SQL twin of spam_eval_trained,
+    scoring in exact integer micro-units so no rounding exists
+    anywhere in the compare."""
+    from ..functions.portable import round6_sql
+
+    n = len(ENSEMBLE_MULTS)
+    shard_ctes = ",\n    ".join(
+        _sgd_train_ctes(str(i), f"docid % {n} = {i}") for i in range(n)
+    )
+    cell = " + ".join(f"fin{i}.w[fe.f + 1]" for i in range(n))
+    fins = ", ".join(f"fin{i}" for i in range(n))
+    auc_raw = "((won + 0.5 * tied) / (n_spam::DOUBLE * n_ham::DOUBLE))"
+    return f"""
+    WITH RECURSIVE {_INST_BODY},
+    feats AS (SELECT docid, label, unnest(features) AS f FROM inst),
+    {_SIG_CTE},
+    {shard_ctes},
+    scored AS (
+        SELECT fe.docid, fe.label, sum({cell}) AS s
+        FROM feats fe, {fins}
+        GROUP BY fe.docid, fe.label
+    ),
+    g AS (
+        SELECT s,
+               sum(CASE WHEN label = 'spam' THEN 1 ELSE 0 END) AS ns,
+               sum(CASE WHEN label = 'ham' THEN 1 ELSE 0 END) AS nh
+        FROM scored GROUP BY s
+    ),
+    c AS (
+        SELECT ns, nh,
+               coalesce(sum(nh) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS ham_below
+        FROM g
+    ),
+    t AS (
+        SELECT sum(ns) AS n_spam, sum(nh) AS n_ham,
+               sum(ns * ham_below) AS won, sum(ns * nh) AS tied
+        FROM c
+    )
+    SELECT n_spam::BIGINT AS n_spam, n_ham::BIGINT AS n_ham, auc,
+           {round6_sql('(1.0 - auc) * 100.0')} AS one_minus_roca_pct
+    FROM (SELECT n_spam, n_ham, {round6_sql(auc_raw)} AS auc FROM t)
+"""
+
+
+ORACLE_SQL["spam_eval_trained"] = _spam_eval_trained_sql()
 
 QUERIES = {
     "spam_score": spam_score,

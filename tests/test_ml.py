@@ -10,8 +10,11 @@ from hadoop_and_spark_spark.operators import ml
 from hadoop_and_spark_spark.oracle import compare
 
 
-@pytest.mark.parametrize("name", ["spam_score", "spam_ensemble", "spam_eval"])
+@pytest.mark.parametrize("name", sorted(ml.ORACLE_SQL))
 def test_ml_vs_oracle(spark, sf_dir, name):
+    """Every oracle-backed ml query, including (since round 10) the
+    fixed-point trained pair spam_train / spam_eval_trained whose
+    oracle replays the sequential SGD pass as a recursive CTE."""
     ok, msg = compare(spark, sf_dir, ml.QUERIES[name], ml.ORACLE_SQL[name])
     assert ok, f"{name}: {msg}"
 
@@ -38,10 +41,12 @@ def test_spam_eval_matches_tie_averaged_auc(spark, sf_dir):
 
 
 def test_spam_eval_trained_golden(spark, sf_dir):
-    """The registered trained-ensemble eval (rows-only at the driver)
-    is pinned here instead: its grouped-score AUC must equal the
-    textbook tie-averaged rank-sum AUC of the same merged-model
-    scores, and the linearly-separable corpus must train past the
+    """The registered trained-ensemble eval (oracle-gated since round
+    10; this pin predates that and stays as the independent twin): its
+    grouped-score AUC must equal the textbook tie-averaged rank-sum
+    AUC of the float-averaged merged-model scores — the integer-space
+    scoring is a positive rescale, so the ranking (hence AUC) must be
+    identical — and the linearly-separable corpus must train past the
     quality gate."""
     n = len(ml.ENSEMBLE_MULTS)
     inst = ml.spam_instances(spark, sf_dir)
