@@ -130,10 +130,35 @@ def dot_fold(xs: Column, ys: Column) -> Column:
 
 
 def dot_fold_sql(xs_expr: str, ys_expr: str, dim: int) -> str:
-    return (
-        f"list_reduce([0.0::DOUBLE] || list_transform(range(1, {dim + 1}), "
-        f"i -> {xs_expr}[i]::DOUBLE * {ys_expr}[i]::DOUBLE), (acc, x) -> acc + x)"
+    """The same left-fold UNROLLED as a left-associative sum:
+    ``0.0 + x[1]*y[1] + x[2]*y[2] + ...`` executes the identical IEEE
+    op sequence as the Spark aggregate (acc_i = acc_{i-1} + p_i, acc_0
+    = 0.0 — including the leading 0.0 + p_1, which differs from bare
+    p_1 only on -0.0 and so canonicalizes it exactly like the fold).
+    Unrolling replaced the original list_reduce/list_transform form:
+    DuckDB executes HOF lambdas interpretively per element, and the
+    similarity/dedup oracles evaluate this fold per candidate PAIR —
+    measured 3-6x of the whole suite's dedup-oracle time. Plain
+    vectorized arithmetic, same bits. NULL propagates identically
+    (any NULL element nulls its product and then the whole sum).
+    Callers pass COLUMN-REF exprs; for a compile-time-constant vector
+    use dot_const_sql (inlines scalars instead of list indexing)."""
+    terms = " + ".join(
+        f"{xs_expr}[{i}]::DOUBLE * {ys_expr}[{i}]::DOUBLE"
+        for i in range(1, dim + 1)
     )
+    return f"(0.0::DOUBLE + {terms})"
+
+
+def dot_const_sql(xs_expr: str, consts: list[float]) -> str:
+    """dot_fold_sql against a Python-side constant vector: each
+    coordinate is inlined as a scalar literal (a repeated literal-list
+    index would re-parse the whole list per term). Same op order."""
+    terms = " + ".join(
+        f"{xs_expr}[{i + 1}]::DOUBLE * {v!r}::DOUBLE"
+        for i, v in enumerate(consts)
+    )
+    return f"(0.0::DOUBLE + {terms})"
 
 
 def float_list_sql(vals: list[float]) -> str:

@@ -64,9 +64,9 @@ from ..sources.maintenance import artifact_checkpoint
 from ..functions.portable import (
     HASH_P,
     affine_perms,
+    dot_const_sql,
     dot_fold,
     dot_fold_sql,
-    float_list_sql,
     hyperplanes,
     let_col,
     poly_hash,
@@ -147,7 +147,7 @@ def _shingles_sql(toks_expr: str) -> str:
 
 
 _SH_CTE = f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
         -- text IS NOT NULL: mirrors _docs_with_shingles — a null doc
         -- has no shingles (DuckDB's greatest() would otherwise fold
         -- it to [NULL] and the behavior downstream is accidental).
@@ -831,8 +831,8 @@ def _minhash_sig_sql() -> str:
         for a, b in _PERMS
     )
     return (
-        f"hs AS (SELECT doc_id, list_transform(sh, s -> {h}) AS hs FROM sh),\n"
-        f"    sig AS (SELECT doc_id, [{mins}] AS sig FROM hs)"
+        f"hs AS MATERIALIZED (SELECT doc_id, list_transform(sh, s -> {h}) AS hs FROM sh),\n"
+        f"    sig AS MATERIALIZED (SELECT doc_id, [{mins}] AS sig FROM hs)"
     )
 
 
@@ -989,7 +989,7 @@ def _simhash_bits_sql() -> str:
         # filters null docs out of the bit table entirely.
         f"ht AS (SELECT doc_id, list_transform({_TOKS_SQL}, t -> {h}) AS ht "
         f"FROM documents WHERE text IS NOT NULL),\n"
-        f"    bits AS (SELECT doc_id, [{bit_exprs}] AS bits FROM ht)"
+        f"    bits AS MATERIALIZED (SELECT doc_id, [{bit_exprs}] AS bits FROM ht)"
     )
 
 
@@ -1211,7 +1211,7 @@ def dedup_embedding_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_bits_sql(vec_expr: str) -> str:
     bit_exprs = ", ".join(
-        f"CASE WHEN {dot_fold_sql(vec_expr, float_list_sql(plane), EMB_DIM)} > 0 "
+        f"CASE WHEN {dot_const_sql(vec_expr, plane)} > 0 "
         f"THEN 1 ELSE 0 END"
         for plane in _PLANES
     )
@@ -1235,23 +1235,27 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # Independent brute-force implementation (vs Spark's posting join).
     "dedup_ngram_jaccard": _SH_CTE + f"""
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               (floor((len(list_intersect(a.sh, b.sh))::DOUBLE
-                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE)
-                     * 1000000 + 0.5) / 1000000) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE (floor((len(list_intersect(a.sh, b.sh))::DOUBLE
-                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE)
-                    * 1000000 + 0.5) / 1000000) >= {JACCARD_T}
+        -- the intersect is computed ONCE per pair in the inner
+        -- projection (it dominated this brute-force oracle's cost
+        -- when repeated in the WHERE), then filtered
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   (floor((ix)::DOUBLE
+                         / (len(a.sh) + len(b.sh) - ix)::DOUBLE
+                         * 1000000 + 0.5) / 1000000) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id,
+                 LATERAL (SELECT len(list_intersect(a.sh, b.sh)) AS ix) t
+        )
+        WHERE jaccard >= {JACCARD_T}
         ORDER BY doc_a, doc_b
     """,
     "dedup_minhash_lsh": _SH_CTE.rstrip() + f""",
     {_minhash_sig_sql()},
-    banded AS (
+    banded AS MATERIALIZED (
         SELECT doc_id, unnest({_band_keys_sql(MINHASH_BANDS, MINHASH_ROWS)}) AS bk
         FROM sig
     ),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM banded x JOIN banded y USING (bk)
         WHERE x.doc_id < y.doc_id
@@ -1273,7 +1277,7 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY doc_a, doc_b
     """,
     "dedup_embedding": f"""
-        WITH base AS (
+        WITH base AS MATERIALIZED (
             SELECT vec_id, embedding,
                    sqrt({dot_fold_sql('embedding', 'embedding', EMB_DIM)}) AS nrm,
                    {_emb_bits_sql('embedding')} AS bits
@@ -1283,7 +1287,7 @@ ORACLE_SQL: dict[str, str] = {
             SELECT vec_id, unnest({_emb_band_keys_sql(EMB_BANDS, EMB_ROWS)}) AS bk
             FROM base
         ),
-        capped AS (
+        capped AS MATERIALIZED (
             SELECT vec_id, bk FROM banded
             QUALIFY row_number() OVER (PARTITION BY bk ORDER BY vec_id)
                     <= {EMB_BUCKET_CAP}
@@ -1309,13 +1313,13 @@ ORACLE_SQL: dict[str, str] = {
 # file (read by absolute path, like the taxi geo oracle), strict band
 # geometry, no cap CTE.
 ORACLE_SQL["dedup_embedding_strict"] = f"""
-    WITH base AS (
+    WITH base AS MATERIALIZED (
         SELECT vec_id, embedding,
                sqrt({dot_fold_sql('embedding', 'embedding', EMB_DIM)}) AS nrm,
                {_emb_bits_sql('embedding')} AS bits
         FROM read_parquet('{EMB_FIXTURE}')
     ),
-    banded AS (
+    banded AS MATERIALIZED (
         SELECT vec_id,
                unnest({_emb_band_keys_sql(EMB_STRICT_BANDS, EMB_STRICT_ROWS)}) AS bk
         FROM base
@@ -1341,10 +1345,10 @@ ORACLE_SQL["dedup_embedding_strict"] = f"""
 # min reachable node. UNION (not UNION ALL) dedups the frontier so the
 # recursion terminates.
 ORACLE_SQL["dedup_clusters"] = f"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
         SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_minhash_lsh"]})
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION
         SELECT doc_b AS u, doc_a AS v FROM pairs
@@ -1363,10 +1367,10 @@ ORACLE_SQL["dedup_clusters"] = f"""
 """
 
 ORACLE_SQL["dedup_survivors"] = f"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
         SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_minhash_lsh"]})
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION
         SELECT doc_b AS u, doc_a AS v FROM pairs

@@ -896,7 +896,7 @@ _VEC_INNER = f"""
 """
 
 _VEC_CTE = f"""
-    WITH vec AS ({_VEC_INNER})
+    WITH vec AS MATERIALIZED ({_VEC_INNER})
 """
 
 _COS_QV = dot_fold_sql("q.emb", "v.emb", EMB_DIM) + " / (q.nrm * v.nrm)"
@@ -909,7 +909,7 @@ _COS_CQ = dot_fold_sql("c.emb", "q.emb", EMB_DIM) + " / (c.nrm * q.nrm)"
 # (raw vectors) and `cent` (centroid model) CTEs precede it. This is
 # the SQL twin of _ivf_search + _assign_rows.
 _IVF_SEARCH_SQL = f"""
-        assigned AS (
+        assigned AS MATERIALIZED (
             SELECT vec_id, emb, nrm, cid FROM (
                 SELECT v.vec_id, v.emb, v.nrm, c.cid,
                        row_number() OVER (PARTITION BY v.vec_id
@@ -917,9 +917,9 @@ _IVF_SEARCH_SQL = f"""
                 FROM vec v, cent c
             ) WHERE arank = 1
         ),
-        q AS (SELECT vec_id AS query_id, emb, nrm FROM assigned
+        q AS MATERIALIZED (SELECT vec_id AS query_id, emb, nrm FROM assigned
               WHERE vec_id < {N_QUERIES}),
-        probes AS (
+        probes AS MATERIALIZED (
             SELECT query_id, emb, nrm, cid FROM (
                 SELECT q.query_id, q.emb, q.nrm, c.cid,
                        row_number() OVER (PARTITION BY q.query_id
@@ -990,14 +990,14 @@ def _kmeans_train_sql() -> str:
         f"x -> x IS NOT NULL AND abs(x::DOUBLE) < {KM_CLAMP!r}), 'bool_and')"
     )
     blocks = [
-        f"""qv AS (
+        f"""qv AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding,
                               x -> floor(x::DOUBLE * {KM_QUANT!r} + 0.5)) AS q
         FROM embeddings
         WHERE embedding IS NOT NULL AND {filt}
     ),
-    cents0 AS (
+    cents0 AS MATERIALIZED (
         SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, q AS m
         FROM qv WHERE vec_id < {NCENTROIDS}
     )"""
@@ -1012,10 +1012,10 @@ def _kmeans_train_sql() -> str:
             f"ELSE {dotq('v.q', 'c.m', EMB_DIM)} / sqrt(c.mm) END"
         )
         blocks.append(
-            f"""centn{i} AS (
+            f"""centn{i} AS MATERIALIZED (
         SELECT cid, m, {dotq('m', 'm', EMB_DIM)} AS mm FROM cents{i}
     ),
-    assign{i} AS (
+    assign{i} AS MATERIALIZED (
         SELECT vec_id, q, cid FROM (
             SELECT v.vec_id, v.q, c.cid,
                    row_number() OVER (PARTITION BY v.vec_id
@@ -1023,7 +1023,7 @@ def _kmeans_train_sql() -> str:
             FROM qv v, centn{i} c
         ) WHERE arank = 1
     ),
-    upd{i} AS (
+    upd{i} AS MATERIALIZED (
         SELECT cid, list(floor(s / n + 0.5) ORDER BY dim) AS m
         FROM (
             SELECT cid, dim, sum(val) AS s, count(*) AS n FROM (
@@ -1033,7 +1033,7 @@ def _kmeans_train_sql() -> str:
             ) GROUP BY cid, dim
         ) GROUP BY cid
     ),
-    cents{i + 1} AS (
+    cents{i + 1} AS MATERIALIZED (
         SELECT c.cid, COALESCE(u.m, c.m) AS m
         FROM cents{i} c LEFT JOIN upd{i} u USING (cid)
     )"""

@@ -23,7 +23,7 @@ def sf_dir() -> str:
     return SF_DIR
 
 
-def run_queries_concurrently(names, worker, max_workers: int = 8) -> list:
+def run_queries_concurrently(names, worker, max_workers: int = 16) -> list:
     """Run ``worker(name)`` for every query name on a thread pool —
     the registry-wide sweeps are latency-bound (driver-side planning,
     Py4J round-trips, many small jobs), so concurrent submission cuts
