@@ -567,6 +567,24 @@ def _trained_model(spark: SparkSession, sf_dir: str):
         hit = cache_get(_KMEANS_CACHE, key)
         if hit is None:
             qvec = _train_vectors(spark, sf_dir).transform(artifact_checkpoint)
+            # Size iteration tasks to the DATA, not the session: the
+            # trainer runs 4 kernel jobs over this frame, and at
+            # small corpora 32 tasks of ~150 rows are pure scheduling
+            # + Python-worker overhead (profiled: the Lloyd's loop was
+            # 2.8 s of the 5 s sf0.1 cold path, mostly task overhead
+            # — the round-9 "cold regression" the round-10 profile
+            # traced). ~64k rows per task; a corpus big enough to
+            # fill the session's parallelism keeps it (coalesce only
+            # ever narrows). Training output is partition-INVARIANT
+            # by the integer-exactness design (pinned in
+            # test_kmeans_training_is_partition_invariant), so this
+            # is a pure scheduling choice, never a result change.
+            n_rows = qvec.count()  # cheap: checkpointed frame
+            p = max(1, min(
+                spark.sparkContext.defaultParallelism, -(-n_rows // 65536)
+            ))
+            if p < qvec.rdd.getNumPartitions():
+                qvec = qvec.coalesce(p)
             cents, hist = train_spherical_kmeans(qvec)
             model = _model_rows(cents)
             assigned = _assign_rows(
