@@ -143,6 +143,8 @@ def dot_fold_sql(xs_expr: str, ys_expr: str, dim: int) -> str:
     (any NULL element nulls its product and then the whole sum).
     Callers pass COLUMN-REF exprs; for a compile-time-constant vector
     use dot_const_sql (inlines scalars instead of list indexing)."""
+    if dim <= 0:  # fold over nothing = the initial accumulator
+        return "(0.0::DOUBLE)"
     terms = " + ".join(
         f"{xs_expr}[{i}]::DOUBLE * {ys_expr}[{i}]::DOUBLE"
         for i in range(1, dim + 1)
@@ -154,6 +156,8 @@ def dot_const_sql(xs_expr: str, consts: list[float]) -> str:
     """dot_fold_sql against a Python-side constant vector: each
     coordinate is inlined as a scalar literal (a repeated literal-list
     index would re-parse the whole list per term). Same op order."""
+    if not consts:
+        return "(0.0::DOUBLE)"
     terms = " + ".join(
         f"{xs_expr}[{i + 1}]::DOUBLE * {v!r}::DOUBLE"
         for i, v in enumerate(consts)

@@ -207,21 +207,32 @@ def train_spam_classifier(
     )
 
 
+def _grouped_model_sum(instances: DataFrame, model: DataFrame, weight_col, zero):
+    """explode(features) ⋈ broadcast(model) → per-doc grouped sum of
+    one model column — the relational scoring core shared by the
+    float scorer and the integer-space trained-ensemble eval (ONE
+    copy, so a join/null-handling fix can't miss a twin). Docs whose
+    features all miss the model sum to ``zero``; featureless/NULL
+    docs drop entirely (explode emits nothing), matching the oracle's
+    unnest."""
+    feats = instances.select("docid", "label", F.explode("features").alias("feature"))
+    return (
+        feats.join(F.broadcast(model), "feature", "left")
+        .groupBy("docid", "label")
+        .agg(F.sum(F.coalesce(weight_col, zero)).alias("s"))
+    )
+
+
 def score_with_model(instances: DataFrame, model: DataFrame) -> DataFrame:
     """Relational scoring (a6/ApplySpamClassifier.scala:48-83):
     explode features, broadcast-join the weight table, sum per doc.
     Docs whose features all miss the model score 0."""
-    feats = instances.select("docid", "label", F.explode("features").alias("feature"))
-    scored = (
-        feats.join(F.broadcast(model), "feature", "left")
-        .groupBy("docid", "label")
-        .agg(F.sum(F.coalesce("weight", F.lit(0.0))).alias("score"))
-    )
+    scored = _grouped_model_sum(instances, model, F.col("weight"), F.lit(0.0))
     return scored.select(
         "docid",
         "label",
-        "score",
-        F.when(F.col("score") > 0, "spam").otherwise("ham").alias("prediction"),
+        F.col("s").alias("score"),
+        F.when(F.col("s") > 0, "spam").otherwise("ham").alias("prediction"),
     )
 
 
@@ -383,12 +394,7 @@ def spam_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w_q").alias("w_m"))
         .localCheckpoint(eager=True),
     )
-    feats = inst.select("docid", "label", F.explode("features").alias("feature"))
-    scored = (
-        feats.join(F.broadcast(merged), "feature", "left")
-        .groupBy("docid", "label")
-        .agg(F.sum(F.coalesce("w_m", F.lit(0))).alias("s"))
-    )
+    scored = _grouped_model_sum(inst, merged, F.col("w_m"), F.lit(0))
     return grouped_score_auc(scored.select("label", "s"))
 
 

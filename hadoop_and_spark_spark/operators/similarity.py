@@ -50,25 +50,31 @@ NCENTROIDS = 16  # IVF lists; centroid seeds = vec_id < NCENTROIDS
 NPROBE = 4
 
 
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings cast to double once, with their norm. fan_out: the
-    per-vector fold projections downstream must not run on one input
-    split.
+def _raw_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb double[]) — THE one embeddings-read prologue every
+    similarity consumer shares (directly or via _vectors), so the
+    NULL-drop contract lives in exactly one Spark expression.
 
-    Rows with a literally-NULL embedding are dropped HERE, in the one
-    place every similarity consumer reads vectors from (the oracle
-    twin is _VEC_INNER's matching WHERE): a NULL vector has no
-    geometry — no norm, no cosine, no centroid — and letting it
-    through diverged between engines (Spark's fold yields a NULL cid
-    that joins away; DuckDB's row_number over 16 all-NULL scores ties
-    the row onto cid 0, inflating n_members). NaN/Inf GARBAGE vectors,
-    by contrast, stay: both engines score them deterministically (the
-    round-8 contract)."""
+    Rows with a literally-NULL embedding are dropped HERE (the oracle
+    twins are _VEC_INNER's and embedding_quantize's matching WHEREs):
+    a NULL vector has no geometry — no norm, no cosine, no centroid —
+    and letting it through diverged between engines (Spark's fold
+    yields a NULL cid that joins away; DuckDB's row_number over 16
+    all-NULL scores ties the row onto cid 0, inflating n_members).
+    NaN/Inf GARBAGE vectors, by contrast, stay: both engines score
+    them deterministically (the round-8 contract). fan_out: the
+    per-vector fold projections downstream must not run on one input
+    split."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    vec = emb.where(F.col("embedding").isNotNull()).select(
+    return emb.where(F.col("embedding").isNotNull()).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_raw_vectors plus the left-fold norm."""
+    vec = _raw_vectors(spark, sf_dir)
     return vec.select(
         "vec_id", "emb", F.sqrt(dot_fold(F.col("emb"), F.col("emb"))).alias("nrm")
     )
@@ -742,14 +748,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     global orderBy would range-partition-shuffle it purely for
     presentation (the driver hash is order-insensitive).
     """
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    # NULL embeddings drop (same contract as _vectors): Spark's
-    # posexplode(NULL) emits no rows while the oracle's
-    # generate_series cross join would emit 64 NULL cells.
-    vec = emb.where(F.col("embedding").isNotNull()).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    )
+    vec = _raw_vectors(spark, sf_dir)
     amax = F.array_max(F.transform("emb", F.abs))
     vec = vec.withColumn(
         "scale",

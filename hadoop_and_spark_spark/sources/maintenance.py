@@ -191,7 +191,11 @@ def evict_superseded(cache: dict, key: tuple[str, str]) -> None:
     Iterates under _CACHE_LOCK: concurrent sweep threads holding
     OTHER keys' build locks may insert into the same dict, and an
     unlocked scan races their resize. The superseded values'
-    unpersist (a Py4J call) runs after the lock is released."""
+    unpersist (a Py4J call) runs after the lock is released.
+
+    NOTE for new build sites: use ``insert_evicting`` (evict + insert
+    as one atomic mutation) — calling this function followed by a
+    bare dict insert reopens the window it closes."""
     with _CACHE_LOCK:
         victims = _pop_superseded(cache, key)
     for v in victims:
