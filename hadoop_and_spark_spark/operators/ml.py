@@ -453,18 +453,23 @@ def _sgd_train_ctes(sfx: str, where: str = "TRUE") -> str:
     train_spam_classifier's kernel, one recursion step per training
     row, every arithmetic op mirrored (see the module constants for
     the exactness argument). Expects an ``inst`` CTE and the shared
-    ``sig`` sigmoid-table CTE in scope; emits nb/fx/mk/tr/fin{sfx}.
+    ``sig`` sigmoid-table CTE in scope; emits nb/tr/fin{sfx}.
 
-    Why a recursive CTE is affordable here and not in general: each
-    step probes the MATERIALIZED per-doc table by row number, which
-    DuckDB executes as an O(corpus) scan per step — O(n²) overall,
-    measured ~2.5 s per 1000 docs. Fine for the instance counts the
-    driver compares (500 docs at sf0.01); the same shape at 10⁶ rows
-    would be the oracle's bottleneck, which is why the trainer shards
-    per ensemble member at scale (train_sharded) and each shard's CTE
-    stays small. The per-doc feature MASK (mk) is precomputed
-    set-wise so the recursion's update is a flat
-    w[j] + u·m[j] over the weight vector, not a per-j list_contains.
+    Cost shape: each recursion step probes the MATERIALIZED per-doc
+    table by row number — DuckDB has no CTE indexes, so that probe is
+    an O(n·f̄) scan of nb's sparse feature lists per step, then the
+    weight update is one 1009-wide list_transform whose per-slot
+    list_contains walks the doc's f̄ features. The round-10 form
+    instead precomputed a docs × 1009 dense MASK grid (the mk CTE)
+    and scanned those masks per step — O(n·1009) per step, O(n²·1009)
+    overall: 27.9 s + 9.2 s for the spam_train/spam_eval_trained pair
+    at sf0.1 (5000 docs). Dropping the masks for the sparse
+    list_contains update cut the pair to ~6.6 s + ~2.5 s at identical
+    bits (round 11; before/after ledger in SURVEY §5). Still O(n²) in
+    the scan term — fine for driver compares (500 docs) and the sf0.1
+    mirrors; a 10⁶-row corpus would bottleneck here, which is why the
+    trainer shards per ensemble member at scale (train_sharded) and
+    each shard's CTE stays small.
     """
     yq = f"(CASE WHEN n.label = 'spam' THEN {SGD_PQ} ELSE 0 END)"
     s_expr = (
@@ -483,30 +488,18 @@ def _sgd_train_ctes(sfx: str, where: str = "TRUE") -> str:
                row_number() OVER (ORDER BY docid) AS rn
         FROM inst WHERE {where}
     ),
-    fx{sfx} AS (SELECT rn, unnest(features) AS f FROM nb{sfx}),
-    mk{sfx} AS MATERIALIZED (
-        SELECT grd.rn, any_value(grd.label) AS label,
-               any_value(grd.features) AS features,
-               list(CASE WHEN fx.f IS NULL THEN 0 ELSE 1 END
-                    ORDER BY grd.j) AS m
-        FROM (SELECT nb.rn, nb.label, nb.features, gs.j
-              FROM nb{sfx} nb,
-                   (SELECT unnest(generate_series(0, {N_FEATURES - 1})) AS j) gs
-             ) grd
-        LEFT JOIN fx{sfx} fx ON fx.rn = grd.rn AND fx.f = grd.j
-        GROUP BY grd.rn
-    ),
     tr{sfx} AS (
         SELECT 0::BIGINT AS step,
                list_transform(generate_series(1, {N_FEATURES}),
                               x -> 0::BIGINT) AS w
         UNION ALL
         SELECT s.step + 1,
-               list_transform(generate_series(1, {N_FEATURES}),
-                              j -> s.w[j] + s.u * s.m[j])
+               list_transform(s.w, (x, j) -> x
+                   + CASE WHEN list_contains(s.features, j - 1)
+                          THEN s.u ELSE 0::BIGINT END)
         FROM (
-            SELECT t.step, t.w, n.m, {u_expr} AS u
-            FROM tr{sfx} t JOIN mk{sfx} n ON n.rn = t.step + 1, sig g
+            SELECT t.step, t.w, n.features, {u_expr} AS u
+            FROM tr{sfx} t JOIN nb{sfx} n ON n.rn = t.step + 1, sig g
         ) s
     ),
     fin{sfx} AS (SELECT w FROM tr{sfx} ORDER BY step DESC LIMIT 1)"""

@@ -315,12 +315,14 @@ KM_CLAMP = 10.0  # training-vector magnitude bound (exactness budget)
 KM_EXACT_BUDGET = 2.0**53
 
 # The per-ROW budget (dot products, |M|² folds) is static — guaranteed
-# by the constants, so check it once at import: max coordinate is
-# KM_CLAMP·KM_QUANT and a dot/norm² folds EMB_DIM products of two such.
-assert EMB_DIM * (KM_CLAMP * KM_QUANT) ** 2 < KM_EXACT_BUDGET, (
-    "k-means dot-product budget exceeded by the module constants "
-    "themselves; shrink KM_QUANT or KM_CLAMP"
-)
+# by the constants, so check it once at import. An explicit raise, not
+# a bare assert: `python -O` strips asserts, and this check complements
+# the runtime KMeansExactnessError guard, which always runs.
+if EMB_DIM * (KM_CLAMP * KM_QUANT) ** 2 >= KM_EXACT_BUDGET:
+    raise AssertionError(
+        "k-means dot-product budget exceeded by the module constants "
+        "themselves; shrink KM_QUANT or KM_CLAMP"
+    )
 
 
 class KMeansExactnessError(RuntimeError):

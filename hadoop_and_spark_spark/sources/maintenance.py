@@ -168,13 +168,17 @@ def _pop_superseded(cache: dict, key: tuple[str, str]) -> list:
     values whose key shares ``key``'s (applicationId, table path,
     artifact version) but a DIFFERENT source mtime/size."""
     app, marker = key
-    parts = marker.split("|")
+    # rsplit, not split: the marker tail (mtime|size|version) is
+    # '|'-free by construction (source_marker), but the PATH prefix
+    # is user-controlled — a table path containing '|' would
+    # over-split a plain split() and silently skip eviction.
+    parts = marker.rsplit("|", 3)
     if len(parts) != 4:
         return []
     path, _mt, _sz, version = parts
     victims = []
     for k in [k for k in cache if k != key and k[0] == app]:
-        kp = k[1].split("|")
+        kp = k[1].rsplit("|", 3)
         if len(kp) == 4 and kp[0] == path and kp[3] == version:
             victims.append(cache.pop(k))
     return victims
