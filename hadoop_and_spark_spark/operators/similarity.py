@@ -779,20 +779,100 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PCA_K = 8
+# --- fixed-point PCA (round 11): the k-means/SGD integer-quantization
+# recipe applied to the covariance sufficient statistics, which
+# upgraded embedding_pca from rows-only to hash-gated.
+#
+# Vectors are quantized to integer micro-units (q_d = floor(x·PQ+0.5))
+# so the Gram matrix, per-dimension sums, and count are exact integers
+# in ANY summation order (every partial stays below 2^53 — guarded at
+# train time by PcaExactnessError on the measured n·maxq² bound).
+# The decomposition itself is NOT an eigensolve (not portable, not
+# SQL-expressible): the model is DEFINED as PCA_POWER_STEPS rounds of
+# deflated power iteration over cov = G/n − (s/n)(s/n)ᵀ from the fixed
+# all-ones start vector, every op a correctly-rounded IEEE +,−,×,÷ or
+# sqrt executed in a pinned left-to-right order — so the driver-side
+# Python trainer (_pca_power_train) and the DuckDB recursive-CTE
+# oracle produce bit-identical components, with no shared literal
+# injected anywhere (the oracle re-derives the model from the parquet
+# alone, the kmeans-oracle property). On a near-flat spectrum (this
+# testdata: λ₂/λ₁ ≈ 0.99) the fixed-step components are NOT the exact
+# eigh eigenvectors — deterministically so in both engines — but the
+# spanned subspace captures ≥98.5% of the optimal top-k variance
+# (pinned in tests/test_similarity.py); on real embedding spectra
+# (decaying) the same iteration converges to true PCA.
+PCA_QUANT = 8192.0  # stats micro-units (coarser than KM_QUANT: the
+#     Gram products square the coordinates, so the 2^53 headroom is
+#     n·(maxq)² — at 8192 a |x|<1 corpus keeps exact stats to ~10⁸
+#     rows; 1e6 would cap it at ~10³)
+PCA_CLAMP = 64.0  # |x| validity bound (garbage/NaN/Inf rows carry no
+#     geometry for a covariance model; dropped from stats AND output,
+#     identically in both engines — the _train_vectors contract)
+PCA_POWER_STEPS = 24  # fixed T: the model contract, not a tolerance
+
+# Separate from KM_EXACT_BUDGET so tests can lower one guard without
+# tripping the other family's trainer.
+PCA_EXACT_BUDGET = 2.0**53
+
+# Static per-PRODUCT budget: one Gram term is at most (CLAMP·QUANT)².
+# Explicit raise (not assert) so the check survives python -O.
+if (PCA_CLAMP * PCA_QUANT) ** 2 >= PCA_EXACT_BUDGET:
+    raise AssertionError(
+        "PCA Gram-product budget exceeded by the module constants "
+        "themselves; shrink PCA_QUANT or PCA_CLAMP"
+    )
+
+
+class PcaExactnessError(RuntimeError):
+    """The corpus grew past the PCA integer-exactness budget: a Gram
+    cell's sum of n products of two |q| ≤ maxq micro-unit coordinates
+    can exceed 2^53, where double addition starts rounding and the
+    sufficient statistics silently stop being bit-reproducible across
+    partitionings and engines. Raised instead of training on: at this
+    scale a production trainer re-quantizes to a coarser PCA_QUANT
+    (halving QUANT buys 4× the row budget at twice the quantization
+    step) before the stats pass."""
+
+
+def _pca_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb double[], q double[]) — the PCA corpus: raw double
+    vectors for the projection plus their integer micro-unit twins for
+    the exact-stats pass. Validity filter (NULL / non-finite /
+    |x| ≥ PCA_CLAMP dropped) mirrors _train_vectors; the oracle twin
+    is the matching WHERE in the embedding_pca SQL."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    ok = F.forall(
+        "embedding",
+        lambda x: x.isNotNull() & (F.abs(x.cast("double")) < F.lit(PCA_CLAMP)),
+    )
+    return emb.where(F.col("embedding").isNotNull() & ok).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(PCA_QUANT) + F.lit(0.5)
+            ).cast("double"),
+        ).alias("q"),
+    )
 
 
 def _gram_kernel(batches):
-    """Arrow kernel emitting each partition's Gram-matrix partial sums
-    (EMB_DIM² cells), per-dimension sums, and row count — the
-    in-mapper combiner (A3) for covariance: a task contributes
-    O(d²) cells no matter how many vectors it scans."""
+    """Arrow kernel emitting each partition's QUANTIZED Gram-matrix
+    partial sums (EMB_DIM² cells), per-dimension sums, row count, and
+    max |q| — the in-mapper combiner (A3) for covariance: a task
+    contributes O(d²) cells no matter how many vectors it scans.
+    X is integer-valued (see _pca_vectors), so X.T @ X is exact
+    whatever BLAS blocking runs it — every product and partial sum is
+    below 2^53 (enforced downstream by the PcaExactnessError guard on
+    the exact n and maxq this kernel also emits)."""
     import numpy as np
     import pandas as pd
 
     for pdf in batches:
         if not len(pdf):
             continue
-        X = np.stack(pdf["emb"].to_numpy())
+        X = np.stack(pdf["q"].to_numpy())
         G = X.T @ X
         i, j = np.meshgrid(np.arange(EMB_DIM), np.arange(EMB_DIM), indexing="ij")
         out = pd.DataFrame(
@@ -810,97 +890,147 @@ def _gram_kernel(batches):
             }
         )
         cnt = pd.DataFrame({"i": [-1], "j": [-1], "g": [float(len(X))]})
-        yield pd.concat([out, sums, cnt], ignore_index=True)
+        mx = pd.DataFrame(
+            {"i": [-2], "j": [-1], "g": [float(np.abs(X).max()) if X.size else 0.0]}
+        )
+        yield pd.concat([out, sums, cnt, mx], ignore_index=True)
+
+
+def _pca_fold(vals) -> float:
+    """Left-to-right double fold from 0.0 — the ONE summation order
+    every PCA model op uses, mirrored term-for-term by the oracle's
+    list_reduce([0.0] || …) folds."""
+    acc = 0.0
+    for v in vals:
+        acc = acc + v
+    return acc
+
+
+def _pca_matvec(c: list[list[float]], v: list[float]) -> list[float]:
+    return [
+        _pca_fold([c[i][j] * v[j] for j in range(EMB_DIM)])
+        for i in range(EMB_DIM)
+    ]
+
+
+def _pca_power_train(G, s, n: float):
+    """PCA_K components via deflated power iteration over the exact
+    integer stats — the portable model DEFINITION (see the module
+    constants): each of the PCA_K rounds runs PCA_POWER_STEPS of
+    v ← Cv/||Cv|| from the all-ones start, takes λ = vᵀCv (Rayleigh),
+    canonicalizes the sign (largest-|loading| coordinate positive,
+    ties to the lowest index), and deflates C ← C − λvvᵀ. Every
+    expression here is mirrored op-for-op in the embedding_pca oracle
+    SQL; a zero matvec (rank-deficient C) keeps the zero vector in
+    both engines instead of dividing by zero. Returns (components
+    [PCA_K×d], rayleigh values in extraction order)."""
+    import math
+
+    d = EMB_DIM
+    c = [
+        [G[i][j] / n - (s[i] / n) * (s[j] / n) for j in range(d)]
+        for i in range(d)
+    ]
+    comps: list[list[float]] = []
+    lams: list[float] = []
+    for _k in range(PCA_K):
+        v = [1.0] * d
+        for _t in range(PCA_POWER_STEPS):
+            y = _pca_matvec(c, v)
+            nrm = math.sqrt(_pca_fold([x * x for x in y]))
+            v = y if nrm == 0.0 else [x / nrm for x in y]
+        y = _pca_matvec(c, v)
+        lam = _pca_fold([v[j] * y[j] for j in range(d)])
+        jstar = 0
+        for j in range(1, d):
+            if abs(v[j]) > abs(v[jstar]):
+                jstar = j
+        comps.append([-x for x in v] if v[jstar] < 0.0 else list(v))
+        lams.append(lam)
+        c = [
+            [c[i][j] - lam * v[i] * v[j] for j in range(d)]
+            for i in range(d)
+        ]
+    return comps, lams
 
 
 def _pca_components(spark: SparkSession, sf_dir: str):
-    """Top-PCA_K principal components of the embedding corpus, trained
-    once per (session, corpus): ONE corpus pass aggregates the Gram
-    matrix / mean / count sufficient statistics (d² + d + 1 cells
-    total through the shuffle), the driver eigendecomposes the d×d
-    covariance (A9 collect-to-model — d=64, trivially driver-sized at
-    any corpus scale), and signs are canonicalized (largest-|loading|
-    coordinate positive) so the model is unique up to FP summation
-    order. Returns (components [k×d], eigenvalues desc, n)."""
-    import numpy as np
+    """Top-PCA_K portable components of the embedding corpus, trained
+    once per (session, corpus): ONE corpus pass aggregates the exact
+    integer Gram/mean/count statistics (d² + d + 2 cells total through
+    the shuffle), the driver checks the 2^53 budget on the measured
+    (n, maxq) and runs the fixed-order power-iteration decomposition
+    (A9 collect-to-model — d=64, trivially driver-sized at any corpus
+    scale). Returns (components [k×d], rayleigh values, n) — the
+    components are bit-identical to the DuckDB oracle's, see the
+    module constants."""
 
     from ..sources.maintenance import session_memo
 
     def build():
-        vec = _vectors(spark, sf_dir)
+        vec = _pca_vectors(spark, sf_dir)
         cells = (
             vec.mapInPandas(_gram_kernel, "i int, j int, g double")
             .groupBy("i", "j")
-            .agg(F.sum("g").alias("g"))
+            .agg(F.sum("g").alias("g"), F.max("g").alias("mx"))
             .collect()
         )
-        G = np.zeros((EMB_DIM, EMB_DIM))
-        s = np.zeros(EMB_DIM)
+        G = [[0.0] * EMB_DIM for _ in range(EMB_DIM)]
+        s = [0.0] * EMB_DIM
         n = 0.0
+        maxq = 0.0
         for c in cells:
-            if c.i == -1:
+            if c.i == -2:
+                maxq = c.mx
+            elif c.i == -1:
                 n = c.g
             elif c.j == -1:
                 s[c.i] = c.g
             else:
-                G[c.i, c.j] = c.g
+                G[c.i][c.j] = c.g
         if n == 0:
             return [], [], 0
-        mean = s / n
-        cov = G / n - np.outer(mean, mean)
-        evals, evecs = np.linalg.eigh(cov)  # ascending
-        order = np.argsort(evals)[::-1][:PCA_K]
-        comps = []
-        for idx in order:
-            v = evecs[:, idx]
-            if v[np.argmax(np.abs(v))] < 0:  # canonical sign
-                v = -v
-            comps.append([float(x) for x in v])
-        return comps, [float(evals[i]) for i in order], int(n)
+        if n * maxq * maxq >= PCA_EXACT_BUDGET:
+            raise PcaExactnessError(
+                f"corpus of {int(n)} vectors with max |q| = {int(maxq)} "
+                f"micro-units exceeds the 2^53 Gram-sum budget "
+                f"(n·maxq² = {n * maxq * maxq:.3e}); re-quantize with a "
+                "coarser PCA_QUANT before training"
+            )
+        comps, lams = _pca_power_train(G, s, n)
+        return comps, lams, int(n)
 
-    return session_memo(spark, sf_dir, "embeddings", "pca_v1", build)
+    return session_memo(spark, sf_dir, "embeddings", "pca_v2", build)
 
 
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection of every embedding onto the corpus's top-PCA_K
-    principal components — the dimensionality-reduction / whitening
-    stage before clustering or coarse ANN (project once, index the
-    short vectors).
+    """PCA projection of every valid embedding onto the corpus's
+    PCA_K portable components — the dimensionality-reduction /
+    whitening stage before clustering or coarse ANN (project once,
+    index the short vectors).
 
-    Train: _pca_components (one sufficient-statistics pass + 64×64
-    driver eigensolve, memoized per corpus). Apply: an Arrow kernel
-    multiplies each partition against the broadcast component matrix —
-    no shuffle; the only exchange is the d²-cell statistics gather.
-    Rows-only at the driver (covariance partial sums are FP-order-
-    dependent across partitions, so coordinates aren't bit-portable);
-    correctness is the NumPy-twin tolerance pin + variance-explained
-    ordering in tests/test_similarity.py."""
-    import numpy as np
-    import pandas as pd
-
-    comps, _evals, _n = _pca_components(spark, sf_dir)
+    Train: _pca_components (one exact-integer sufficient-statistics
+    pass + the driver-side fixed-order power-iteration decomposition,
+    memoized per corpus). Apply: a codegen projection — each coord is
+    the portable left-fold dot of the raw double vector against one
+    component (dot_fold, the kmeans-assignment pattern) — no Python,
+    no shuffle except the presentation orderBy. HASH-GATED since
+    round 11 (was rows-only for ten rounds — the float Gram partials
+    were FP-order-dependent): the stats are exact integers, the
+    decomposition is pinned-order IEEE arithmetic, and the DuckDB
+    oracle re-derives the identical model from the parquet alone."""
+    comps, _lams, _n = _pca_components(spark, sf_dir)
     if not comps:
         return spark.createDataFrame([], "vec_id long, k int, coord double")
-    W = np.array(comps)  # k × d
-
-    def project(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["emb"].to_numpy())
-            P = X @ W.T  # n × k
-            n_rows, k = P.shape
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
-                    "k": np.tile(np.arange(k, dtype="int32"), n_rows),
-                    "coord": P.ravel(),
-                }
-            )
-
-    vec = _vectors(spark, sf_dir)
+    karr = F.array(
+        *[
+            dot_fold(F.col("emb"), F.array(*[F.lit(x) for x in comp]))
+            for comp in comps
+        ]
+    )
+    vec = _pca_vectors(spark, sf_dir)
     return (
-        vec.mapInPandas(project, "vec_id long, k int, coord double")
+        vec.select("vec_id", F.posexplode(karr).alias("k", "coord"))
         .select("vec_id", "k", round6(F.col("coord")).alias("coord"))
         .orderBy("vec_id", "k")
     )
@@ -1127,6 +1257,124 @@ ORACLE_SQL["embedding_quantize"] = f"""
            {round6_sql('scale')} AS scale
     FROM cells ORDER BY vec_id, dim
 """
+
+def _pca_oracle_sql() -> str:
+    """The embedding_pca pipeline re-derived end-to-end in DuckDB —
+    quantized exact-integer stats, then the fixed-order deflated
+    power iteration as one recursive CTE per component (PageRank/
+    k-means-oracle family; the T-step chain is a recursive CTE, not
+    PCA_K·T unrolled CTEs, which cut the oracle's fixed cost ~10×:
+    4.5 s → 0.5 s at sf0.01). Every fold is list_reduce from an
+    explicit 0.0 seed — the exact op sequence of _pca_fold — and
+    every CTE referenced more than once is MATERIALIZED (DuckDB 1.0
+    re-executes inlined CTEs per reference)."""
+    d = EMB_DIM
+    t_steps = PCA_POWER_STEPS
+
+    def fold_sq(y: str) -> str:
+        return (
+            f"list_reduce([0.0::DOUBLE] || list_transform({y}, x -> x * x), "
+            "(a, b) -> a + b)"
+        )
+
+    def fold_prod(v: str, y: str) -> str:
+        return (
+            f"list_reduce([0.0::DOUBLE] || list_transform({v}, "
+            f"(x, j) -> x * {y}[j]), (a, b) -> a + b)"
+        )
+
+    def matvec(c: str, v: str) -> str:
+        return (
+            f"list_transform({c}, r -> list_reduce([0.0::DOUBLE] || "
+            f"list_transform(r, (x, j) -> x * {v}[j]), (a, b) -> a + b))"
+        )
+
+    filt = (
+        "list_reduce([TRUE] || list_transform(embedding, "
+        f"x -> x IS NOT NULL AND abs(x::DOUBLE) < {PCA_CLAMP!r}), "
+        "(a, b) -> a AND b)"
+    )
+    ctes = [
+        f"""val AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+               list_transform(embedding,
+                              x -> floor(x::DOUBLE * {PCA_QUANT!r} + 0.5)) AS q
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND {filt}
+    )""",
+        f"""cells AS MATERIALIZED (
+        SELECT gi.i, gj.j, sum(v.q[gi.i] * v.q[gj.j]) AS g
+        FROM val v, generate_series(1, {d}) gi(i), generate_series(1, {d}) gj(j)
+        GROUP BY gi.i, gj.j
+    )""",
+        f"""stats AS MATERIALIZED (
+        SELECT (SELECT list(g ORDER BY i * {d} + j) FROM cells) AS gf,
+               (SELECT list(sq ORDER BY i) FROM (
+                    SELECT gi.i AS i, sum(v.q[gi.i]) AS sq
+                    FROM val v, generate_series(1, {d}) gi(i) GROUP BY gi.i)) AS s,
+               (SELECT count(*)::DOUBLE FROM val) AS n
+    )""",
+        f"""st0 AS MATERIALIZED (
+        SELECT list_transform(generate_series(1, {d}), i ->
+                 list_transform(generate_series(1, {d}), j ->
+                   gf[(i - 1) * {d} + j] / n - (s[i] / n) * (s[j] / n))) AS c
+        FROM stats
+    )""",
+    ]
+    for k in range(PCA_K):
+        ctes.append(
+            f"""pw{k} AS (
+        SELECT 0 AS t, c,
+               list_transform(generate_series(1, {d}), x -> 1.0::DOUBLE) AS v
+        FROM st{k}
+        UNION ALL
+        SELECT t + 1, c,
+               CASE WHEN nrm = 0.0 THEN y
+                    ELSE list_transform(y, x -> x / nrm) END
+        FROM (SELECT t, c, y, sqrt({fold_sq('y')}) AS nrm
+              FROM (SELECT t, c, {matvec('c', 'v')} AS y
+                    FROM pw{k} WHERE t < {t_steps}))
+    )""",
+        )
+        ctes.append(
+            f"""fin{k} AS MATERIALIZED (
+        SELECT c, v, {fold_prod('v', 'y')} AS lam
+        FROM (SELECT c, v, {matvec('c', 'v')} AS y
+              FROM pw{k} WHERE t = {t_steps})
+    )""",
+        )
+        ctes.append(
+            f"""cmp{k} AS MATERIALIZED (
+        SELECT CASE WHEN v[jstar] < 0.0
+                    THEN list_transform(v, x -> -x) ELSE v END AS comp
+        FROM (SELECT v, (SELECT j FROM generate_series(1, {d}) t(j)
+                         ORDER BY abs(v[j]) DESC, j LIMIT 1) AS jstar
+              FROM fin{k})
+    )""",
+        )
+        ctes.append(
+            f"""st{k + 1} AS MATERIALIZED (
+        SELECT list_transform(c, (r, i) ->
+                 list_transform(r, (x, j) -> x - lam * v[i] * v[j])) AS c
+        FROM fin{k}
+    )""",
+        )
+    comps_sel = " UNION ALL ".join(
+        f"SELECT {k} AS k, comp FROM cmp{k}" for k in range(PCA_K)
+    )
+    ctes.append(f"comps AS MATERIALIZED ({comps_sel})")
+    coord = dot_fold_sql("v.emb", "c.comp", d)
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v.vec_id, c.k::INT AS k, {round6_sql(coord)} AS coord
+    FROM val v CROSS JOIN comps c ORDER BY vec_id, k
+"""
+    )
+
+
+ORACLE_SQL["embedding_pca"] = _pca_oracle_sql()
 
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
