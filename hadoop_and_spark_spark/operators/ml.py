@@ -173,6 +173,12 @@ def train_spam_classifier(
         w: dict[int, int] = {}
         # Buffer the (single coalesced) partition so multi-epoch
         # replay never re-reads from Spark; one epoch streams.
+        # MEMORY CEILING: epochs > 1 therefore holds the ENTIRE
+        # training corpus in one Python worker's memory (the price of
+        # replaying an order-sensitive sequential pass) — size the
+        # corpus or shard (train_sharded) accordingly; epochs == 1,
+        # the reference's semantics and every registered query's
+        # setting, streams batch-by-batch at O(batch) memory.
         buffered = list(batches) if epochs > 1 else batches
         for _ in range(epochs):
             for pdf in buffered if epochs > 1 else batches:
@@ -447,9 +453,11 @@ _INST_CTE = f"""
 """
 
 
-def _sgd_train_ctes(sfx: str, where: str = "TRUE") -> str:
+def _sgd_train_ctes(sfx: str, where: str = "TRUE", epochs: int = 1) -> str:
     """The fixed-point sequential SGD pass over ``inst`` rows matching
-    ``where`` (docid order) as a RECURSIVE-CTE chain — the SQL twin of
+    ``where`` (docid order, replayed ``epochs`` times — the step table
+    is the docid-ordered sequence repeated, exactly the trainer's
+    buffered replay) as a RECURSIVE-CTE chain — the SQL twin of
     train_spam_classifier's kernel, one recursion step per training
     row, every arithmetic op mirrored (see the module constants for
     the exactness argument). Expects an ``inst`` CTE and the shared
@@ -483,10 +491,30 @@ def _sgd_train_ctes(sfx: str, where: str = "TRUE") -> str:
         f"floor(({yq} - g.t[({k_expr}) + {_SGD_KMAX + 1}]) "
         f"/ {_inv_delta(DELTA)!r} + 0.5)::BIGINT"
     )
-    return f"""nb{sfx} AS MATERIALIZED (
+    if epochs == 1:
+        nb_body = f"""
+        SELECT label, coalesce(features, []) AS features,
+               row_number() OVER (ORDER BY docid) AS rn
+        FROM inst WHERE {where}"""
+    else:
+        # epoch e's copy of row rn sits at step (e-1)·n + rn: the
+        # docid-ordered pass repeated end-to-end, like the buffered
+        # replay in the trainer.
+        nb_body = f"""
+        SELECT label, features,
+               (ep.e - 1) * (SELECT count(*) FROM bs{sfx}) + rn AS rn
+        FROM bs{sfx}, generate_series(1, {epochs}) ep(e)"""
+    bs_cte = (
+        ""
+        if epochs == 1
+        else f"""bs{sfx} AS MATERIALIZED (
         SELECT label, coalesce(features, []) AS features,
                row_number() OVER (ORDER BY docid) AS rn
         FROM inst WHERE {where}
+    ),
+    """
+    )
+    return f"""{bs_cte}nb{sfx} AS MATERIALIZED ({nb_body}
     ),
     tr{sfx} AS (
         SELECT 0::BIGINT AS step,

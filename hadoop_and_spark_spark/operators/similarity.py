@@ -329,11 +329,19 @@ class KMeansExactnessError(RuntimeError):
     """A cluster's membership grew past the integer-exactness budget:
     its per-dimension member sums can exceed 2^53, where double
     addition starts rounding and the trained model silently stops
-    being bit-reproducible across partitionings and engines. Raised
-    instead of training on: at this scale a production trainer must
-    re-quantize SHARD partials (sum ≤9e8-row shards exactly, floor
-    each shard's partial mean back to integer micro-units, then
-    average the shard means) before the global fold."""
+    being bit-reproducible across partitionings and engines.
+
+    THE ERROR IS THE CONTRACT — deliberately no automatic fallback.
+    The published model definition is "Lloyd's over KM_QUANT
+    micro-units with exact member sums", and the DuckDB oracle
+    re-derives exactly that; any in-flight mitigation (re-quantizing
+    shard partials to coarser units, or switching the fold order)
+    trains a DIFFERENT model while still calling it the same thing —
+    the silent-divergence failure mode this whole guard exists to
+    kill. The operator's supported response, stated at the parameter:
+    re-run with a coarser KM_QUANT (halving it buys 4× the member
+    budget at twice the quantization step), which changes the model
+    definition VISIBLY and identically in both engines."""
 
 
 def _train_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

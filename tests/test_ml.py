@@ -284,3 +284,48 @@ def test_sgd_saturated_scores_keep_oracle_parity(spark, saturating_corpus_dir):
     assert kmax > ml._SGD_KMAX and kmin < -ml._SGD_KMAX, (
         f"fixture failed to saturate the table: k range [{kmin}, {kmax}]"
     )
+
+
+def test_multi_epoch_training_matches_recursive_oracle(spark, sf_dir):
+    """``epochs > 1`` replays the buffered (single) partition — the
+    documented whole-corpus-in-one-worker memory ceiling path, with
+    no registered consumer — and must stay on the same
+    bit-reproducible contract as the single-pass trainer: the
+    generalized recursive-CTE oracle just repeats the docid-ordered
+    step table epoch-by-epoch. Trains a docid-subsample (the oracle
+    recursion is quadratic in step count) for 3 epochs and runs the
+    full driver-shaped compare; also pins that the replay actually
+    moves the weights past the single-epoch model."""
+    epochs = 3
+    sub = "docid % 10 = 3"
+
+    def fn(spark, sfd):
+        inst = ml.spam_instances(spark, sfd).where(F.expr(sub))
+        return (
+            ml.train_spam_classifier(inst, epochs=epochs)
+            .select("feature", "weight")
+            .orderBy("feature")
+        )
+
+    sql = f"""
+        WITH RECURSIVE {ml._INST_BODY},
+        {ml._SIG_CTE},
+        {ml._sgd_train_ctes('', where=sub, epochs=epochs)}
+        SELECT u.f AS feature, fin.w[u.f + 1] / {ml.SGD_WQ!r} AS weight
+        FROM (SELECT DISTINCT unnest(features) AS f FROM inst
+              WHERE features IS NOT NULL AND {sub}) u, fin
+        ORDER BY feature
+    """
+    ok, msg = compare(spark, sf_dir, fn, sql)
+    assert ok, f"multi-epoch oracle drift: {msg}"
+
+    inst = ml.spam_instances(spark, sf_dir).where(F.expr(sub))
+    one = {
+        r.feature: r.w_q
+        for r in ml.train_spam_classifier(inst, epochs=1).collect()
+    }
+    three = {
+        r.feature: r.w_q
+        for r in ml.train_spam_classifier(inst, epochs=epochs).collect()
+    }
+    assert one.keys() == three.keys() and one != three
