@@ -472,7 +472,7 @@ def _sgd_train_ctes(sfx: str, where: str = "TRUE", epochs: int = 1) -> str:
     and scanned those masks per step — O(n·1009) per step, O(n²·1009)
     overall: 27.9 s + 9.2 s for the spam_train/spam_eval_trained pair
     at sf0.1 (5000 docs). Dropping the masks for the sparse
-    list_contains update cut the pair to ~6.6 s + ~2.5 s at identical
+    list_contains update cut the pair to 7.9 s + 3.8 s at identical
     bits (round 11; before/after ledger in SURVEY §5). Still O(n²) in
     the scan term — fine for driver compares (500 docs) and the sf0.1
     mirrors; a 10⁶-row corpus would bottleneck here, which is why the
