@@ -181,7 +181,7 @@ def train_spam_classifier(
         # setting, streams batch-by-batch at O(batch) memory.
         buffered = list(batches) if epochs > 1 else batches
         for _ in range(epochs):
-            for pdf in buffered if epochs > 1 else batches:
+            for pdf in buffered:
                 for label, feats in zip(pdf["label"], pdf["features"]):
                     if feats is None:
                         # null-text instance: tokenize(null) → null
@@ -461,7 +461,8 @@ def _sgd_train_ctes(sfx: str, where: str = "TRUE", epochs: int = 1) -> str:
     train_spam_classifier's kernel, one recursion step per training
     row, every arithmetic op mirrored (see the module constants for
     the exactness argument). Expects an ``inst`` CTE and the shared
-    ``sig`` sigmoid-table CTE in scope; emits nb/tr/fin{sfx}.
+    ``sig`` sigmoid-table CTE in scope; emits nb/tr/fin{sfx} (plus
+    bs{sfx} for the epoch-replicated base when epochs > 1).
 
     Cost shape: each recursion step probes the MATERIALIZED per-doc
     table by row number — DuckDB has no CTE indexes, so that probe is
@@ -491,11 +492,12 @@ def _sgd_train_ctes(sfx: str, where: str = "TRUE", epochs: int = 1) -> str:
         f"floor(({yq} - g.t[({k_expr}) + {_SGD_KMAX + 1}]) "
         f"/ {_inv_delta(DELTA)!r} + 0.5)::BIGINT"
     )
-    if epochs == 1:
-        nb_body = f"""
+    base = f"""
         SELECT label, coalesce(features, []) AS features,
                row_number() OVER (ORDER BY docid) AS rn
         FROM inst WHERE {where}"""
+    if epochs == 1:
+        nb_body, bs_cte = base, ""
     else:
         # epoch e's copy of row rn sits at step (e-1)·n + rn: the
         # docid-ordered pass repeated end-to-end, like the buffered
@@ -504,16 +506,7 @@ def _sgd_train_ctes(sfx: str, where: str = "TRUE", epochs: int = 1) -> str:
         SELECT label, features,
                (ep.e - 1) * (SELECT count(*) FROM bs{sfx}) + rn AS rn
         FROM bs{sfx}, generate_series(1, {epochs}) ep(e)"""
-    bs_cte = (
-        ""
-        if epochs == 1
-        else f"""bs{sfx} AS MATERIALIZED (
-        SELECT label, coalesce(features, []) AS features,
-               row_number() OVER (ORDER BY docid) AS rn
-        FROM inst WHERE {where}
-    ),
-    """
-    )
+        bs_cte = f"bs{sfx} AS MATERIALIZED ({base}\n    ),\n    "
     return f"""{bs_cte}nb{sfx} AS MATERIALIZED ({nb_body}
     ),
     tr{sfx} AS (

@@ -344,10 +344,48 @@ class KMeansExactnessError(RuntimeError):
     definition VISIBLY and identically in both engines."""
 
 
+def _valid_quantized(
+    spark: SparkSession,
+    sf_dir: str,
+    clamp: float,
+    quant: float,
+    with_raw: bool = False,
+) -> DataFrame:
+    """THE one Spark copy of the integer-exact trainers' input
+    contract (k-means and PCA share it with different constants):
+    drop rows whose embedding is NULL or carries any NULL /
+    non-finite / |x| ≥ clamp component, quantize the rest to
+    q_d = floor(x_d·quant + 0.5) stored as integer-VALUED doubles
+    (plus the raw double vector when ``with_raw`` — the PCA
+    projection input). Each family's oracle SQL mirrors this WHERE +
+    floor per engine; keeping the Spark side in one helper means a
+    validity-semantics fix cannot reach one trainer and miss the
+    other."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    ok = F.forall(
+        "embedding",
+        lambda x: x.isNotNull() & (F.abs(x.cast("double")) < F.lit(clamp)),
+    )
+    cols = ["vec_id"]
+    if with_raw:
+        cols.append(
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+        )
+    cols.append(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(quant) + F.lit(0.5)
+            ).cast("double"),
+        ).alias("q")
+    )
+    return emb.where(F.col("embedding").isNotNull() & ok).select(*cols)
+
+
 def _train_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training corpus for the k-means trainer: embeddings QUANTIZED
     to integer micro-units (q_d = floor(x_d * 1e6 + 0.5), stored as
-    integer-VALUED doubles).
+    integer-VALUED doubles) — _valid_quantized at the KM_* constants.
 
     Why integers: Lloyd's over doubles is FP-summation-order-dependent
     (partial sums race across partitions), which kept the trained
@@ -369,20 +407,7 @@ def _train_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     NaN-poisoning contract, now doubling as the exactness budget.
     Assignment output still covers every row (_assign_rows scores
     garbage rows against the finite model deterministically)."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    ok = F.forall(
-        "embedding",
-        lambda x: x.isNotNull() & (F.abs(x.cast("double")) < F.lit(KM_CLAMP)),
-    )
-    return emb.where(F.col("embedding").isNotNull() & ok).select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(
-                x.cast("double") * F.lit(KM_QUANT) + F.lit(0.5)
-            ).cast("double"),
-        ).alias("q"),
-    )
+    return _valid_quantized(spark, sf_dir, KM_CLAMP, KM_QUANT)
 
 
 def _kmeans_iter_stats(
@@ -845,24 +870,9 @@ class PcaExactnessError(RuntimeError):
 def _pca_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb double[], q double[]) — the PCA corpus: raw double
     vectors for the projection plus their integer micro-unit twins for
-    the exact-stats pass. Validity filter (NULL / non-finite /
-    |x| ≥ PCA_CLAMP dropped) mirrors _train_vectors; the oracle twin
-    is the matching WHERE in the embedding_pca SQL."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    ok = F.forall(
-        "embedding",
-        lambda x: x.isNotNull() & (F.abs(x.cast("double")) < F.lit(PCA_CLAMP)),
-    )
-    return emb.where(F.col("embedding").isNotNull() & ok).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-        F.transform(
-            "embedding",
-            lambda x: F.floor(
-                x.cast("double") * F.lit(PCA_QUANT) + F.lit(0.5)
-            ).cast("double"),
-        ).alias("q"),
-    )
+    the exact-stats pass — _valid_quantized at the PCA_* constants;
+    the oracle twin is the matching WHERE in the embedding_pca SQL."""
+    return _valid_quantized(spark, sf_dir, PCA_CLAMP, PCA_QUANT, with_raw=True)
 
 
 def _gram_kernel(batches):
