@@ -986,39 +986,50 @@ def _pca_components(spark: SparkSession, sf_dir: str):
     from ..sources.maintenance import session_memo
 
     def build():
-        vec = _pca_vectors(spark, sf_dir)
-        cells = (
-            vec.mapInPandas(_gram_kernel, "i int, j int, g double")
-            .groupBy("i", "j")
-            .agg(F.sum("g").alias("g"), F.max("g").alias("mx"))
-            .collect()
-        )
-        G = [[0.0] * EMB_DIM for _ in range(EMB_DIM)]
-        s = [0.0] * EMB_DIM
-        n = 0.0
-        maxq = 0.0
-        for c in cells:
-            if c.i == -2:
-                maxq = c.mx
-            elif c.i == -1:
-                n = c.g
-            elif c.j == -1:
-                s[c.i] = c.g
-            else:
-                G[c.i][c.j] = c.g
+        G, s, n, _maxq = _collect_pca_stats(_pca_vectors(spark, sf_dir))
         if n == 0:
             return [], [], 0
-        if n * maxq * maxq >= PCA_EXACT_BUDGET:
-            raise PcaExactnessError(
-                f"corpus of {int(n)} vectors with max |q| = {int(maxq)} "
-                f"micro-units exceeds the 2^53 Gram-sum budget "
-                f"(n·maxq² = {n * maxq * maxq:.3e}); re-quantize with a "
-                "coarser PCA_QUANT before training"
-            )
         comps, lams = _pca_power_train(G, s, n)
         return comps, lams, int(n)
 
     return session_memo(spark, sf_dir, "embeddings", "pca_v2", build)
+
+
+def _collect_pca_stats(vec: DataFrame):
+    """Gather the exact-integer PCA sufficient statistics from a
+    (…, q double[]) frame and enforce the 2^53 budget on the measured
+    (n, maxq). Split from _pca_components so the partition-invariance
+    test can run the SAME gather under different partitionings — the
+    statistics are exact integers, so the collected (G, s, n) must be
+    bit-identical whatever Spark's partial-sum tree looked like.
+    Returns (G [d×d], s [d], n, maxq)."""
+    cells = (
+        vec.mapInPandas(_gram_kernel, "i int, j int, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"), F.max("g").alias("mx"))
+        .collect()
+    )
+    G = [[0.0] * EMB_DIM for _ in range(EMB_DIM)]
+    s = [0.0] * EMB_DIM
+    n = 0.0
+    maxq = 0.0
+    for c in cells:
+        if c.i == -2:
+            maxq = c.mx
+        elif c.i == -1:
+            n = c.g
+        elif c.j == -1:
+            s[c.i] = c.g
+        else:
+            G[c.i][c.j] = c.g
+    if n > 0 and n * maxq * maxq >= PCA_EXACT_BUDGET:
+        raise PcaExactnessError(
+            f"corpus of {int(n)} vectors with max |q| = {int(maxq)} "
+            f"micro-units exceeds the 2^53 Gram-sum budget "
+            f"(n·maxq² = {n * maxq * maxq:.3e}); re-quantize with a "
+            "coarser PCA_QUANT before training"
+        )
+    return G, s, n, maxq
 
 
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -278,6 +278,23 @@ def test_embedding_pca_quality_vs_numpy_eigensolve(spark, sf_dir):
             assert abs(got[(vid, k)] - P[row, k]) < 2e-6
 
 
+def test_pca_stats_and_model_are_partition_invariant(spark, sf_dir):
+    """The core exactness claim behind the PCA hash gate: the Gram /
+    mean / count statistics are exact integers below 2^53, so the
+    gathered values — and therefore the trained components — must be
+    BIT-identical whatever partial-sum tree Spark's partitioning
+    produces (the kmeans partition-invariance pin, applied to PCA).
+    1 partition vs 13 ragged partitions, exact equality, no
+    tolerance."""
+    vec = similarity._pca_vectors(spark, sf_dir)
+    a = similarity._collect_pca_stats(vec.repartition(1))
+    b = similarity._collect_pca_stats(vec.repartition(13))
+    assert a == b  # G, s, n, maxq — exact
+    ca, _ = similarity._pca_power_train(a[0], a[1], a[2])
+    cb, _ = similarity._pca_power_train(b[0], b[1], b[2])
+    assert ca == cb
+
+
 def test_pca_budget_guard_trips_when_lowered(spark, sf_dir, monkeypatch):
     """The 2^53 Gram-sum exactness budget is ENFORCED, not just
     documented: with the budget constant lowered beneath the corpus's
