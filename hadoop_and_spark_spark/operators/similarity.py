@@ -1287,8 +1287,8 @@ ORACLE_SQL["embedding_quantize"] = f"""
     FROM cells ORDER BY vec_id, dim
 """
 
-def _pca_oracle_sql() -> str:
-    """The embedding_pca pipeline re-derived end-to-end in DuckDB —
+def _pca_cte_chain() -> list[str]:
+    """The embedding_pca model re-derived end-to-end in DuckDB CTEs —
     quantized exact-integer stats, then the fixed-order deflated
     power iteration as one recursive CTE per component (PageRank/
     k-means-oracle family; the T-step chain is a recursive CTE, not
@@ -1296,7 +1296,9 @@ def _pca_oracle_sql() -> str:
     4.5 s → 0.5 s at sf0.01). Every fold is list_reduce from an
     explicit 0.0 seed — the exact op sequence of _pca_fold — and
     every CTE referenced more than once is MATERIALIZED (DuckDB 1.0
-    re-executes inlined CTEs per reference)."""
+    re-executes inlined CTEs per reference). Ends with the ``comps``
+    (k, comp) table; _pca_oracle_sql projects the corpus against it,
+    and the model-parity test reads it directly."""
     d = EMB_DIM
     t_steps = PCA_POWER_STEPS
 
@@ -1392,14 +1394,33 @@ def _pca_oracle_sql() -> str:
         f"SELECT {k} AS k, comp FROM cmp{k}" for k in range(PCA_K)
     )
     ctes.append(f"comps AS MATERIALIZED ({comps_sel})")
-    coord = dot_fold_sql("v.emb", "c.comp", d)
+    return ctes
+
+
+def _pca_oracle_sql() -> str:
+    """embedding_pca's registered oracle: the model chain plus the
+    portable-fold projection of every valid vector onto it."""
+    coord = dot_fold_sql("v.emb", "c.comp", EMB_DIM)
     return (
         "WITH RECURSIVE "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_pca_cte_chain())
         + f"""
     SELECT v.vec_id, c.k::INT AS k, {round6_sql(coord)} AS coord
     FROM val v CROSS JOIN comps c ORDER BY vec_id, k
 """
+    )
+
+
+def _pca_model_sql() -> str:
+    """The trained components themselves, one row per (k, comp) — the
+    model-level parity surface the cross-engine test compares against
+    _pca_power_train bit-for-bit (stronger than the projection
+    compare: a coordinate error that round6 masks in every projected
+    coord would still fail here)."""
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(_pca_cte_chain())
+        + "\n    SELECT k, comp FROM comps ORDER BY k\n"
     )
 
 

@@ -278,6 +278,25 @@ def test_embedding_pca_quality_vs_numpy_eigensolve(spark, sf_dir):
             assert abs(got[(vid, k)] - P[row, k]) < 2e-6
 
 
+def test_pca_model_matches_oracle_bit_for_bit(spark, sf_dir):
+    """Model-LEVEL cross-engine parity: the DuckDB chain's trained
+    components must equal _pca_power_train's output exactly — every
+    coordinate, full double precision, no round6 anywhere (stronger
+    than the registered projection compare, where a coordinate error
+    smaller than the presentation rounding could hide)."""
+    from hadoop_and_spark_spark.oracle import duckdb_connect
+
+    comps, lams, n = similarity._pca_components(spark, sf_dir)
+    assert n > 0
+    con = duckdb_connect(sf_dir)
+    try:
+        rows = con.execute(similarity._pca_model_sql()).fetchall()
+    finally:
+        con.close()
+    oracle_comps = [list(comp) for _k, comp in sorted(rows)]
+    assert oracle_comps == comps  # bit-exact, all PCA_K × EMB_DIM
+
+
 def test_pca_stats_and_model_are_partition_invariant(spark, sf_dir):
     """The core exactness claim behind the PCA hash gate: the Gram /
     mean / count statistics are exact integers below 2^53, so the
