@@ -529,7 +529,10 @@ def train_spherical_kmeans(
         # model from them. Counts come with the stats anyway — the
         # guard is one comparison per cluster per iteration.
         for cid, n in counts.items():
-            if n * KM_CLAMP * KM_QUANT >= KM_EXACT_BUDGET:
+            # int arithmetic for the same boundary-exactness reason as
+            # the PCA guard (_collect_pca_stats): the float product
+            # n·CLAMP·QUANT can round at the 2^53 edge.
+            if n * int(KM_CLAMP * KM_QUANT) >= KM_EXACT_BUDGET:
                 raise KMeansExactnessError(
                     f"cluster {cid} has {n} members; member sums may "
                     f"exceed {KM_EXACT_BUDGET:.0f} (= 2^53) and stop "
@@ -1022,12 +1025,18 @@ def _collect_pca_stats(vec: DataFrame):
             s[c.i] = c.g
         else:
             G[c.i][c.j] = c.g
-    if n > 0 and n * maxq * maxq >= PCA_EXACT_BUDGET:
+    # Exact-integer bound: n and maxq are integer-valued doubles, but
+    # the PRODUCT n·maxq² computed in doubles can round by a few ulps
+    # right at the 2^53 boundary — a corpus exactly at the edge could
+    # slip past a float compare. Python ints are arbitrary-precision
+    # and int-vs-float comparison is mathematically exact, so this
+    # compare cannot mis-classify the boundary.
+    if n > 0 and int(n) * int(maxq) ** 2 >= PCA_EXACT_BUDGET:
         raise PcaExactnessError(
             f"corpus of {int(n)} vectors with max |q| = {int(maxq)} "
             f"micro-units exceeds the 2^53 Gram-sum budget "
-            f"(n·maxq² = {n * maxq * maxq:.3e}); re-quantize with a "
-            "coarser PCA_QUANT before training"
+            f"(n·maxq² = {float(int(n) * int(maxq) ** 2):.3e}); "
+            "re-quantize with a coarser PCA_QUANT before training"
         )
     return G, s, n, maxq
 
@@ -1346,10 +1355,16 @@ def _pca_cte_chain() -> list[str]:
                (SELECT count(*)::DOUBLE FROM val) AS n
     )""",
         f"""st0 AS MATERIALIZED (
+        -- n > 0: on an EMPTY corpus the covariance divides by n = 0
+        -- and every downstream model CTE would be NULL/NaN garbage;
+        -- with the guard the model chain is simply empty, matching
+        -- _pca_components' n == 0 early return (the registered
+        -- projection was already safe — cross-joining empty val —
+        -- but _pca_model_sql consumers read the comps table raw).
         SELECT list_transform(generate_series(1, {d}), i ->
                  list_transform(generate_series(1, {d}), j ->
                    gf[(i - 1) * {d} + j] / n - (s[i] / n) * (s[j] / n))) AS c
-        FROM stats
+        FROM stats WHERE n > 0
     )""",
     ]
     for k in range(PCA_K):

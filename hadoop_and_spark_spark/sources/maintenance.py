@@ -285,6 +285,25 @@ def session_memo(spark: SparkSession, sf_dir: str, table: str, version: str, bui
     return hit
 
 
+def evict_version(version: str) -> None:
+    """Drop every session-memo entry whose artifact VERSION tag
+    matches — the supported test-facing way to force a rebuild of one
+    artifact family (the budget-guard and recovery-contract tests
+    need a memo MISS so the build path actually runs). Matches on the
+    marker's version field proper (rsplit, the _pop_superseded
+    discipline), not a substring of the whole key, so a path that
+    happens to contain the version string can't be swept by accident.
+    Unpersist of evicted values runs outside the lock, as everywhere."""
+    with _CACHE_LOCK:
+        victims = []
+        for k in [k for k in _SESSION_MEMO]:
+            parts = k[1].rsplit("|", 3)
+            if len(parts) == 4 and parts[3] == version:
+                victims.append(_SESSION_MEMO.pop(k))
+    for v in victims:
+        _try_unpersist(v)
+
+
 def parquet_data_size(path: str) -> int:
     """Total bytes of parquet data files under ``path``."""
     total = 0

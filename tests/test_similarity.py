@@ -297,6 +297,33 @@ def test_pca_model_matches_oracle_bit_for_bit(spark, sf_dir):
     assert oracle_comps == comps  # bit-exact, all PCA_K × EMB_DIM
 
 
+def test_pca_model_sql_empty_corpus_is_empty_not_nan(tmp_path):
+    """On an EMPTY corpus the oracle's model chain must produce ZERO
+    component rows — st0's n > 0 guard — not NULL/NaN garbage from
+    the 0/0 covariance (the registered projection was always safe via
+    the empty cross join; this pins the raw comps surface
+    _pca_model_sql exposes). Pure DuckDB, no Spark."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "embedding": pa.array([], type=pa.list_(pa.float32())),
+            "label": pa.array([], type=pa.int32()),
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(empty, path)
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        assert con.execute(similarity._pca_model_sql()).fetchall() == []
+    finally:
+        con.close()
+
+
 def test_pca_stats_and_model_are_partition_invariant(spark, sf_dir):
     """The core exactness claim behind the PCA hash gate: the Gram /
     mean / count statistics are exact integers below 2^53, so the
@@ -326,33 +353,19 @@ def test_pca_budget_guard_trips_when_lowered(spark, sf_dir, monkeypatch):
         PcaExactnessError,
         _pca_components,
     )
+    from hadoop_and_spark_spark.sources.maintenance import evict_version
 
     monkeypatch.setattr(similarity, "PCA_EXACT_BUDGET", 1.0)
-    # fresh memo key: point at a distinct artifact version by nulling
-    # the session memo's cache hit — easiest is a distinct sf_dir copy,
-    # but the budget check runs before the memo stores anything only
-    # on a MISS, so clear the relevant memo entry instead.
-    from hadoop_and_spark_spark.sources import maintenance
-
-    with maintenance._CACHE_LOCK:
-        stale = [
-            k
-            for k in maintenance._SESSION_MEMO
-            if "pca_v2" in str(k)
-        ]
-        for k in stale:
-            maintenance._SESSION_MEMO.pop(k)
-    with pytest.raises(PcaExactnessError, match="2\\^53"):
-        _pca_components(spark, sf_dir)
-    # restore: drop the failed key so later tests rebuild cleanly
-    with maintenance._CACHE_LOCK:
-        stale = [
-            k
-            for k in maintenance._SESSION_MEMO
-            if "pca_v2" in str(k)
-        ]
-        for k in stale:
-            maintenance._SESSION_MEMO.pop(k)
+    # The budget check runs on the BUILD path only — evict the model
+    # family's memo entries so the call is a miss, and evict again on
+    # the way out so later tests rebuild cleanly at the real budget
+    # (nothing was stored by the failed build, but symmetry is free).
+    evict_version("pca_v2")
+    try:
+        with pytest.raises(PcaExactnessError, match="2\\^53"):
+            _pca_components(spark, sf_dir)
+    finally:
+        evict_version("pca_v2")
 
 
 def test_kmeans_budget_guard_trips_when_lowered(spark, sf_dir, monkeypatch):
