@@ -97,6 +97,20 @@ def poly_hash(col: Column | str) -> Column:
     )
 
 
+def poly_hash_py(s: str) -> int:
+    """Driver-side Python twin of ``poly_hash`` — same fold over the
+    same character codes, for hashing COMPILE-TIME-CONSTANT strings
+    (e.g. the Count-Min probe terms, whose grid coordinates are
+    computed once and embedded as literals in both engines' plans).
+    Kept next to the Spark/DuckDB renderings so the three stay one
+    definition. Python's ord == ascii() for the ASCII range the
+    tokenizer emits ([a-z0-9], the only inputs this is used on)."""
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % HASH_P
+    return h
+
+
 def poly_hash_sql(expr: str) -> str:
     """Identical fold rendered for DuckDB (prepended 0 = initial acc).
 

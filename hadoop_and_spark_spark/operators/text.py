@@ -36,7 +36,14 @@ from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
 from ..session import fan_out
 from ..sources.maintenance import artifact_checkpoint
-from ..functions.portable import let_col
+from ..functions.portable import (
+    HASH_P,
+    affine_perms,
+    let_col,
+    poly_hash,
+    poly_hash_py,
+    poly_hash_sql,
+)
 
 PERFECT_MARKER = "spark"  # reference marker word is "perfect" (a0/PerfectX.java:61-72)
 PMI_WINDOW = 40  # first-40-tokens truncation, a1/PairsPMI.java:58
@@ -438,6 +445,109 @@ def token_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("term")
 
 
+# Portable Count-Min grid (token_freq_cms): CMS_DEPTH independent
+# affine rows over the repo's poly hash, CMS_WIDTH columns each. The
+# grid is pure integer state, so unlike the engine-internal JVM
+# register above it is bit-reproducible across engines — the one
+# member of the sketch triad whose state a plain GROUP BY can rebuild.
+# Guarantee (standard CMS): estimates never under-count, and
+# P[est > exact + e·N/width] ≤ e^-depth per probe (pinned in tests
+# against the oracle-green wordcount).
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+_CMS_PERMS = affine_perms(CMS_DEPTH, seed=11)
+
+
+def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequencies for the declared probe terms via a PORTABLE
+    Count-Min sketch — the hash-gated twin of token_freq_sketch: the
+    same fixed-size-state shape (a CMS_DEPTH×CMS_WIDTH counter grid,
+    O(1) in the vocabulary), but built from the repo's own affine
+    hashes over poly_hash instead of the JVM's seed-opaque register,
+    so the DuckDB oracle rebuilds the grid bit-identically with a
+    plain GROUP BY and the driver hash-gates the estimates.
+
+    Plan: explode tokens → CMS_DEPTH (row, col) cells per token
+    (array-side, the poly hash bound ONCE via let_col) → one
+    groupBy(row, col) count. The partial hash aggregate is the sketch
+    property made declarative: every task's state collapses to at
+    most depth·width cells before the exchange — map-side partial
+    merge of fixed-size sketches, exactly how the JVM register
+    shuffles — so the exchange moves O(grid) bytes at ANY corpus
+    size. Probes: the declared terms' grid coordinates are Python-
+    computed constants (poly_hash_py — a sketch is queried, never
+    enumerated); the ≤ depth·width-row grid broadcasts into a left
+    join and min-per-term finishes the CMS read. Missing cells read
+    as 0 (no token ever hashed there)."""
+    toks = _tokens(spark, sf_dir)
+    cells = let_col(
+        poly_hash(F.col("word")),
+        lambda h: F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("r"),
+                    ((F.lit(a) * h + F.lit(b)) % HASH_P % CMS_WIDTH)
+                    .cast("int")
+                    .alias("c"),
+                )
+                for d, (a, b) in enumerate(_CMS_PERMS)
+            ]
+        ),
+    )
+    grid = (
+        toks.select(F.explode("toks").alias("word"))
+        .select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [
+            (t, d, (a * poly_hash_py(t) + b) % HASH_P % CMS_WIDTH)
+            for t in CMS_PROBES
+            for d, (a, b) in enumerate(_CMS_PERMS)
+        ],
+        "term string, r int, c int",
+    )
+    return (
+        probes.join(F.broadcast(grid), ["r", "c"], "left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0).cast("long"))).alias("approx_cnt")
+        )
+        .orderBy("term")
+    )
+
+
+def _cms_oracle_sql() -> str:
+    """The identical grid rebuilt in DuckDB: same tokenizer, same
+    poly hash, same affine (row, col) cells, one GROUP BY — integer
+    counts, so the estimates hash-match exactly. The hash CTE is
+    MATERIALIZED: each of the CMS_DEPTH cell selects rescans it, and
+    an inlined CTE would re-run the per-character fold per scan."""
+    cell_selects = "\n        UNION ALL ".join(
+        f"SELECT {d} AS r, (({a}::BIGINT * h + {b}::BIGINT) % {HASH_P})"
+        f" % {CMS_WIDTH} AS c FROM h"
+        for d, (a, b) in enumerate(_CMS_PERMS)
+    )
+    probe_values = ", ".join(
+        f"('{t}', {d}, {(a * poly_hash_py(t) + b) % HASH_P % CMS_WIDTH})"
+        for t in CMS_PROBES
+        for d, (a, b) in enumerate(_CMS_PERMS)
+    )
+    return f"""
+        WITH w AS (
+            SELECT unnest({_TOKS_SQL}) AS word FROM documents
+        ),
+        h AS MATERIALIZED (SELECT {poly_hash_sql('word')} AS h FROM w),
+        cells AS ({cell_selects}),
+        grid AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+        probes(term, r, c) AS (VALUES {probe_values})
+        SELECT term, min(coalesce(cnt, 0))::BIGINT AS approx_cnt
+        FROM probes LEFT JOIN grid USING (r, c)
+        GROUP BY term ORDER BY term
+    """
+
+
 ORACLE_SQL["doc_perplexity"] = f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     pos AS (
@@ -473,4 +583,7 @@ QUERIES = {
     "pmi_stripes": pmi_stripes,
     "doc_perplexity": doc_perplexity,
     "token_freq_sketch": token_freq_sketch,
+    "token_freq_cms": token_freq_cms,
 }
+
+ORACLE_SQL["token_freq_cms"] = _cms_oracle_sql()

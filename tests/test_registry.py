@@ -48,12 +48,15 @@ def test_registry_fits_two_driver_windows():
     per round, least-recently-verified first, so 100 queries fit the
     strict every-query-within-2-rounds invariant and each query past
     100 stretches its own horizon to 3 rounds. The cap admits a grace
-    of 5 such queries (the registry sits at exactly 105); growing
-    further must retire a query or consciously rewrite this pin."""
+    of 7 such queries (the registry sits at exactly 107 — raised from
+    105 in round 12 for the two judge-directed additions, the
+    portable Count-Min twin and the capstone pipeline composition);
+    growing further must retire a query or consciously rewrite this
+    pin."""
     queries, _ = collect()
     window = 50  # driver rows per CORRECTNESS_r{N}.json, observed r1–r6
     strict_two_round_max = 2 * window  # 100
-    grace = 5  # queries tolerated at a 3-round staleness horizon
+    grace = 7  # queries tolerated at a 3-round staleness horizon
     assert len(queries) <= strict_two_round_max + grace, (
         f"{len(queries)} registered queries exceed the two-window "
         f"freshness cap ({strict_two_round_max}) plus the {grace}-query "

@@ -86,6 +86,66 @@ def test_token_freq_sketch_within_cms_bound(spark, sf_dir):
         assert ex <= approx <= ex + CMS_EPS * n_total, (t, ex, approx)
 
 
+def test_token_freq_cms_bound_and_builtin_twin(spark, sf_dir):
+    """The portable Count-Min grid honors the CMS guarantee against
+    the exact (oracle-green) wordcount — never under-counts, and
+    over-counts by at most e·N/width per probe (the standard bound at
+    the grid's own ε = e/CMS_WIDTH) — and the engine-internal JVM
+    sketch (token_freq_sketch, rows-only by necessity) is tolerance-
+    PINNED against this hash-gated twin: both sketches bracket the
+    same exact counts, so their estimates can differ by at most the
+    sum of their over-estimate allowances. This is the cross-check
+    that keeps the rows-only query honest without an oracle."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.operators.text import (
+        CMS_EPS,
+        CMS_PROBES,
+        CMS_WIDTH,
+        _tokens,
+        token_freq_cms,
+        token_freq_sketch,
+        wordcount,
+    )
+
+    exact = {r.word: r.cnt for r in wordcount(spark, sf_dir).collect()}
+    n_total = _tokens(spark, sf_dir).select(F.explode("toks")).count()
+    portable = {
+        r.term: r.approx_cnt for r in token_freq_cms(spark, sf_dir).collect()
+    }
+    builtin = {
+        r.term: r.approx_cnt
+        for r in token_freq_sketch(spark, sf_dir).collect()
+    }
+    assert set(portable) == set(CMS_PROBES) == set(builtin)
+    slack_portable = math.e * n_total / CMS_WIDTH
+    slack_builtin = CMS_EPS * n_total
+    for t in CMS_PROBES:
+        ex = exact.get(t, 0)
+        assert ex <= portable[t] <= ex + slack_portable, (t, ex, portable[t])
+        # twin pin: both bracket [exact, exact + own slack]
+        assert abs(portable[t] - builtin[t]) <= slack_portable + slack_builtin
+
+
+def test_token_freq_cms_partial_aggregates_and_broadcast_probe(spark, sf_dir):
+    """The portable grid must build as partial+final hash aggregation
+    (fixed-size sketch state merging map-side — the 100 TB property)
+    and the probe read must broadcast the grid, never shuffle the
+    probe side."""
+    from hadoop_and_spark_spark.operators.text import token_freq_cms
+
+    plan = (
+        token_freq_cms(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") >= 2  # partial + final grid agg
+    assert "BroadcastHashJoin" in plan
+
+
 def test_token_freq_sketch_partial_aggregates(spark, sf_dir):
     """The sketch must build as partial+final aggregation (fixed-size
     state merging map-side), not a single global buffer."""
