@@ -608,22 +608,23 @@ CHUNK_TOKENS = 32  # tokens per training chunk
 CHUNK_STRIDE = 24  # chunk start stride (overlap = CHUNK_TOKENS - STRIDE)
 
 
-def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking: split each document's token stream
-    into CHUNK_TOKENS-token chunks whose starts advance by
-    CHUNK_STRIDE (8-token overlap) — the sequence-preparation step
-    between cleaning and tokenizer packing in an LLM data pipeline.
+def chunk_frame(docs: DataFrame, with_text: bool = True) -> DataFrame:
+    """The X27 chunker over an ARBITRARY (doc_id, text) frame —
+    factored out of doc_chunks so pipeline compositions
+    (corpus_training_set) chunk a FILTERED corpus without restating
+    the semantics. Emits (doc_id, chunk_id, start, n_chunk_tokens
+    [, chunk_text]); ``with_text=False`` skips the concat_ws chunk
+    rendering for consumers that only pack sizes — the token arrays
+    still die before the explode, but no string payload is built at
+    all.
 
     n_chunks = ceil(max(n − CHUNK, 0) / STRIDE) + 1, so every token is
     covered, only the final chunk may run short, and a document
     shorter than one chunk yields exactly one chunk. Plan: pure
     explode-over-sequence projection — chunk ids are generated
-    per-row, the slice/concat runs after the explode, and nothing
-    shuffles but the output orderBy. The ~CHUNK/STRIDE× output blowup
-    is inherent to overlapped chunking, not a plan artifact; at scale
-    the orderBy drops and this writes straight to the packed-sequence
-    sink."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per-row and the slice/concat runs after the explode; nothing
+    shuffles. The ~CHUNK/STRIDE× output blowup is inherent to
+    overlapped chunking, not a plan artifact."""
     n = F.size("toks")
     # Gate on non-null toks: greatest() IGNORES NULLs, so an ungated
     # n_chunks would fold a NULL-text doc to 1 phantom chunk; NULL
@@ -647,6 +648,13 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(n_tokens × n_chunks) bytes per document, a measured executor
     # OOM on a 2M-token document (83k chunks × ~20 MB each) caught by
     # the adversarial-corpus sweep.
+    def chunk_struct(c):
+        if with_text:
+            return F.struct(
+                F.size(c).alias("n"), F.concat_ws(" ", c).alias("t")
+            )
+        return F.struct(F.size(c).alias("n"))
+
     ex = docs.select("doc_id", tokenize("text").alias("toks")).select(
         "doc_id",
         F.posexplode(
@@ -654,20 +662,30 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), n_chunks - 1),
                 lambda cid: let_col(
                     F.slice("toks", cid * CHUNK_STRIDE + 1, CHUNK_TOKENS),
-                    lambda c: F.struct(
-                        F.size(c).alias("n"), F.concat_ws(" ", c).alias("t")
-                    ),
+                    chunk_struct,
                 ),
             )
         ).alias("chunk_id", "ch"),
     )
-    return ex.select(
-        "doc_id",
-        "chunk_id",
+    cols = [
+        F.col("doc_id"),
+        F.col("chunk_id"),
         (F.col("chunk_id") * CHUNK_STRIDE + 1).alias("start"),
         F.col("ch.n").alias("n_chunk_tokens"),
-        F.col("ch.t").alias("chunk_text"),
-    ).sortWithinPartitions("doc_id", "chunk_id")
+    ]
+    if with_text:
+        cols.append(F.col("ch.t").alias("chunk_text"))
+    return ex.select(*cols)
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking of the whole corpus — chunk_frame over
+    the documents table; the sequence-preparation step between
+    cleaning and tokenizer packing in an LLM data pipeline. At scale
+    the presentation sort drops and this writes straight to the
+    packed-sequence sink."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return chunk_frame(docs).sortWithinPartitions("doc_id", "chunk_id")
 
 
 PACK_BUCKETS = 8  # packing parallelism; sequences never span buckets

@@ -48,6 +48,7 @@ DISTINCT_VALUE_WINDOW = {"spam_eval", "spam_eval_trained"}
 # rollups, top-k) may keep their presentation orderBy — not listed.
 CORPUS_SIZED_OUTPUT = {
     "corpus_split",
+    "corpus_training_set",
     "decontaminate",
     "dedup_exact",
     "dedup_exact_stream",
