@@ -1159,7 +1159,7 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["knn_ivf_persisted"] = ORACLE_SQL["knn_ivf"]
 
 
-def _kmeans_train_sql() -> str:
+def _kmeans_train_sql(quant: float = KM_QUANT) -> str:
     """The quantized Lloyd's loop as an UNROLLED DuckDB CTE chain (the
     PageRank-oracle pattern — aggregates are illegal inside a
     recursive CTE, and KMEANS_ITERS is a fixed constant anyway):
@@ -1170,7 +1170,10 @@ def _kmeans_train_sql() -> str:
     arithmetic step mirrors the Spark trainer op-for-op (see
     _train_vectors for the exactness argument), so the final
     cents{{KMEANS_ITERS}}.m lists are bit-identical to the Python
-    model."""
+    model. ``quant`` parameterizes the micro-unit step — default is
+    the registered model definition; the recovery-contract test
+    regenerates the oracle at a COARSER step to prove the documented
+    budget-exceeded response end to end."""
     dotq = dot_fold_sql
     filt = (
         "list_aggregate(list_transform(embedding, "
@@ -1180,7 +1183,7 @@ def _kmeans_train_sql() -> str:
         f"""qv AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding,
-                              x -> floor(x::DOUBLE * {KM_QUANT!r} + 0.5)) AS q
+                              x -> floor(x::DOUBLE * {quant!r} + 0.5)) AS q
         FROM embeddings
         WHERE embedding IS NOT NULL AND {filt}
     ),
@@ -1226,6 +1229,17 @@ def _kmeans_train_sql() -> str:
     )"""
         )
     return ",\n    ".join(blocks)
+
+
+def _kmeans_model_sql(quant: float = KM_QUANT) -> str:
+    """The trained integer centroids themselves, one (cid, m) row per
+    cluster — the model-level parity surface (the _pca_model_sql
+    pattern): the recovery-contract test re-trains at a coarser quant
+    and compares the Python model against THIS, bit-for-bit."""
+    return (
+        f"WITH {_kmeans_train_sql(quant)}\n"
+        f"    SELECT cid, m FROM cents{KMEANS_ITERS} ORDER BY cid"
+    )
 
 
 # Trained-centroid model CTE body: c_emb = M/1e6, c_nrm =
@@ -1296,7 +1310,7 @@ ORACLE_SQL["embedding_quantize"] = f"""
     FROM cells ORDER BY vec_id, dim
 """
 
-def _pca_cte_chain() -> list[str]:
+def _pca_cte_chain(quant: float = PCA_QUANT) -> list[str]:
     """The embedding_pca model re-derived end-to-end in DuckDB CTEs —
     quantized exact-integer stats, then the fixed-order deflated
     power iteration as one recursive CTE per component (PageRank/
@@ -1338,7 +1352,7 @@ def _pca_cte_chain() -> list[str]:
         f"""val AS MATERIALIZED (
         SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
                list_transform(embedding,
-                              x -> floor(x::DOUBLE * {PCA_QUANT!r} + 0.5)) AS q
+                              x -> floor(x::DOUBLE * {quant!r} + 0.5)) AS q
         FROM embeddings
         WHERE embedding IS NOT NULL AND {filt}
     )""",
@@ -1426,15 +1440,18 @@ def _pca_oracle_sql() -> str:
     )
 
 
-def _pca_model_sql() -> str:
+def _pca_model_sql(quant: float = PCA_QUANT) -> str:
     """The trained components themselves, one row per (k, comp) — the
     model-level parity surface the cross-engine test compares against
     _pca_power_train bit-for-bit (stronger than the projection
     compare: a coordinate error that round6 masks in every projected
-    coord would still fail here)."""
+    coord would still fail here). Requires a NON-EMPTY corpus to
+    return rows (st0's n > 0 guard yields zero rows otherwise).
+    ``quant`` regenerates the model chain at a coarser micro-unit
+    step for the recovery-contract test."""
     return (
         "WITH RECURSIVE "
-        + ",\n    ".join(_pca_cte_chain())
+        + ",\n    ".join(_pca_cte_chain(quant))
         + "\n    SELECT k, comp FROM comps ORDER BY k\n"
     )
 

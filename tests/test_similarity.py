@@ -383,6 +383,75 @@ def test_kmeans_budget_guard_trips_when_lowered(spark, sf_dir, monkeypatch):
         similarity.train_spherical_kmeans(qvec, iters=1)
 
 
+def test_kmeans_coarser_quant_recovery_contract(spark, sf_dir, monkeypatch):
+    """The documented budget-exceeded response WORKS, end to end
+    (SURVEY §5 #53 said it, nothing demonstrated it until round 12):
+    under a budget the default KM_QUANT cannot satisfy, training
+    raises the typed error; re-running at a coarser KM_QUANT — the
+    supported response, a VISIBLE model-definition change — trains
+    clean under the SAME lowered budget, and the DuckDB oracle
+    regenerated at that same coarser quant re-derives the identical
+    model bit-for-bit (the recovery preserves cross-engine parity,
+    which is the entire point of refusing an in-flight fallback)."""
+    from hadoop_and_spark_spark.oracle import duckdb_connect
+
+    # Budget between the two quants' headroom: default (1e6 step →
+    # factor 1e7/member) trips on any cluster with ≥ 2 members; the
+    # 1e3-step recovery (factor 1e4/member) holds to 2000 members.
+    monkeypatch.setattr(similarity, "KM_EXACT_BUDGET", 2.0e7)
+    with pytest.raises(similarity.KMeansExactnessError):
+        similarity.train_spherical_kmeans(
+            similarity._train_vectors(spark, sf_dir)
+        )
+
+    coarse = 1_000.0
+    monkeypatch.setattr(similarity, "KM_QUANT", coarse)
+    cents, _hist = similarity.train_spherical_kmeans(
+        similarity._train_vectors(spark, sf_dir)  # re-reads KM_QUANT
+    )  # must NOT raise under the still-lowered budget
+    assert cents
+    con = duckdb_connect(sf_dir)
+    try:
+        rows = con.execute(similarity._kmeans_model_sql(coarse)).fetchall()
+    finally:
+        con.close()
+    assert [(cid, list(m)) for cid, m in sorted(rows)] == [
+        (cid, m) for cid, m in sorted(cents)
+    ]
+
+
+def test_pca_coarser_quant_recovery_contract(spark, sf_dir, monkeypatch):
+    """The PCA twin of the kmeans recovery demonstration: budget
+    lowered to exactly the corpus's measured n·maxq² (trips, since
+    the guard is >=), the coarser-PCA_QUANT re-run passes under the
+    SAME budget (32× coarser step → ~1024× smaller Gram product),
+    and the oracle chain regenerated at that quant re-derives the
+    identical components bit-for-bit."""
+    from hadoop_and_spark_spark.oracle import duckdb_connect
+
+    vec = similarity._pca_vectors(spark, sf_dir)
+    _G, _s, n, maxq = similarity._collect_pca_stats(vec)
+    assert n > 0
+    monkeypatch.setattr(
+        similarity, "PCA_EXACT_BUDGET", int(n) * int(maxq) ** 2
+    )
+    with pytest.raises(similarity.PcaExactnessError):
+        similarity._collect_pca_stats(vec)
+
+    coarse = similarity.PCA_QUANT / 32  # 8192 → 256 micro-units
+    monkeypatch.setattr(similarity, "PCA_QUANT", coarse)
+    G2, s2, n2, _maxq2 = similarity._collect_pca_stats(
+        similarity._pca_vectors(spark, sf_dir)  # re-reads PCA_QUANT
+    )  # must NOT raise under the still-lowered budget
+    comps, _lams = similarity._pca_power_train(G2, s2, n2)
+    con = duckdb_connect(sf_dir)
+    try:
+        rows = con.execute(similarity._pca_model_sql(coarse)).fetchall()
+    finally:
+        con.close()
+    assert [list(comp) for _k, comp in sorted(rows)] == comps
+
+
 @pytest.fixture(scope="module")
 def null_embedding_dir(spark, sf_dir, tmp_path_factory) -> str:
     """Corpus where some embeddings are literally NULL (one inside the
