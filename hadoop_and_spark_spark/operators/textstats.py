@@ -101,33 +101,65 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features + composite score per document."""
+    """Quality features + composite score per document.
+
+    The whole feature row (ratios AND the composite score) is built
+    inside one let_col binding of the token array: a downstream filter
+    on ``quality`` (corpus_training_set's gate) is pushed through the
+    projection by unconditional alias substitution, and with plain
+    column references the substituted predicate would re-evaluate
+    tokenize(text) once per ratio (~5× per row, measured on the
+    adversarial sweep's multi-MB documents). With the binding the
+    pushed predicate evaluates tokenize exactly once per row."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    n_tok = F.size(toks).cast("double")
-    n_dist = F.size(F.array_distinct(toks)).cast("double")
-    sw = _hits(toks, STOPWORDS["en"]).cast("double")
     n_chars = F.length("text").cast("double")
     alnum = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).cast(
         "double"
     )
-    base = fan_out_local_sorted(
+    feats = let_col(
+        tokenize("text"),
+        lambda toks: let_col(
+            F.struct(
+                n_chars.alias("n_chars"),
+                F.size(toks).cast("double").alias("n_tokens"),
+                round6(
+                    F.size(F.array_distinct(toks)).cast("double")
+                    / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+                ).alias("distinct_ratio"),
+                round6(
+                    _hits(toks, STOPWORDS["en"]).cast("double")
+                    / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+                ).alias("stopword_ratio"),
+                round6(alnum / F.greatest(n_chars, F.lit(1.0))).alias(
+                    "alnum_ratio"
+                ),
+            ),
+            lambda r: F.struct(
+                r["n_chars"].alias("n_chars"),
+                r["n_tokens"].alias("n_tokens"),
+                r["distinct_ratio"].alias("distinct_ratio"),
+                r["stopword_ratio"].alias("stopword_ratio"),
+                r["alnum_ratio"].alias("alnum_ratio"),
+                round6(
+                    0.4 * F.least(r["n_tokens"] / 100.0, F.lit(1.0))
+                    + 0.3 * r["distinct_ratio"]
+                    + 0.2 * F.least(r["stopword_ratio"] * 5.0, F.lit(1.0))
+                    + 0.1 * r["alnum_ratio"]
+                ).alias("quality"),
+            ),
+        ),
+    )
+    return fan_out_local_sorted(
         docs.select("doc_id", "text"), "doc_id"
-    ).select(
+    ).select("doc_id", feats.alias("f")).select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        round6(n_dist / F.greatest(n_tok, F.lit(1.0))).alias("distinct_ratio"),
-        round6(sw / F.greatest(n_tok, F.lit(1.0))).alias("stopword_ratio"),
-        round6(alnum / F.greatest(n_chars, F.lit(1.0))).alias("alnum_ratio"),
+        F.col("f.n_chars").alias("n_chars"),
+        F.col("f.n_tokens").alias("n_tokens"),
+        F.col("f.distinct_ratio").alias("distinct_ratio"),
+        F.col("f.stopword_ratio").alias("stopword_ratio"),
+        F.col("f.alnum_ratio").alias("alnum_ratio"),
+        F.col("f.quality").alias("quality"),
     )
-    score = round6(
-        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
-        + 0.3 * F.col("distinct_ratio")
-        + 0.2 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
-        + 0.1 * F.col("alnum_ratio")
-    )
-    return base.withColumn("quality", score)
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,23 +587,39 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
     )
-    feat = proj.select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        # NULL text → NULL signals (greatest() IGNORES NULLs, so the
-        # ungated gram sequence would fold a null doc to dup3=0.0 and
-        # keep=true — junk kept by accident).
-        F.when(
-            F.col("toks").isNotNull(),
-            let_col(
-                grams3(F.col("toks")),
-                lambda g: round6(
-                    1.0
-                    - F.size(F.array_distinct(g)).cast("double")
-                    / F.size(g).cast("double")
+    # The token array is bound ONCE as a let_col lambda variable, not
+    # referenced as a projected column: a downstream filter on these
+    # outputs (corpus_training_set's `where("keep")`) is pushed through
+    # the projections by UNCONDITIONAL alias substitution, and a plain
+    # column reference inside grams3's per-gram slice(toks, i, 3) would
+    # inline tokenize(text) PER GRAM — O(n_grams · n_chars) per row, a
+    # measured multi-hour stall on the adversarial sweep's multi-
+    # million-token document. With the lambda binding the substituted
+    # predicate still evaluates tokenize exactly once per row.
+    feat_struct = let_col(
+        tokenize("text"),
+        lambda toks: F.struct(
+            F.size(toks).alias("n_tokens"),
+            # NULL text → NULL signals (greatest() IGNORES NULLs, so the
+            # ungated gram sequence would fold a null doc to dup3=0.0 and
+            # keep=true — junk kept by accident).
+            F.when(
+                toks.isNotNull(),
+                let_col(
+                    grams3(toks),
+                    lambda g: round6(
+                        1.0
+                        - F.size(F.array_distinct(g)).cast("double")
+                        / F.size(g).cast("double")
+                    ),
                 ),
-            ),
-        ).alias("dup3_ratio"),
+            ).alias("dup3_ratio"),
+        ),
+    )
+    feat = docs.select("doc_id", feat_struct.alias("f")).select(
+        "doc_id",
+        F.col("f.n_tokens").alias("n_tokens"),
+        F.col("f.dup3_ratio").alias("dup3_ratio"),
     )
     top = (
         proj.select("doc_id", F.explode("toks").alias("tok"))
