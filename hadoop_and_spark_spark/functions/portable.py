@@ -86,6 +86,48 @@ def let_col(value: Column, body) -> Column:
     return F.transform(F.array(value), body)[0]
 
 
+def array_runs(s: Column) -> Column:
+    """Run-length encode a SORTED array column: array<struct<v, n>> of
+    (element, run length), preserving sort order. Empty input → empty
+    array; NULL input degrades to an empty array too (callers needing
+    NULL-propagation must gate on isNotNull — both current callers
+    do). Pure array projection (O(n) after the
+    caller's sort) — the Spark-side primitive behind per-document
+    frequency histograms (term_doc_tf, repetition_filter's top-token
+    share) that would otherwise need an explode → groupBy shuffle of
+    every element occurrence.
+
+    Mechanics: run-start positions are the 1-based indices i with
+    i == 1 or s[i] ≠ s[i−1]; an end sentinel n+1 closes the last run;
+    run lengths are adjacent differences. The greatest(i−1, 1) guard
+    keeps element_at's index valid when the OR's left disjunct already
+    matched; the i ≤ size conjunct keeps element_at off empty arrays
+    (sequence is floored at one element so it never runs descending).
+    """
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(s), F.lit(1))),
+        lambda i: (i <= F.size(s))
+        & (
+            (i == F.lit(1))
+            | (
+                F.element_at(s, i)
+                != F.element_at(s, F.greatest(i - 1, F.lit(1)))
+            )
+        ),
+    )
+    return let_col(
+        F.concat(starts, F.array(F.size(s) + 1)),
+        lambda b: F.zip_with(
+            F.slice(b, 1, F.size(b) - 1),
+            F.slice(b, 2, F.size(b) - 1),
+            lambda lo, hi: F.struct(
+                F.element_at(s, lo).alias("v"),
+                (hi - lo).cast("long").alias("n"),
+            ),
+        ),
+    )
+
+
 def poly_hash(col: Column | str) -> Column:
     """h = foldl (acc*31 + ascii(c)) % HASH_P over characters (Spark)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import tokenize, tokenize_sql
+from ..functions.portable import array_runs, let_col
 from ..session import fan_out
 from ..sources.maintenance import artifact_checkpoint
 
@@ -47,16 +48,38 @@ SNIPPET_LEN = 80  # first-80-chars display, a3/BooleanRetrievalCompressed.java:1
 _TOKS_SQL = tokenize_sql("text")
 
 
+def _term_tf_pairs() -> F.Column:
+    """array<struct<term, tf>> per document: run-length encode the
+    SORTED token array (equal tokens sort adjacent, so run length =
+    term frequency) — the reference's mapper-side histogram
+    (a3/BuildInvertedIndexCompressed.java:66-81) computed INSIDE the
+    scan stage as a pure array projection. NULL/empty text degrades to
+    an empty array (explode emits no rows, as the explode→groupBy form
+    did)."""
+    return let_col(
+        F.array_sort(tokenize("text")),
+        lambda s: F.transform(
+            array_runs(s),
+            lambda r: F.struct(r["v"].alias("term"), r["n"].alias("tf")),
+        ),
+    )
+
+
 def term_doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(term, doc) term frequency — the mapper-side histogram of
-    a3/BuildInvertedIndexCompressed.java:66-81 as one aggregation."""
-    # fan_out: the tokenize+explode map side must not run on one
+    """Per-(term, doc) term frequency.
+
+    r11 computed this as explode → groupBy(term, doc_id).count(),
+    paying a full shuffle of one row per DISTINCT (term, doc) pair
+    before any consumer's own aggregation (two Exchanges to build the
+    index). The per-document histogram is a purely document-local
+    computation, so it now runs array-side via ``_term_tf_pairs`` —
+    the only shuffle left in any consumer is that consumer's own
+    term-keyed aggregate (guide §2.4: remove shuffles outright)."""
+    # fan_out: the tokenize+sort map side must not run on one
     # input split (small local scans arrive as a single partition).
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
+    return docs.select("doc_id", F.explode(_term_tf_pairs()).alias("p")).select(
+        F.col("p.term").alias("term"), "doc_id", F.col("p.tf").alias("tf")
     )
 
 
@@ -100,11 +123,11 @@ def write_index(spark: SparkSession, sf_dir: str, out_path: str, buckets: int = 
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokenize("text").alias("toks"))
-    postings = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
+    # Per-doc (term, tf) pairs array-side (see _term_tf_pairs): the
+    # index build shuffles once on term instead of twice.
+    postings = docs.select(
+        "doc_id", F.explode(_term_tf_pairs()).alias("p")
+    ).select(F.col("p.term").alias("term"), "doc_id", F.col("p.tf").alias("tf"))
     idx = postings.groupBy("term").agg(
         F.count("*").alias("df"),
         F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("postings"),
@@ -255,33 +278,42 @@ def tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked retrieval over the inverted index: score(doc) =
     Σ_{t ∈ query} tf(t,d) · log10(N/df(t)), top-TFIDF_K docs.
 
-    The classic step past the reference's set-algebra retrieval (a3),
-    built from the same postings aggregate. Plan shape: postings
-    filter to the query terms (at scale: an index seek, S5) → per-term
-    df from the filtered postings themselves → N as an in-plan
-    footer-only count(*) broadcast-cross-joined in (the pmi_pairs
-    pattern) → per-doc sum → orderBy+limit top-k
+    The classic step past the reference's set-algebra retrieval (a3).
+    r11 rebuilt the postings from the corpus text on every invocation
+    (a full tokenize+explode scan per query); the query now runs off
+    the PERSISTED index like bm25_retrieval — the index seek its own
+    docstring always promised (S5): the term predicate pushes to the
+    hash(term)-partitioned parquet postings, per-term df comes
+    straight from the index's df column (identical by construction to
+    counting the filtered postings), and N reads the exact-int
+    ``stats`` row (equal to count(*) over documents — doclen has one
+    row per document). The corpus text is never touched at query
+    time. Scoring: per-doc sum → orderBy+limit top-k
     (TakeOrderedAndProject: per-partition top-K heaps, K rows to the
     driver-side merge — the q7/O3 shape, a5/Q7.scala:94-96). Rank is
     attached AFTER the limit, so the row_number window sees at most
-    TFIDF_K rows; the r3 plan ranked first via a global unpartitioned
-    window, funneling every scored doc (O(corpus) for common terms)
-    through one task. Scores round to 6 dp BEFORE ranking so
-    ULP-level FP summation differences can't flip a rank across
-    engines; ties break on doc_id.
+    TFIDF_K rows. Scores round to 6 dp BEFORE ranking so ULP-level FP
+    summation differences can't flip a rank across engines; ties
+    break on doc_id.
     """
     from ..functions.portable import round6
 
-    postings = term_doc_tf(spark, sf_dir)
-    n_docs = (
-        load_table(spark, sf_dir, "documents")
-        .agg(F.count("*").cast("double").alias("n"))
+    idx, _doclen, stats_raw = open_index(spark, sf_dir)
+    n_docs = stats_raw.select(F.col("n_docs").cast("double").alias("n"))
+    q = (
+        idx.where(F.col("term").isin(*TFIDF_TERMS))
+        .select(
+            F.col("df").cast("double").alias("df"),
+            F.explode("postings").alias("p"),
+        )
+        .select(
+            "df",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").alias("tf"),
+        )
     )
-    q = postings.where(F.col("term").isin(*TFIDF_TERMS))
-    df_tbl = q.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     scored = (
-        q.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(n_docs))
+        q.crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             (F.col("tf") * F.log10(F.col("n") / F.col("df"))).alias("w"),
@@ -289,14 +321,8 @@ def tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(round6(F.sum("w")).alias("score"))
     )
-    from pyspark.sql import Window
-
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TFIDF_K)
-    # ≤ TFIDF_K rows from here on: the unpartitioned window is bounded
-    # by the limit, not the corpus.
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        topk.withColumn("rank", F.row_number().over(w))
+        _ranked(scored, TFIDF_K)
         .select("rank", "doc_id", "score")
         .orderBy("rank")
     )

@@ -161,6 +161,41 @@ def _doc_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded co-occurrence pair counts (a, b, cnt) — the shared
+    core of pmi_pairs and pmi_stripes.
+
+    r11 generated the pairs RELATIONALLY: the exploded distinct-token
+    stream self-joined on doc_id — a corpus-sized exchange+join whose
+    only purpose was to enumerate within-document pairs. The pair set
+    is purely document-local (≤ 40×39 ordered pairs after the window
+    truncation), so it is now generated ARRAY-SIDE — nested transform
+    over the distinct-token array, flattened, exploded — and the first
+    (and only corpus-sized) shuffle is the (a, b) pair aggregate
+    itself (guide §2.4: remove shuffles outright). Same rows by
+    construction: all ordered pairs (a, b), a ≠ b, of each document's
+    windowed distinct tokens."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pair_structs = let_col(
+        F.array_distinct(F.slice(tokenize("text"), 1, PMI_WINDOW)),
+        lambda t: F.flatten(
+            F.transform(
+                t,
+                lambda a: F.transform(
+                    F.filter(t, lambda b: b != a),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        ),
+    )
+    return (
+        docs.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= PMI_THRESHOLD)
+    )
+
+
 def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information for co-occurring token pairs.
 
@@ -191,15 +226,9 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exploded = toks.select("doc_id", F.explode("toks").alias("word"))
     unigram = exploded.groupBy("word").agg(F.count("*").alias("wcnt"))
-    a = exploded.select("doc_id", F.col("word").alias("a"))
-    b = exploded.select("doc_id", F.col("word").alias("b"))
-    pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= PMI_THRESHOLD)
-    )
+    # Pair counts: array-side generation (see _cooc_pairs) — the r11
+    # doc_id self-join exchange is gone.
+    pairs = _cooc_pairs(spark, sf_dir)
     # unigram is word-vocabulary-sized — bounded on this corpus, but
     # unbounded on a 100 TB crawl (Heaps' law never flattens over web
     # text), so no broadcast HINT: AQE broadcasts from measured
@@ -207,11 +236,23 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to a shuffled join when it is not (the reference's in-mapper
     # side table, a1 PairsPMI setup(), carries the same corpus-growth
     # assumption this removes).
-    ua = unigram.select(F.col("word").alias("a"), F.col("wcnt").alias("cnt_a"))
-    ub = unigram.select(F.col("word").alias("b"), F.col("wcnt").alias("cnt_b"))
+    # Both lookups join the SAME unigram frame (aliased, not
+    # re-projected): the r11 per-side renames (word→a / word→b) made
+    # the two broadcast subplans canonically different, so each join
+    # re-scanned and re-tokenized the corpus to rebuild the identical
+    # vocabulary — ReuseExchange now serves the second join from the
+    # first's exchange (one unigram pass instead of two; guide §2.4).
+    ua, ub = unigram.alias("ua"), unigram.alias("ub")
     return (
-        pairs.join(ua, "a")
-        .join(ub, "b")
+        pairs.join(ua, F.col("a") == F.col("ua.word"))
+        .join(ub, F.col("b") == F.col("ub.word"))
+        .select(
+            "a",
+            "b",
+            "cnt",
+            F.col("ua.wcnt").alias("cnt_a"),
+            F.col("ub.wcnt").alias("cnt_b"),
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "a",
@@ -246,17 +287,7 @@ def pmi_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
     can hash-compare it (MapType doesn't round-trip through the
     driver compare).
     """
-    toks = _doc_distinct_tokens(spark, sf_dir)
-    exploded = toks.select("doc_id", F.explode("toks").alias("word"))
-    a = exploded.select("doc_id", F.col("word").alias("a"))
-    b = exploded.select("doc_id", F.col("word").alias("b"))
-    pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= PMI_THRESHOLD)
-    )
+    pairs = _cooc_pairs(spark, sf_dir)
     stripe = F.concat_ws(
         ",",
         F.transform(

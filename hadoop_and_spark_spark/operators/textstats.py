@@ -44,6 +44,7 @@ from ..functions import tokenize, tokenize_sql
 from ..session import fan_out, fan_out_local_sorted
 from ..functions.portable import (
     HASH_P,
+    array_runs,
     let_col,
     poly_hash,
     poly_hash_sql,
@@ -572,21 +573,29 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       array (no shuffle; docs shorter than 3 tokens fold to one
       whole-doc gram, ratio 0).
     - ``top_tok_share`` — count of the most frequent token over total
-      tokens, via explode → per-(doc, token) count → per-doc max/sum.
-      Deliberately NOT the O(distinct·n) all-array form: the exploded
-      path partial-aggregates map-side and its cost is O(n log n) per
-      doc at any vocabulary size.
+      tokens, as the LONGEST RUN of the sorted token array (equal
+      tokens sort adjacent, so max run length = max frequency) — a
+      pure O(n log n) array projection, replacing the r11 explode →
+      per-(doc, token) count → per-doc max/sum → join-back plan. That
+      plan shuffled every token occurrence twice and joined on doc_id
+      (3 Exchanges); this one never leaves the scan stage, at any
+      vocabulary size. (The earlier objection was to the O(distinct·n)
+      filter-count form, which the sorted-run form avoids.)
     Thresholds sit at the corpus p90 so the keep flag actually splits
-    the synthetic corpus. One shuffle keyed by doc_id (+ the agg), one
-    doc-keyed join; both sides stay (id, scalar)-narrow — the payload
-    never moves.
+    the synthetic corpus. The whole operator is now one shuffle-free
+    projection (the local round-robin fan-out aside) — at 100 TB it
+    fuses into the corpus scan like the other cleaning passes.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    proj = docs.select("doc_id", tokenize("text").alias("toks"))
     grams3 = lambda toks: F.transform(  # noqa: E731
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
     )
+
+    def max_run(s):
+        """Longest run length in a SORTED array = max frequency."""
+        return F.array_max(F.transform(array_runs(s), lambda r: r["n"]))
+
     # The token array is bound ONCE as a let_col lambda variable, not
     # referenced as a projected column: a downstream filter on these
     # outputs (corpus_training_set's `where("keep")`) is pushed through
@@ -614,32 +623,33 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 ),
             ).alias("dup3_ratio"),
-        ),
-    )
-    feat = docs.select("doc_id", feat_struct.alias("f")).select(
-        "doc_id",
-        F.col("f.n_tokens").alias("n_tokens"),
-        F.col("f.dup3_ratio").alias("dup3_ratio"),
-    )
-    top = (
-        proj.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(round6(F.max("c").cast("double") / F.sum("c")).alias("top_tok_share"))
-    )
-    return (
-        feat.join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "dup3_ratio",
             # coalesce-to-0.0 is for genuinely token-free docs (''),
             # NOT for NULL text, which must stay NULL end to end.
             F.when(
-                F.col("n_tokens").isNotNull(),
-                F.coalesce("top_tok_share", F.lit(0.0)),
+                toks.isNotNull(),
+                F.coalesce(
+                    F.when(
+                        F.size(toks) >= 1,
+                        let_col(
+                            F.array_sort(toks),
+                            lambda s: round6(
+                                max_run(s).cast("double")
+                                / F.size(s).cast("double")
+                            ),
+                        ),
+                    ),
+                    F.lit(0.0),
+                ),
             ).alias("top_tok_share"),
+        ),
+    )
+    return (
+        docs.select("doc_id", feat_struct.alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.n_tokens").alias("n_tokens"),
+            F.col("f.dup3_ratio").alias("dup3_ratio"),
+            F.col("f.top_tok_share").alias("top_tok_share"),
         )
         .withColumn(
             "keep",
