@@ -88,18 +88,27 @@ def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("contaminated"))
         .select("doc_id")
     )
-    rep_ok = repetition_filter(spark, sf_dir).where("keep").select("doc_id")
-    qual_ok = (
-        doc_quality(spark, sf_dir)
-        .where(F.col("quality") >= CAPSTONE_MIN_QUALITY)
-        .select("doc_id")
+    # The repetition and quality gates are both pure per-document
+    # projections (since r12 — repetition_filter's top-token share is
+    # array-side), so they run FUSED on the one documents scan the
+    # chunker reads anyway, via the stage operators' own shared
+    # feature expressions (single definition of the gate semantics —
+    # the kept-set-equality test pins them against the standalone
+    # stages). r11 composed them as two more scans joined on doc_id:
+    # 7 documents scans and 9 joins; this plan has 5 and 7 (guide
+    # §2.4 — the join's only purpose was to re-attach a predicate
+    # already computable in place).
+    gated = (
+        fan_out(load_table(spark, sf_dir, "documents"))
+        .where(
+            textstats.repetition_features()["keep"]
+            & (
+                textstats.quality_features()["quality"]
+                >= CAPSTONE_MIN_QUALITY
+            )
+        )
     )
-    kept = (
-        surv.join(decon_ok, "doc_id")
-        .join(rep_ok, "doc_id")
-        .join(qual_ok, "doc_id")
-    )
-    docs = fan_out(load_table(spark, sf_dir, "documents")).join(kept, "doc_id")
+    docs = gated.join(surv, "doc_id").join(decon_ok, "doc_id")
     chunks = chunk_frame(docs, with_text=False)
     w = (
         Window.partitionBy("bucket")

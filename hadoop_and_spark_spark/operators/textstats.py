@@ -101,23 +101,18 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features + composite score per document.
-
-    The whole feature row (ratios AND the composite score) is built
-    inside one let_col binding of the token array: a downstream filter
-    on ``quality`` (corpus_training_set's gate) is pushed through the
-    projection by unconditional alias substitution, and with plain
-    column references the substituted predicate would re-evaluate
-    tokenize(text) once per ratio (~5× per row, measured on the
-    adversarial sweep's multi-MB documents). With the binding the
-    pushed predicate evaluates tokenize exactly once per row."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_features() -> Column:
+    """The doc_quality feature struct (n_chars, n_tokens, the three
+    ratios, composite quality) over a ``text`` column, as ONE
+    substitution-safe expression — the single definition of the
+    quality semantics, shared by doc_quality and the capstone
+    pipeline's fused gate scan (corpus_training_set filters on
+    ``quality_features()["quality"]`` so both gates ride one scan)."""
     n_chars = F.length("text").cast("double")
     alnum = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).cast(
         "double"
     )
-    feats = let_col(
+    return let_col(
         tokenize("text"),
         lambda toks: let_col(
             F.struct(
@@ -150,9 +145,23 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score per document.
+
+    The whole feature row (ratios AND the composite score) is built
+    inside one let_col binding of the token array: a downstream filter
+    on ``quality`` (corpus_training_set's gate) is pushed through the
+    projection by unconditional alias substitution, and with plain
+    column references the substituted predicate would re-evaluate
+    tokenize(text) once per ratio (~5× per row, measured on the
+    adversarial sweep's multi-MB documents). With the binding the
+    pushed predicate evaluates tokenize exactly once per row."""
+    docs = load_table(spark, sf_dir, "documents")
     return fan_out_local_sorted(
         docs.select("doc_id", "text"), "doc_id"
-    ).select("doc_id", feats.alias("f")).select(
+    ).select("doc_id", quality_features().alias("f")).select(
         "doc_id",
         F.col("f.n_chars").alias("n_chars"),
         F.col("f.n_tokens").alias("n_tokens"),
@@ -587,6 +596,26 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuses into the corpus scan like the other cleaning passes.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", repetition_features().alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.n_tokens").alias("n_tokens"),
+            F.col("f.dup3_ratio").alias("dup3_ratio"),
+            F.col("f.top_tok_share").alias("top_tok_share"),
+            F.col("f.keep").alias("keep"),
+        )
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def repetition_features() -> Column:
+    """The repetition_filter feature struct (n_tokens, dup3_ratio,
+    top_tok_share, keep) over a ``text`` column, as ONE
+    substitution-safe expression — the single definition of the
+    repetition-gate semantics, shared by repetition_filter and the
+    capstone pipeline's fused gate scan (corpus_training_set filters
+    on ``repetition_features()["keep"]``)."""
     grams3 = lambda toks: F.transform(  # noqa: E731
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
@@ -605,58 +634,59 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured multi-hour stall on the adversarial sweep's multi-
     # million-token document. With the lambda binding the substituted
     # predicate still evaluates tokenize exactly once per row.
-    feat_struct = let_col(
+    # keep is computed INSIDE the struct (over the inner let-bound
+    # ratios, so it costs no re-evaluation): corpus_training_set's
+    # pushed `where("keep")` predicate is then ONE field reference —
+    # one tokenize per row — where a keep derived from two output
+    # columns would evaluate the whole struct once per conjunct.
+    return let_col(
         tokenize("text"),
-        lambda toks: F.struct(
-            F.size(toks).alias("n_tokens"),
-            # NULL text → NULL signals (greatest() IGNORES NULLs, so the
-            # ungated gram sequence would fold a null doc to dup3=0.0 and
-            # keep=true — junk kept by accident).
-            F.when(
-                toks.isNotNull(),
-                let_col(
-                    grams3(toks),
-                    lambda g: round6(
-                        1.0
-                        - F.size(F.array_distinct(g)).cast("double")
-                        / F.size(g).cast("double")
-                    ),
-                ),
-            ).alias("dup3_ratio"),
-            # coalesce-to-0.0 is for genuinely token-free docs (''),
-            # NOT for NULL text, which must stay NULL end to end.
-            F.when(
-                toks.isNotNull(),
-                F.coalesce(
-                    F.when(
-                        F.size(toks) >= 1,
-                        let_col(
-                            F.array_sort(toks),
-                            lambda s: round6(
-                                max_run(s).cast("double")
-                                / F.size(s).cast("double")
-                            ),
+        lambda toks: let_col(
+            F.struct(
+                F.size(toks).alias("n_tokens"),
+                # NULL text → NULL signals (greatest() IGNORES NULLs, so
+                # the ungated gram sequence would fold a null doc to
+                # dup3=0.0 and keep=true — junk kept by accident).
+                F.when(
+                    toks.isNotNull(),
+                    let_col(
+                        grams3(toks),
+                        lambda g: round6(
+                            1.0
+                            - F.size(F.array_distinct(g)).cast("double")
+                            / F.size(g).cast("double")
                         ),
                     ),
-                    F.lit(0.0),
-                ),
-            ).alias("top_tok_share"),
+                ).alias("dup3_ratio"),
+                # coalesce-to-0.0 is for genuinely token-free docs (''),
+                # NOT for NULL text, which must stay NULL end to end.
+                F.when(
+                    toks.isNotNull(),
+                    F.coalesce(
+                        F.when(
+                            F.size(toks) >= 1,
+                            let_col(
+                                F.array_sort(toks),
+                                lambda s: round6(
+                                    max_run(s).cast("double")
+                                    / F.size(s).cast("double")
+                                ),
+                            ),
+                        ),
+                        F.lit(0.0),
+                    ),
+                ).alias("top_tok_share"),
+            ),
+            lambda r: F.struct(
+                r["n_tokens"].alias("n_tokens"),
+                r["dup3_ratio"].alias("dup3_ratio"),
+                r["top_tok_share"].alias("top_tok_share"),
+                (
+                    (r["dup3_ratio"] <= REP_MAX_DUP3)
+                    & (r["top_tok_share"] <= REP_MAX_TOP)
+                ).alias("keep"),
+            ),
         ),
-    )
-    return (
-        docs.select("doc_id", feat_struct.alias("f"))
-        .select(
-            "doc_id",
-            F.col("f.n_tokens").alias("n_tokens"),
-            F.col("f.dup3_ratio").alias("dup3_ratio"),
-            F.col("f.top_tok_share").alias("top_tok_share"),
-        )
-        .withColumn(
-            "keep",
-            (F.col("dup3_ratio") <= REP_MAX_DUP3)
-            & (F.col("top_tok_share") <= REP_MAX_TOP),
-        )
-        .sortWithinPartitions("doc_id")
     )
 
 
