@@ -221,12 +221,23 @@ def boolean_retrieval(
     # retrieval, not the index build (reference S5).
     from ..sources.maintenance import session_memo
 
+    # repartition("term") before the checkpoint: the memo mirrors the
+    # persisted index's hash(term) layout — one build-time exchange
+    # (paid once per session, exactly where write_index pays its
+    # groupBy(term) exchange), and the served artifact is
+    # term-clustered AND AQE-size-coalesced. Checkpointing the raw
+    # scan-shaped RLE output instead (r12 first cut) left a
+    # 32-partition scatter that every operand re-scanned: the serving
+    # plan is 4 subplans over this frame, and the per-pass task fan-out
+    # measured 0.60 → 1.46 s at sf0.1 before this was restored.
     postings = session_memo(
         spark,
         sf_dir,
         "documents",
         "postings_mem_v1",
-        lambda: term_doc_tf(spark, sf_dir).transform(artifact_checkpoint),
+        lambda: term_doc_tf(spark, sf_dir)
+        .repartition("term")
+        .transform(artifact_checkpoint),
     )
     return _fetch_snippets(spark, sf_dir, _eval_rpn(postings, rpn))
 

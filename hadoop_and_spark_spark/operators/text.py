@@ -344,51 +344,43 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant, same plan with a broadcast LM). Bigram formation is
     array-side (W1) — the token stream itself never shuffles.
 
-    r12 optimization (guide §2.3, shuffle fewer bytes): the pipeline
-    runs on per-document DISTINCT-bigram counts (doc_id, a, b, k) —
-    run-length encoding of the sorted per-doc bigram array, a pure
-    array projection — instead of one row per bigram OCCURRENCE.
-    Exactness is unchanged: su = Σ_occurrences u ≡ Σ_distinct k·u in
-    exact integer arithmetic, n_bigrams = Σ k. This (a) shrinks every
-    shuffle/join input from occurrence- to distinct-counts, (b) lets
-    the continuation vocabulary V come from the (vocab²-bounded) LM
-    itself rather than a second corpus-wide aggregate — distinct b
-    over lm ≡ distinct b over the bigram stream — and (c) removes the
-    r11 localCheckpoint of the corpus-sized bigram stream outright
-    (the two remaining corpus passes are cheap array projections; no
-    materialization barrier in the timed path)."""
+    r12 optimization (guide §2.4): the continuation vocabulary V now
+    comes from the (vocab²-bounded) LM itself rather than a second
+    corpus-wide count_distinct aggregate — distinct b over lm ≡
+    distinct b over the bigram stream, so one whole corpus pass is
+    gone with results unchanged. Two rewrites of the occurrence
+    pipeline itself were measured and REJECTED (numbers in
+    OPTIMIZATION_r12.md): per-document run-length-encoded distinct
+    counts (sorting the bigram struct array per doc cost more than
+    every downstream saving, 2.60 → 2.76-3.51 s at sf0.1) and a
+    groupBy(doc_id, a, b) pre-aggregate (adds the corpus-sized
+    exchange this plan exists to avoid — the LM joins broadcast, so
+    the occurrence stream never shuffles at all)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    from ..functions.portable import array_runs, let_col, round6
-
-    big_runs = let_col(
-        F.array_sort(_bigram_pairs()), lambda s: array_runs(s)
+    # Materialized once: the LM aggregation and the scoring join both
+    # read the exploded bigram stream — without this the
+    # tokenize+explode runs twice over the corpus.
+    doc_big = (
+        docs.select("doc_id", F.explode(_bigram_pairs()).alias("p"))
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .transform(artifact_checkpoint)
     )
-    doc_big_cnt = docs.select(
-        "doc_id", F.explode(big_runs).alias("r")
-    ).select(
-        "doc_id",
-        F.col("r.v.a").alias("a"),
-        F.col("r.v.b").alias("b"),
-        F.col("r.n").alias("k"),
-    )
-    lm = doc_big_cnt.groupBy("a", "b").agg(F.sum("k").alias("c_ab"))
+    lm = doc_big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     lm_a = lm.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     vocab = lm.agg(F.count_distinct("b").alias("v"))
     p = (F.col("c_ab") + F.lit(LM_K)) / (
         F.col("c_a") + F.lit(LM_K) * F.col("v")
     )
     unit = F.floor(-F.log10(p) * 1e6 + F.lit(0.5)).cast("long")
+    from ..functions.portable import round6
 
     return (
-        doc_big_cnt.join(lm, ["a", "b"])
+        doc_big.join(lm, ["a", "b"])
         .join(lm_a, "a")
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", unit.alias("u"), "k")
+        .select("doc_id", unit.alias("u"))
         .groupBy("doc_id")
-        .agg(
-            F.sum("k").alias("n_bigrams"),
-            F.sum(F.col("u") * F.col("k")).alias("su"),
-        )
+        .agg(F.count("*").alias("n_bigrams"), F.sum("u").alias("su"))
         .select(
             "doc_id",
             "n_bigrams",

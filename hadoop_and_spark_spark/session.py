@@ -143,6 +143,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a planned sort-merge join to a shuffled hash
+        # join at runtime when every post-shuffle partition's build
+        # side is measured under the advisory partition size (guide
+        # §3.1): the sort drops out exactly when the per-task hash map
+        # provably fits, and the bound is per-partition, so it is the
+        # same decision on a 3-node or 3000-node cluster. Static plans
+        # (and the plan-pin tests) are unchanged — this only rewrites
+        # at runtime from measured sizes. Spark's default is 0 (off).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 << 20),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(bcast_threshold))

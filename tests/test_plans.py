@@ -139,15 +139,18 @@ def test_q8_rollup_one_expand_one_aggregate_pass(spark, sf_dir):
     assert p.count("HashAggregate") == 2  # partial + final
 
 
-def test_tfidf_footer_only_count_and_broadcast_df(spark, sf_dir):
-    """The corpus-size N side must scan ZERO columns (parquet footer
-    count) and the per-term df table must broadcast — the postings
-    side never shuffles for either."""
+def test_tfidf_serves_from_the_persisted_index(spark, sf_dir):
+    """Since r12 tfidf_retrieval is an index SEEK, not a corpus scan:
+    the term predicate must push into the hash(term)-partitioned
+    postings parquet, N must come from the index's one-row stats
+    parquet (no documents scan, no footer count, no tokenize), and
+    nothing may shuffle-join — the only exchange is the per-doc score
+    aggregation."""
     from hadoop_and_spark_spark.operators import index as IX
 
     p = plan(IX.tfidf_retrieval(spark, sf_dir))
-    assert "ReadSchema: struct<>" in p  # footer-only count(*) scan
-    assert "BroadcastHashJoin" in p
+    assert "documents" not in p  # corpus text never touched at query time
+    assert "In(term" in p  # term filter pushed to the postings scan
     assert "SortMergeJoin" not in p
 
 
