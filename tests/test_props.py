@@ -461,3 +461,57 @@ def test_bloom_filter_never_false_negative(spark, build_keys, probe_keys):
     )
     kept = {r.k for r in bloom_might_contain(probe, "k", bitmap).collect()}
     assert build_keys <= kept
+
+
+@_SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcde", min_size=0, max_size=3),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_array_runs_and_max_run_vs_python_reference(spark, arrays):
+    """The shared run-length primitives behind the r12 shuffle
+    removals (term_doc_tf's per-doc tf histogram, repetition_filter's
+    top-token share) must agree with a plain Python RLE on arbitrary
+    sorted arrays, including empty arrays, single elements, and
+    all-equal runs — these fold several operators' exactness onto one
+    expression, so they get their own pin in addition to the
+    consumers' oracle gates."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from hadoop_and_spark_spark.functions.portable import array_runs, let_col
+
+    # the repetition_filter top-token form: max run length via the
+    # same array_runs expression
+    max_run = lambda s: F.array_max(  # noqa: E731
+        F.transform(array_runs(s), lambda r: r["n"])
+    )
+    df = spark.createDataFrame(
+        [(i, sorted(a)) for i, a in enumerate(arrays)],
+        "i int, arr array<string>",
+    )
+    got = {
+        r.i: (
+            [(x.v, x.n) for x in r.runs],
+            r.mx,
+        )
+        for r in df.select(
+            "i",
+            let_col(F.col("arr"), array_runs).alias("runs"),
+            let_col(F.col("arr"), max_run).alias("mx"),
+        ).collect()
+    }
+    for i, a in enumerate(arrays):
+        s = sorted(a)
+        want_runs = [(v, len(list(g))) for v, g in itertools.groupby(s)]
+        want_max = max((n for _v, n in want_runs), default=0)
+        assert got[i][0] == want_runs, (i, s)
+        assert (got[i][1] or 0) == want_max, (i, s)
