@@ -156,6 +156,14 @@ def get_spark(
             str(64 << 20),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # Persisted-artifact parquet (index/IVF/layout/replay writes)
+        # in zstd, not the snappy default (guide §6): measured on the
+        # postings-index build at sf0.1 — 399,375 → 294,010 bytes
+        # (-26%) with build and serve times flat within the host noise
+        # band. At 100 TB the artifact bytes ARE the serve-path I/O;
+        # reads stay splittable and the codec is per-file metadata, so
+        # existing snappy artifacts keep reading fine.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(bcast_threshold))
         .config("spark.buffer.pageSize", str(page_size))
