@@ -33,6 +33,21 @@ COLD (all session caches cleared) after the timed passes — min of two
 interleaved cold passes, since a single end-of-session sample can be
 inflated several-fold by GC/page-cache stalls; the cold numbers land
 under "memoized" in BENCH_QUERIES.json next to the warm rows.
+
+Session-death resilience (round 13): the r12 driver run lost its JVM
+gateway ~3.5 suite sweeps in, and every subsequent per-query py4j
+call surfaced as "[Errno 111] Connection refused" — 77 bogus query
+"failures" manufactured by ONE session death, plus rc 1 from the
+final spark.stop() on the dead gateway. A gateway-level connection
+loss is now classified separately from a query failure
+(_session_died walks the exception chain), the session is rebuilt in
+place (_revive: tear down the dead Python-side singletons, clear the
+in-session artifact caches, relaunch) and the query re-tried once in
+the fresh JVM; rebuilds are capped and reported as
+"n_session_rebuilds" in both the detail file and the printed line,
+and the final spark.stop() can no longer turn an already-printed
+result into rc 1. The timing protocol and the timed action are
+byte-for-byte unchanged.
 """
 
 from __future__ import annotations
@@ -67,6 +82,115 @@ EXTRA_MEMOIZED = {
     "personalized_pagerank",
     "pagerank_top_nodes",
 }
+
+# One session death is survivable noise; repeated deaths mean the host
+# or the code is sick and the run must fail loudly instead of looping.
+N_REBUILD_MAX = 3
+
+
+def _session_died(exc: BaseException | None) -> bool:
+    """True when an exception chain indicates the JVM gateway itself is
+    gone (py4j connection loss / dead socket), as opposed to a
+    query-level failure inside a healthy session. Walks __cause__ /
+    __context__ because py4j wraps the socket error at several layers
+    (the r12 crash surfaced raw ConnectionRefusedError from
+    clientserver.py, but Py4JNetworkError wrappers are equally fatal)."""
+    from py4j.protocol import Py4JNetworkError
+
+    seen: set[int] = set()
+    while exc is not None and id(exc) not in seen:
+        seen.add(id(exc))
+        if isinstance(
+            exc,
+            (
+                ConnectionRefusedError,
+                ConnectionResetError,
+                BrokenPipeError,
+                EOFError,
+                Py4JNetworkError,
+            ),
+        ):
+            return True
+        exc = exc.__cause__ or exc.__context__
+    return False
+
+
+def _revive(old) -> "object":
+    """Replace a dead SparkSession with a fresh JVM.
+
+    PySpark's own stop() path assumes a live gateway (the r12 run died
+    INSIDE spark.stop() with the singletons half-cleared), so every
+    Python-side singleton that still points at the dead JVM is cleared
+    explicitly before getOrCreate launches a new one. The in-session
+    artifact caches are cleared too: their DataFrames/models reference
+    the dead context and would poison the first memo hit."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+    from pyspark.sql.context import SQLContext
+
+    try:
+        old.stop()
+    except Exception:  # noqa: BLE001 — the JVM is already gone
+        pass
+    try:
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+    except Exception:  # noqa: BLE001
+        pass
+    with SparkContext._lock:
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    SQLContext._instantiatedContext = None
+    maintenance.clear_session_caches()
+    return get_spark("bench")
+
+
+def timed_run(state: dict, run) -> float:
+    """Time ``run(spark)`` against the session in ``state['spark']``;
+    on JVM-gateway death (classified by _session_died, never by a
+    query-level exception) revive the session via ``state['revive']``
+    and retry ONCE in the fresh JVM — that retry's timing includes any
+    memo rebuild, which the min-of-passes protocol absorbs. Non-death
+    exceptions, and a death past the N_REBUILD_MAX cap, propagate.
+    ``state['rebuilds']`` counts total revives across the run.
+    Module-level (not a main() closure) so the revive decision path is
+    unit-testable without a dying JVM."""
+    try:
+        t0 = time.perf_counter()
+        run(state["spark"])
+        return time.perf_counter() - t0
+    except Exception as exc:  # noqa: BLE001 — classify, then decide
+        if not _session_died(exc):
+            raise
+        state["rebuilds"] += 1
+        print(
+            f"# bench SESSION DIED "
+            f"(rebuild {state['rebuilds']}/{N_REBUILD_MAX}): {exc}",
+            file=sys.stderr,
+        )
+        if state["rebuilds"] > N_REBUILD_MAX:
+            raise
+        state["spark"] = state["revive"](state["spark"])
+        t0 = time.perf_counter()
+        run(state["spark"])
+        return time.perf_counter() - t0
+
+
+def _jvm_gc(spark) -> None:
+    """One explicit full GC, called between suite passes (never inside
+    a timed region): ContextCleaner only releases dead localCheckpoint
+    blocks / shuffle state after a JVM GC notices the weak refs, and on
+    an unpressured 16 GiB heap that can lag a whole bench run — the
+    accumulation suspected of killing the r12 32-core JVM. A
+    per-QUERY System.gc() was measured ~15% slower in total and stays
+    rejected; 4 calls per run are noise."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — hygiene, never fatal
+        pass
 
 
 def main() -> None:
@@ -104,6 +228,12 @@ def main() -> None:
 
     failed: set[str] = set()
     memo_users: set[str] = set(EXTRA_MEMOIZED)
+    state = {"spark": spark, "revive": _revive, "rebuilds": 0}
+
+    def run_one(name: str) -> float:
+        return timed_run(
+            state, lambda s: queries[name](s, SF_DIR).collect()
+        )
 
     def one_pass(timed: bool) -> dict[str, float]:
         pass_t: dict[str, float] = {}
@@ -120,9 +250,7 @@ def main() -> None:
             gc.collect()
             touches0 = maintenance.MEMO_TOUCHES
             try:
-                t0 = time.perf_counter()
-                queries[name](spark, SF_DIR).collect()
-                pass_t[name] = time.perf_counter() - t0
+                pass_t[name] = run_one(name)
             except Exception as exc:  # noqa: BLE001 — record, keep benching
                 print(f"# bench FAILED {name}: {exc}", file=sys.stderr)
                 failed.add(name)
@@ -134,8 +262,12 @@ def main() -> None:
     # Three interleaved timed passes: this host's timing flaps up to
     # 7x on identical plans (VM scheduler + GC + page cache), and a
     # flap hitting the same query in all three full-suite passes is
-    # far less likely than in back-to-back repeats.
-    passes = [one_pass(timed=True) for _ in range(3)]
+    # far less likely than in back-to-back repeats. The between-pass
+    # _jvm_gc bounds cross-pass heap residue (see its docstring).
+    passes = []
+    for _ in range(3):
+        _jvm_gc(state["spark"])
+        passes.append(one_pass(timed=True))
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -161,14 +293,13 @@ def main() -> None:
     # in a fresh session. Two interleaved samples bound that noise.
     memoized_cold: dict[str, float] = {}
     cold_samples: dict[str, int] = {}
+    _jvm_gc(state["spark"])
     for _cold_pass in range(2):
         for name in sorted(memo_users - failed):
             maintenance.clear_session_caches()
             gc.collect()
             try:
-                t0 = time.perf_counter()
-                queries[name](spark, SF_DIR).collect()
-                dt = round(time.perf_counter() - t0, 3)
+                dt = round(run_one(name), 3)
                 memoized_cold[name] = min(
                     memoized_cold.get(name, float("inf")), dt
                 )
@@ -194,6 +325,10 @@ def main() -> None:
         "memoized_single_sample": cold_single,
         "sf": sf,
         "n_queries": len(timings),
+        # >0 means the JVM gateway died and was relaunched mid-run —
+        # the affected pass's timings include memo rebuilds, so treat
+        # this run's numbers with suspicion and re-run if possible.
+        "n_session_rebuilds": state["rebuilds"],
     }
     # The committed artifact records the DEFAULT (sf0.1) bench; a
     # verification run at another SF (e.g. the verify skill's sf0.01
@@ -233,12 +368,19 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_failed": len(failed),
                 "n_memoized": len(memoized_cold),
+                "n_session_rebuilds": state["rebuilds"],
                 "detail": detail_name,
             },
             separators=(",", ":"),
         )
     )
-    spark.stop()
+    # Guarded: a gateway that dies between the last query and here must
+    # not turn an already-printed complete result into rc 1 (exactly
+    # how the r12 run ended — traceback out of spark.stop()).
+    try:
+        state["spark"].stop()
+    except Exception as exc:  # noqa: BLE001
+        print(f"# bench: spark.stop failed after results: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

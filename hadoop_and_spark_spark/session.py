@@ -156,13 +156,17 @@ def get_spark(
             str(64 << 20),
         )
         .config("spark.sql.session.timeZone", "UTC")
-        # Persisted-artifact parquet (index/IVF/layout/replay writes)
-        # in zstd, not the snappy default (guide §6): measured on the
-        # postings-index build at sf0.1 — 399,375 → 294,010 bytes
-        # (-26%) with build and serve times flat within the host noise
-        # band. At 100 TB the artifact bytes ARE the serve-path I/O;
-        # reads stay splittable and the codec is per-file metadata, so
-        # existing snappy artifacts keep reading fine.
+        # Parquet writes in zstd, not the snappy default (guide §6).
+        # SESSION-GLOBAL: this covers the persisted artifacts it was
+        # measured for (postings-index build at sf0.1 — 399,375 →
+        # 294,010 bytes, -26%, build/serve flat) AND every other
+        # session write (compaction outputs, streaming stage files,
+        # session-rewritten corpora). Size heuristics calibrated
+        # against snappy bytes must account for that: dedup.py's
+        # broadcast gate reads the corpus files' actual codec
+        # (_disk_heap_multiplier) instead of assuming the snappy
+        # ratio. Reads stay splittable and the codec is per-file
+        # metadata, so existing snappy artifacts keep reading fine.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(bcast_threshold))
@@ -198,6 +202,16 @@ def get_spark(
             "-XX:+UseParallelGC "
             "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
         )
+        # ContextCleaner frees dead checkpoint/broadcast/shuffle state
+        # only after a JVM GC collects the weak references; its default
+        # periodic System.gc() interval (30min) never fires inside a
+        # bench-length run, so on an unpressured 16 GiB ParallelGC heap
+        # dead localCheckpoint blocks from ~430 query executions
+        # accumulate until the JVM dies (the r12 32-core driver-run
+        # crash signature). 90s bounds the residue to ~a pass's worth;
+        # measured whole-suite impact is inside the host noise band
+        # (full GCs on this heap are tens of ms).
+        .config("spark.cleaner.periodicGC.interval", "90s")
         .config("spark.ui.enabled", "false")
         # Console progress bars share stdout with the driver's JSON
         # tail capture (bench.py prints its result line there); static
