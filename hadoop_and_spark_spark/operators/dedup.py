@@ -52,6 +52,7 @@ whose explode→groupBy skeleton ``dedup_ngram_jaccard`` reuses.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -232,6 +233,47 @@ def _docs_with_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _disk_heap_multiplier(path: str) -> int:
+    """Heap-bytes-per-disk-byte multiplier for the broadcast gate's
+    on-disk term, chosen from the corpus files' actual parquet codec
+    (one footer read, driver-side, ~ms). The ×8 calibration
+    (shingle-table heap measured at 5.6–6.2× the compressed corpus
+    across the three test SFs, with margin) was done against SNAPPY
+    files; the session now writes parquet as zstd (session.py), which
+    packs ~26% tighter — a session-REWRITTEN corpus would slip under a
+    snappy-calibrated gate with its real heap footprint unchanged, so
+    higher-ratio codecs scale the multiplier by the measured zstd
+    ratio (8/0.74 ≈ 11). Unknown codec or unreadable footer degrades
+    CONSERVATIVE (larger estimate → merge join, which always
+    survives)."""
+    def parquet_files():
+        # The test corpora are single .parquet FILES; session-written
+        # corpora are directories of part files — handle both.
+        if os.path.isfile(path):
+            yield path
+            return
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    yield os.path.join(root, f)
+
+    try:
+        import pyarrow.parquet as pq
+
+        for f in parquet_files():
+            md = pq.ParquetFile(f).metadata
+            if md.num_row_groups and md.num_columns:
+                codec = md.row_group(0).column(0).compression.upper()
+                return (
+                    8
+                    if codec in {"SNAPPY", "UNCOMPRESSED", "LZ4", "LZ4_RAW"}
+                    else 11
+                )
+    except Exception:  # noqa: BLE001 — gate must never fail the query
+        pass
+    return 11
+
+
 def _corpus_fits_broadcast(spark: SparkSession, sf_dir: str) -> bool:
     """Whether corpus-derived per-doc frames (shingle arrays, prefix
     entries, shingle dfreq) are small enough to trust to broadcast
@@ -261,12 +303,15 @@ def _corpus_fits_broadcast(spark: SparkSession, sf_dir: str) -> bool:
        8 id + 16 array header + 44*8 ~ 376 B, x ~1.6 LongHashedRelation
        overhead). Catches many-short-docs corpora where per-row
        overhead dominates.
-    2. on-disk bytes: parquet_data_size(documents) x 8 — the shingle
-       table's heap bytes measured at 5.6-6.2x the snappy-compressed
-       corpus across the three test SFs (text compresses ~2.4x; heap
-       ~ tokens x 8 B x 1.6 overhead ~ 2.1x raw text), with margin.
-       Catches LONG-document corpora whose row count alone slips
-       under the bound with 10x the shingle bytes.
+    2. on-disk bytes: parquet_data_size(documents) x a codec-aware
+       multiplier (_disk_heap_multiplier: x8 as calibrated on the
+       snappy test corpora — shingle heap measured at 5.6-6.2x the
+       snappy bytes (text compresses ~2.4x; heap ~ tokens x 8 B x 1.6
+       overhead ~ 2.1x raw text), with margin — scaled to x11 for
+       zstd/gzip-written corpora, whose ~26% tighter files would
+       otherwise erode exactly that margin now that the session writes
+       zstd). Catches LONG-document corpora whose row count alone
+       slips under the bound with 10x the shingle bytes.
     3. sampled shape: mean token count over the first 512 docs (one
        LIMIT job reading the leading pages — a full-scan sample would
        cost a corpus pass at 100 TB just to pick a join strategy) ->
@@ -293,9 +338,10 @@ def _corpus_fits_broadcast(spark: SparkSession, sf_dir: str) -> bool:
 
     from ..catalog import table_path
 
+    docs_path = table_path(sf_dir, "documents")
     est = max(
         n_docs * 576,
-        parquet_data_size(table_path(sf_dir, "documents")) * 8,
+        parquet_data_size(docs_path) * _disk_heap_multiplier(docs_path),
         int(n_docs * (24 + (sampled or 0.0) * 8) * 1.6),
     )
     return est < threshold
@@ -710,10 +756,27 @@ def connected_components(
     corpus — and each round is one join + one grouped min, both
     shuffling on node id. Rounds needed = component diameter, and
     near-dup clusters are shallow (a planted-dup family is a clique —
-    diameter 1), so the loop exits after 2–3 rounds. Convergence is
-    detected with a single scalar count per round (an aggregate
-    action, the same budget as the PageRank mass audit); lineage stays
-    constant via per-round eager localCheckpoint.
+    diameter 1), so the loop exits after 1–2 rounds.
+
+    Round-13 driver-side job economy (guide §2.4/§2.6 — the loop is
+    many SMALL jobs of fixed overhead, so fewer actions per round is
+    the win at every scale):
+
+    - Neighbor-min initialization: labels start one propagation step
+      ahead (label(u) = min over {u} ∪ N(u)), computed by the same
+      groupBy that used to merely enumerate nodes — a CLIQUE (the
+      shape near-dup families take) is then already at its fixed
+      point, and the loop's first confirmation round is its last:
+      one full round saved on every invocation, identical fixed point
+      (min-label propagation converges to the component min from any
+      per-node start inside {u} ∪ N(u)).
+    - The convergence signal is a per-row ``changed`` flag carried in
+      the round's own frame, not a join of new labels against old —
+      that join cost two extra pair-graph-sized shuffles per round
+      whose only output was a scalar.
+    - The round's localCheckpoint is LAZY and the changed-count is the
+      action that materializes it: one action per round where the
+      eager-checkpoint + count-join structure paid two.
 
     Raises if the loop exhausts ``max_iter`` without converging:
     partially-propagated labels are silently WRONG (they disagree with
@@ -727,10 +790,12 @@ def connected_components(
         .distinct()
         .transform(artifact_checkpoint)
     )
+    # Every node appears as u (edges are symmetrized), so this both
+    # enumerates the nodes and takes the first propagation step.
     labels = (
-        edges.select("u")
-        .distinct()
-        .withColumn("label", F.col("u"))
+        edges.groupBy("u")
+        .agg(F.min("v").alias("nv"))
+        .select("u", F.least("u", "nv").alias("label"))
         .transform(artifact_checkpoint)
     )
     for _ in range(max_iter):
@@ -744,17 +809,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vlabel").alias("nbr"))
         )
-        new_labels = labels.join(nbr_min, "u", "left").select(
+        stepped = labels.join(nbr_min, "u", "left").select(
             "u",
             F.least("label", F.coalesce("nbr", F.col("label"))).alias("label"),
-        ).transform(artifact_checkpoint)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+            (
+                F.least("label", F.coalesce("nbr", F.col("label")))
+                < F.col("label")
+            ).alias("changed"),
         )
-        labels = new_labels
+        new_labels = artifact_checkpoint(stepped, eager=False)
+        # This count is the round's ONE action: it materializes the
+        # lazy checkpoint (truncating lineage exactly as the eager form
+        # did) and reads the convergence signal off the flag column —
+        # no second job, no new-vs-old join.
+        changed = new_labels.where("changed").count()
+        labels = new_labels.select("u", "label")
         if changed == 0:
             break
     else:

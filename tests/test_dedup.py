@@ -158,6 +158,48 @@ def test_connected_components_transitive_chain(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (10, 10), (11, 10)}
 
 
+def test_disk_heap_multiplier_is_codec_aware(tmp_path, sf_dir):
+    """The broadcast gate's on-disk term was calibrated against
+    snappy-compressed bytes; the session now writes zstd (~26%
+    tighter), so a zstd-written corpus must scale the multiplier up
+    (ADVICE r12). Snappy test corpora keep the calibrated x8; unknown
+    or unreadable paths degrade conservative (x11 → merge join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_and_spark_spark.catalog import table_path
+
+    # the committed test corpus is snappy, single-file layout
+    assert dedup._disk_heap_multiplier(table_path(sf_dir, "documents")) == 8
+    # a session-written (directory) corpus in zstd
+    pq.write_table(
+        pa.table({"x": [1, 2, 3]}),
+        str(tmp_path / "part-0.parquet"),
+        compression="zstd",
+    )
+    assert dedup._disk_heap_multiplier(str(tmp_path)) == 11
+    # unreadable/missing: conservative
+    assert dedup._disk_heap_multiplier(str(tmp_path / "absent")) == 11
+
+
+def test_connected_components_clique_converges_in_one_round(spark):
+    """Round-13 job economy: neighbor-min initialization starts labels
+    one propagation step ahead, so a CLIQUE — the shape planted
+    near-dup families take — is at its fixed point before the loop
+    runs and the first confirmation round is the last. max_iter=1
+    succeeding on a triangle pins the saved round (label-per-node
+    initialization needed a propagation round first and would raise
+    here)."""
+    tri = spark.createDataFrame(
+        [(2, 1), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.node, r.component)
+        for r in dedup.connected_components(tri, max_iter=1).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
 def test_connected_components_raises_when_not_converged(spark):
     """Exhausting max_iter must fail loudly, not return partially
     propagated (wrong) labels: a 6-node path graph cannot converge in
