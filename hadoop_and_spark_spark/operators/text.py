@@ -10,17 +10,19 @@ DataFrame plans:
 - partial aggregation replaces combiners (automatic),
 - window functions (`sum over (partition by a)`) replace
   order-inversion + custom partitioner,
-- a self-join on doc_id replaces the pairs/stripes shuffle
+- array-side pair generation (chained explodes over each document's
+  windowed distinct-token array) replaces the pairs/stripes shuffle
   multiplexing.
 
 Scale notes (100 TB corpus):
 - Tokenization is pure built-in expressions → whole-stage codegen,
   no Python in the hot path.
-- The PMI self-join explodes distinct tokens per doc (≤40 after the
-  reference's token-window truncation) then joins on doc_id: the
-  join is co-partitioned on doc_id (both sides derive from the same
-  exchange) so Catalyst reuses one shuffle; pair cardinality is
-  bounded by 40×39 per doc.
+- PMI pair generation is document-local (≤40 tokens after the
+  reference's window truncation, so ≤40×39 ordered pairs per doc)
+  and runs as two chained explodes inside the scan stage — no
+  doc_id self-join, no corpus-sized exchange before the (a, b) pair
+  aggregate itself (see _cooc_pairs; the r11 self-join form and the
+  r12 A/B that retired it are logged in OPTIMIZATION_r12.md).
 - Unigram counts are a vocabulary-sized aggregate, joined into the
   pair counts UNhinted: AQE broadcasts them from measured stats while
   the vocabulary is small and falls back to a shuffled join when it
@@ -208,8 +210,8 @@ def pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: a1/PairsPMI.java (two chained MR jobs with an HDFS
     side-file reload in the reducer) and a2/PairsPMI.scala:60-99
-    (collectAsMap + broadcast). Spark-first: one DAG — exploded
-    distinct tokens self-joined on doc_id for pair counts, unigram
+    (collectAsMap + broadcast). Spark-first: one DAG — pair counts
+    generated array-side by chained explodes (_cooc_pairs), unigram
     counts broadcast-joined in, log10 expression. N counts all docs
     (the Spark reference's `count()` semantics, a2/PairsPMI.scala:60).
 

@@ -25,8 +25,7 @@ from pyspark.sql import functions as F
 
 from hadoop_and_spark_spark.catalog import load_table
 from hadoop_and_spark_spark.registry import collect
-from hadoop_and_spark_spark.session import get_spark, fan_out
-from hadoop_and_spark_spark.functions import tokenize
+from hadoop_and_spark_spark.session import get_spark
 from hadoop_and_spark_spark.functions.portable import (
     HASH_P,
     let_col,
@@ -35,7 +34,6 @@ from hadoop_and_spark_spark.functions.portable import (
 )
 from hadoop_and_spark_spark.operators.relational import Q9_PCTS
 from hadoop_and_spark_spark.operators.text import (
-    CMS_DEPTH,
     CMS_PROBES,
     CMS_WIDTH,
     _CMS_PERMS,
@@ -46,6 +44,60 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 # ---------------- q9 variants ----------------
+
+def _q9_finish(hist, order_col: str):
+    """Shared histogram -> exact-percentile finish (cumulative windows,
+    bracket aggregation, linear interpolation) used by BOTH rejected
+    q9 variants - parameterized by the histogram's order column so the
+    two can never drift apart and silently weaken the equality gate
+    (ADVICE r12). Expects hist = (l_returnflag, l_extendedprice,
+    order_col, c)."""
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    hist = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
+        .withColumn("lo", F.col("cum") - F.col("c"))
+    )
+
+    def bracket(p):
+        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        k_lo = F.floor(pos)
+        k_hi = -F.floor(-pos)
+        v_lo = F.max(
+            F.when((F.col("lo") <= k_lo) & (k_lo < F.col("cum")), F.col("l_extendedprice"))
+        )
+        v_hi = F.max(
+            F.when((F.col("lo") <= k_hi) & (k_hi < F.col("cum")), F.col("l_extendedprice"))
+        )
+        return v_lo, v_hi
+
+    aggs = [F.max("n").alias("cnt")]
+    for name, p in Q9_PCTS:
+        v_lo, v_hi = bracket(p)
+        aggs += [v_lo.alias(f"_lo_{name}"), v_hi.alias(f"_hi_{name}")]
+    out = hist.groupBy("l_returnflag").agg(*aggs)
+
+    def interp(name, p):
+        pos = F.lit(p) * (F.col("cnt") - F.lit(1)).cast("double")
+        k_lo = F.floor(pos)
+        k_hi = -F.floor(-pos)
+        v_lo, v_hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
+        exact = F.when(k_lo == k_hi, v_lo).otherwise(
+            (k_hi.cast("double") - pos) * v_lo + (pos - k_lo.cast("double")) * v_hi
+        )
+        return F.round(exact, 6).alias(name)
+
+    return out.select(
+        "l_returnflag",
+        *[interp(name, p) for name, p in Q9_PCTS],
+        "cnt",
+    ).orderBy("l_returnflag")
+
 
 def q9_packed(spark, sf_dir):
     """Histogram keyed on ONE long packing (flag_char, cents):
@@ -66,51 +118,7 @@ def q9_packed(spark, sf_dir):
         ).alias("l_extendedprice"),
         "c",
     )
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("l_returnflag")
-    hist = (
-        hist.withColumn("cum", F.sum("c").over(w_cum))
-        .withColumn("n", F.sum("c").over(w_all))
-        .withColumn("lo", F.col("cum") - F.col("c"))
-    )
-
-    def bracket(p):
-        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
-        k_lo = F.floor(pos)
-        k_hi = -F.floor(-pos)
-        v_lo = F.max(
-            F.when((F.col("lo") <= k_lo) & (k_lo < F.col("cum")), F.col("l_extendedprice"))
-        )
-        v_hi = F.max(
-            F.when((F.col("lo") <= k_hi) & (k_hi < F.col("cum")), F.col("l_extendedprice"))
-        )
-        return v_lo, v_hi
-
-    aggs = [F.max("n").alias("cnt")]
-    for name, p in Q9_PCTS:
-        v_lo, v_hi = bracket(p)
-        aggs += [v_lo.alias(f"_lo_{name}"), v_hi.alias(f"_hi_{name}")]
-    out = hist.groupBy("l_returnflag").agg(*aggs)
-
-    def interp(name, p):
-        pos = F.lit(p) * (F.col("cnt") - F.lit(1)).cast("double")
-        k_lo = F.floor(pos)
-        k_hi = -F.floor(-pos)
-        v_lo, v_hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
-        exact = F.when(k_lo == k_hi, v_lo).otherwise(
-            (k_hi.cast("double") - pos) * v_lo + (pos - k_lo.cast("double")) * v_hi
-        )
-        return F.round(exact, 6).alias(name)
-
-    return out.select(
-        "l_returnflag",
-        *[interp(name, p) for name, p in Q9_PCTS],
-        "cnt",
-    ).orderBy("l_returnflag")
+    return _q9_finish(hist, "l_extendedprice")
 
 
 def q9_cents_cols(spark, sf_dir):
@@ -124,51 +132,7 @@ def q9_cents_cols(spark, sf_dir):
     hist = hist.withColumn(
         "l_extendedprice", F.col("cents").cast("double") / F.lit(100.0)
     )
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("l_returnflag")
-    hist = (
-        hist.withColumn("cum", F.sum("c").over(w_cum))
-        .withColumn("n", F.sum("c").over(w_all))
-        .withColumn("lo", F.col("cum") - F.col("c"))
-    )
-
-    def bracket(p):
-        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
-        k_lo = F.floor(pos)
-        k_hi = -F.floor(-pos)
-        v_lo = F.max(
-            F.when((F.col("lo") <= k_lo) & (k_lo < F.col("cum")), F.col("l_extendedprice"))
-        )
-        v_hi = F.max(
-            F.when((F.col("lo") <= k_hi) & (k_hi < F.col("cum")), F.col("l_extendedprice"))
-        )
-        return v_lo, v_hi
-
-    aggs = [F.max("n").alias("cnt")]
-    for name, p in Q9_PCTS:
-        v_lo, v_hi = bracket(p)
-        aggs += [v_lo.alias(f"_lo_{name}"), v_hi.alias(f"_hi_{name}")]
-    out = hist.groupBy("l_returnflag").agg(*aggs)
-
-    def interp(name, p):
-        pos = F.lit(p) * (F.col("cnt") - F.lit(1)).cast("double")
-        k_lo = F.floor(pos)
-        k_hi = -F.floor(-pos)
-        v_lo, v_hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
-        exact = F.when(k_lo == k_hi, v_lo).otherwise(
-            (k_hi.cast("double") - pos) * v_lo + (pos - k_lo.cast("double")) * v_hi
-        )
-        return F.round(exact, 6).alias(name)
-
-    return out.select(
-        "l_returnflag",
-        *[interp(name, p) for name, p in Q9_PCTS],
-        "cnt",
-    ).orderBy("l_returnflag")
+    return _q9_finish(hist, "cents")
 
 
 # ---------------- token_freq_cms variants ----------------
@@ -238,60 +202,16 @@ def cms_hash_only(spark, sf_dir):
 # ---------------- pmi pair-gen variants ----------------
 
 def pmi_pairs_lateral(spark, sf_dir):
-    """Pair generation via two chained explodes (lateral) instead of
-    nested transform+flatten: no array-of-1560-structs per doc."""
-    from hadoop_and_spark_spark.operators.text import (
-        PMI_THRESHOLD,
-        PMI_WINDOW,
-    )
+    """The r12 candidate that WON: chained-explode ("lateral") pair
+    generation. Promoted to the registered _cooc_pairs in 15479bb, so
+    the variant now DELEGATES to the registered query instead of
+    re-inlining its body (ADVICE r12: an inlined copy would drift and
+    silently weaken the equality gate). `ab_r12.py pmi` still runs,
+    as an identity A/B."""
+    from hadoop_and_spark_spark.registry import collect as _collect
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    t = F.array_distinct(F.slice(tokenize("text"), 1, PMI_WINDOW))
-    lvl1 = docs.select(t.alias("t")).select(
-        F.explode("t").alias("a"), F.col("t")
-    )
-    pairs = (
-        lvl1.select("a", F.explode(F.filter("t", lambda b: b != F.col("a"))).alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= PMI_THRESHOLD)
-    )
-    n_docs = load_table(spark, sf_dir, "documents").agg(
-        F.count("*").cast("double").alias("n_docs")
-    )
-    toks = docs.select(
-        "doc_id", F.array_distinct(F.slice(tokenize("text"), 1, PMI_WINDOW)).alias("toks")
-    )
-    exploded = toks.select("doc_id", F.explode("toks").alias("word"))
-    unigram = exploded.groupBy("word").agg(F.count("*").alias("wcnt"))
-    ua, ub = unigram.alias("ua"), unigram.alias("ub")
-    return (
-        pairs.join(ua, F.col("a") == F.col("ua.word"))
-        .join(ub, F.col("b") == F.col("ub.word"))
-        .select(
-            "a",
-            "b",
-            "cnt",
-            F.col("ua.wcnt").alias("cnt_a"),
-            F.col("ub.wcnt").alias("cnt_b"),
-        )
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "a",
-            "b",
-            (
-                F.round(
-                    F.log10(
-                        F.col("cnt") * F.col("n_docs") / (F.col("cnt_a") * F.col("cnt_b"))
-                    ),
-                    4,
-                )
-                + F.lit(0.0)
-            ).alias("pmi"),
-            "cnt",
-        )
-        .orderBy("a", "b")
-    )
+    qs, _ = _collect()
+    return qs["pmi_pairs"](spark, sf_dir)
 
 
 def run(which: str, n_passes: int = 5) -> None:

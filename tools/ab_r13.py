@@ -1,0 +1,346 @@
+"""Round-13 A/B harness (guide §1): candidate variants measured
+against the registered queries, equality-gated first so a
+faster-but-different variant can never be promoted.
+
+Usage: python tools/ab_r13.py <which> [n_passes]
+  which in {dti, cc, q9prof}
+
+dti    — doc_token_ids variants: registered (two tokenize passes) vs
+         shared-tokenize checkpoint vs per-doc RLE counts branch.
+cc     — connected-components loop: the r12 structure (identity init,
+         eager per-round checkpoint, join-based convergence count)
+         vs the registered r13 structure (neighbor-min init, lazy
+         checkpoint materialized by the flag count), both run over
+         the same memoized MinHash pair graph via dedup_clusters.
+q9prof — fresh q9_price_percentiles stage profile: full query vs
+         histogram-aggregate-only vs windows-over-precomputed probes
+         (VERDICT r12 asked for a re-profile before touching it).
+
+Timing: qtime protocol — shared warm-up, then N interleaved passes,
+min per variant; equality gate runs before any timing.
+"""
+import gc
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hadoop_and_spark_spark.catalog import load_table
+from hadoop_and_spark_spark.registry import collect
+from hadoop_and_spark_spark.session import get_spark, fan_out
+from hadoop_and_spark_spark.functions import tokenize
+from hadoop_and_spark_spark.functions.portable import array_runs
+from hadoop_and_spark_spark.operators.textstats import OOV_ID, VOCAB_SIZE
+from hadoop_and_spark_spark.sources.maintenance import artifact_checkpoint
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# ---------------- doc_token_ids variants ----------------
+
+def dti_checkpointed(spark, sf_dir):
+    """ONE tokenize pass: the (doc_id, toks) frame is localCheckpointed
+    and both the vocab count and the encode branch read it — trades a
+    corpus-sized materialization for the second tokenize+scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    docs = artifact_checkpoint(fan_out(docs))
+    tok = docs.select("doc_id", F.posexplode("toks").alias("pos", "token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    topv = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_SIZE)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = topv.withColumn("token_id", F.row_number().over(w)).select(
+        "token", "token_id"
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce("token_id", F.lit(OOV_ID)).alias("token_id"),
+        )
+        .sortWithinPartitions("doc_id", "pos")
+    )
+
+
+def dti_rle_counts(spark, sf_dir):
+    """Vocab counts from per-doc RLE (sort + array_runs) instead of the
+    occurrence-level groupBy: fewer rows into the partial aggregate,
+    paid with an interpreted per-doc array sort. Encode branch
+    unchanged (still needs positions)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    tok = fan_out(docs).select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    )
+    runs = (
+        fan_out(docs)
+        .select(F.explode(array_runs(F.array_sort("toks"))).alias("r"))
+        .select(F.col("r.v").alias("token"), F.col("r.n").alias("n"))
+    )
+    counts = runs.groupBy("token").agg(F.sum("n").alias("cnt"))
+    topv = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_SIZE)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = topv.withColumn("token_id", F.row_number().over(w)).select(
+        "token", "token_id"
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce("token_id", F.lit(OOV_ID)).alias("token_id"),
+        )
+        .sortWithinPartitions("doc_id", "pos")
+    )
+
+
+# ---------------- connected-components variants ----------------
+
+def _cc_r12(pairs, a="doc_a", b="doc_b", max_iter=30):
+    """The pre-r13 loop, verbatim structure: identity init, eager
+    per-round checkpoint, new-vs-old join for the convergence count."""
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .transform(artifact_checkpoint)
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .withColumn("label", F.col("u"))
+        .transform(artifact_checkpoint)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("vlabel")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nbr"))
+        )
+        new_labels = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.least("label", F.coalesce("nbr", F.col("label"))).alias("label"),
+        ).transform(artifact_checkpoint)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("did not converge")
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def _clusters_with(cc_fn):
+    def q(spark, sf_dir):
+        from hadoop_and_spark_spark.operators.dedup import dedup_minhash_lsh
+
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        comp = cc_fn(pairs)
+        wsize = Window.partitionBy("cluster_id")
+        return (
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster_id"),
+            )
+            .withColumn("cluster_size", F.count("*").over(wsize))
+            .sortWithinPartitions("doc_id")
+        )
+
+    return q
+
+
+# ---------------- q9 stage-profile probes ----------------
+
+def q9_two_level(spark, sf_dir):
+    """Two-level cumulative (VERDICT r12 #4, triggered by the fresh
+    profile showing the per-flag windows, not the aggregate, dominate):
+    the per-flag cumulative runs per (flag, price-bucket) — parallel
+    bounded sub-windows — with bucket offsets from a tiny per-flag
+    prefix window, broadcast back. cum/lo/n are sums of longs grouped
+    identically, so results are bit-identical to the registered
+    single-window form; bracket/interp unchanged."""
+    from hadoop_and_spark_spark.operators.relational import Q9_PCTS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("c")
+    )
+    hist = hist.withColumn(
+        "b", F.floor(F.col("l_extendedprice") / F.lit(64.0))
+    )
+    btot = hist.groupBy("l_returnflag", "b").agg(F.sum("c").alias("bc"))
+    w_boff = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_ball = Window.partitionBy("l_returnflag")
+    boff = btot.select(
+        "l_returnflag",
+        "b",
+        F.coalesce(F.sum("bc").over(w_boff), F.lit(0).cast("long")).alias("off"),
+        F.sum("bc").over(w_ball).alias("n"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag", "b")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = (
+        hist.join(F.broadcast(boff), ["l_returnflag", "b"])
+        .withColumn("cum", F.col("off") + F.sum("c").over(w_cum))
+        .withColumn("lo", F.col("cum") - F.col("c"))
+    )
+
+    def bracket(p):
+        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        k_lo = F.floor(pos)
+        k_hi = -F.floor(-pos)
+        v_lo = F.max(
+            F.when((F.col("lo") <= k_lo) & (k_lo < F.col("cum")), F.col("l_extendedprice"))
+        )
+        v_hi = F.max(
+            F.when((F.col("lo") <= k_hi) & (k_hi < F.col("cum")), F.col("l_extendedprice"))
+        )
+        return v_lo, v_hi
+
+    aggs = [F.max("n").alias("cnt")]
+    for name, p in Q9_PCTS:
+        v_lo, v_hi = bracket(p)
+        aggs += [v_lo.alias(f"_lo_{name}"), v_hi.alias(f"_hi_{name}")]
+    out = hist.groupBy("l_returnflag").agg(*aggs)
+
+    def interp(name, p):
+        pos = F.lit(p) * (F.col("cnt") - F.lit(1)).cast("double")
+        k_lo = F.floor(pos)
+        k_hi = -F.floor(-pos)
+        v_lo, v_hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
+        exact = F.when(k_lo == k_hi, v_lo).otherwise(
+            (k_hi.cast("double") - pos) * v_lo + (pos - k_lo.cast("double")) * v_hi
+        )
+        return F.round(exact, 6).alias(name)
+
+    return out.select(
+        "l_returnflag",
+        *[interp(name, p) for name, p in Q9_PCTS],
+        "cnt",
+    ).orderBy("l_returnflag")
+
+
+def q9_hist_only(spark, sf_dir):
+    """Probe: the domain-bounded histogram aggregate alone."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").alias("c"))
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("c").alias("s"))
+    )
+
+
+def q9_scan_only(spark, sf_dir):
+    """Probe: the two-column scan floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_extendedprice").groupBy().agg(
+        F.count("*").alias("n")
+    )
+
+
+def run(which: str, n_passes: int = 5) -> None:
+    spark = get_spark("exp")
+    queries, _ = collect()
+    if which == "dti":
+        variants = {
+            "dti_registered": queries["doc_token_ids"],
+            "dti_checkpointed": dti_checkpointed,
+            "dti_rle_counts": dti_rle_counts,
+        }
+        ref = "dti_registered"
+    elif which == "cc":
+        variants = {
+            "cc_r13_registered": queries["dedup_clusters"],
+            "cc_r12_structure": _clusters_with(_cc_r12),
+        }
+        ref = "cc_r13_registered"
+    elif which == "q9prof":
+        variants = {
+            "q9_registered": queries["q9_price_percentiles"],
+            "q9_hist_only": q9_hist_only,
+            "q9_scan_only": q9_scan_only,
+        }
+        ref = "q9_registered"
+    elif which == "q9two":
+        variants = {
+            "q9_registered": queries["q9_price_percentiles"],
+            "q9_two_level": q9_two_level,
+        }
+        ref = "q9_registered"
+    else:
+        raise SystemExit(f"unknown experiment {which}")
+
+    # warm-up (codegen + worker pool), qtime-shape
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    ncpu = spark.sparkContext.defaultParallelism
+    spark.range(ncpu, numPartitions=ncpu).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+
+    # equality gate first (also warms every variant); *_only cost
+    # probes are excluded — different outputs by design
+    rows = {}
+    for name, fn in variants.items():
+        rows[name] = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
+    ref_rows = rows[ref]
+    for name in variants:
+        if name.endswith("_only"):
+            continue
+        same = rows[name] == ref_rows
+        print(f"equal[{name} vs {ref}]: {same}", flush=True)
+        if not same:
+            print("  REF ", ref_rows[:3])
+            print("  GOT ", rows[name][:3])
+            raise SystemExit(f"variant {name} output differs — not timeable")
+
+    times = {n: [] for n in variants}
+    jobs = {n: 0 for n in variants}
+    tracker = spark.sparkContext.statusTracker()
+    for p in range(n_passes):
+        for name, fn in variants.items():
+            gc.collect()
+            group = f"exp:{name}#{p}"
+            spark.sparkContext.setJobGroup(group, group)
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            times[name].append(time.perf_counter() - t0)
+            # driver-side job economy: actions + AQE stage-jobs per
+            # invocation (the CC experiment's primary claim)
+            jobs[name] = len(tracker.getJobIdsForGroup(group))
+    for name, ts in times.items():
+        print(
+            f"{name:24s} min={min(ts):.3f} med={sorted(ts)[len(ts)//2]:.3f} "
+            f"jobs/invocation={jobs[name]} all="
+            + ",".join(f"{t:.2f}" for t in ts),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    run(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 5)
