@@ -303,6 +303,12 @@ def q8c_pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q9_PCTS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+# Price-bucket width for q9's two-level cumulative: ~64 currency units
+# per sub-window keeps each (flag, bucket) partition small (≲ 6.4 k
+# distinct 2-dp prices) while the per-flag offset frame stays tiny
+# (price domain / width rows — ~1.6 k at TPC-H's ~[900, 105 000)
+# domain, independent of row count, so it broadcasts at any scale).
+Q9_CUM_BUCKET = 64.0
 
 
 def q9_percentiles_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,26 +348,60 @@ def q9_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of table size), then one conditional-max aggregate
     picks the two bracketing values per percentile and interpolates.
 
+    The cumulative is TWO-LEVEL (round 13, guide §2.5): one window
+    per flag puts each flag's whole price domain in ONE task — a
+    fresh stage profile measured the post-histogram part at ~1.4 s of
+    the 2.0 s total (3 single-task windows over ~583 k rows each with
+    29 cores idle; on a cluster the stage can never parallelize past
+    the flag count). The running sum therefore runs per
+    (flag, price-bucket) — parallel sub-windows Q9_CUM_BUCKET price
+    units wide — and each bucket's starting offset comes from a
+    per-flag prefix-sum window over the bucket TOTALS (≤ domain/width
+    rows, broadcast back onto the histogram). cum/lo/n are sums of
+    longs grouped identically either way, so results are
+    bit-identical to the single-window form (equality-gated in
+    tools/ab_r13.py before promotion): floor(price/width) is monotone
+    in price, so (b asc, price asc within b) IS global price order,
+    and a NULL price folds into the NULLs-first bucket both levels
+    order first.
+
     Interpolation mirrors Spark's own Percentile.getPercentile
     arithmetic exactly — pos = p·(n−1), lower/higher bracketing
     values, (higher−pos)·v_lo + (pos−lower)·v_hi — so results are
     bit-identical to the builtin (pinned in tests) and keep matching
-    the DuckDB ``quantile_cont`` oracle at 6 dp. Plan pin: two hash
-    aggregates and no ``percentile`` expression
+    the DuckDB ``quantile_cont`` oracle at 6 dp. Plan pin: bucketed
+    cumulative windows and no ``percentile`` expression
     (tests/test_plans.py::test_q9_histogram_plan_is_domain_bounded)."""
     li = load_table(spark, sf_dir, "lineitem")
     hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.count("*").alias("c")
     )
-    w_cum = (
+    hist = hist.withColumn(
+        "b", F.floor(F.col("l_extendedprice") / F.lit(Q9_CUM_BUCKET))
+    )
+    btot = hist.groupBy("l_returnflag", "b").agg(F.sum("c").alias("bc"))
+    w_boff = (
         Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_ball = Window.partitionBy("l_returnflag")
+    boff = btot.select(
+        "l_returnflag",
+        "b",
+        F.coalesce(F.sum("bc").over(w_boff), F.lit(0).cast("long")).alias(
+            "off"
+        ),
+        F.sum("bc").over(w_ball).alias("n"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag", "b")
         .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_all = Window.partitionBy("l_returnflag")
     hist = (
-        hist.withColumn("cum", F.sum("c").over(w_cum))
-        .withColumn("n", F.sum("c").over(w_all))
+        hist.join(F.broadcast(boff), ["l_returnflag", "b"])
+        .withColumn("cum", F.col("off") + F.sum("c").over(w_cum))
         .withColumn("lo", F.col("cum") - F.col("c"))  # first 0-based rank held
     )
 

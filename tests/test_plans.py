@@ -199,8 +199,15 @@ def test_q9_histogram_plan_is_domain_bounded(spark, sf_dir):
     assert "percentile" not in p.lower()
     assert "partial_count" in p  # histogram partial-aggregates map-side
     assert "l_returnflag" in p and "l_extendedprice" in p
-    # both windows keyed on the flag, none global:
+    # the heavy cumulative window must be TWO-LEVEL (round 13): keyed
+    # on (flag, bucket) so it parallelizes past the flag count — a
+    # window over l_extendedprice whose partition spec is the flag
+    # alone would put each flag's whole price domain in one task.
     assert "Window" in p
+    for spec in p.split("windowspecdefinition(")[1:]:
+        keys = spec.split(" ASC")[0]
+        if "l_extendedprice" in spec.split("specifiedwindowframe")[0]:
+            assert ("l_returnflag" not in keys) or ("b#" in keys), spec
     read_schema = p.split("ReadSchema")[1].splitlines()[0]
     assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
 

@@ -3,7 +3,7 @@ against the registered queries, equality-gated first so a
 faster-but-different variant can never be promoted.
 
 Usage: python tools/ab_r13.py <which> [n_passes]
-  which in {dti, cc, q9prof}
+  which in {dti, cc, q9prof, q9two}
 
 dti    — doc_token_ids variants: registered (two tokenize passes) vs
          shared-tokenize checkpoint vs per-doc RLE counts branch.
@@ -166,46 +166,107 @@ def _clusters_with(cc_fn):
     return q
 
 
+# ---------------- untouched-tail sweep variants (VERDICT r12 #7) ----
+
+def langid_let(spark, sf_dir):
+    """langid with the token array let-bound so the five lexicon-hit
+    columns provably share ONE tokenize evaluation. The registered
+    plan computes h_* in their own Project (CollapseProject declines
+    to re-inline multiply-referenced non-cheap expressions), so this
+    only wins if codegen subexpression elimination is NOT already
+    deduping the five tokenize trees."""
+    from hadoop_and_spark_spark.operators.textstats import (
+        STOPWORDS,
+        _LANGS,
+        _hits,
+    )
+    from hadoop_and_spark_spark.functions.portable import let_col
+    from hadoop_and_spark_spark.session import fan_out_local_sorted
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits_struct = let_col(
+        tokenize("text"),
+        lambda toks: F.struct(
+            *[
+                _hits(toks, STOPWORDS[lang]).alias(f"h_{lang}")
+                for lang in _LANGS
+            ]
+        ),
+    )
+    scored = fan_out_local_sorted(
+        docs.select("doc_id", F.col("lang").alias("lang_meta"), "text"),
+        "doc_id",
+    ).select("doc_id", "lang_meta", hits_struct.alias("h"))
+    h = lambda lang: F.col(f"h.h_{lang}")  # noqa: E731
+    mx = F.greatest(*[h(lang) for lang in _LANGS])
+    pred = F.when(mx == 0, "und")
+    for lang in _LANGS:
+        pred = pred.when(h(lang) == mx, lang)
+    return scored.select(
+        "doc_id", "lang_meta", pred.alias("lang_pred"), mx.alias("hits")
+    )
+
+
+def tstats_let(spark, sf_dir):
+    """token_stats with the whitespace token count let-bound (the
+    registered plan repeats the split+filter tree 4x: once for
+    ws_tokens, 3x inside round6's CASE for chars_per_token)."""
+    from hadoop_and_spark_spark.functions.portable import let_col, round6
+    from hadoop_and_spark_spark.operators.textstats import BPE_PATTERN
+    from hadoop_and_spark_spark.session import fan_out_local_sorted
+
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
+    row = let_col(
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")),
+        lambda ws: F.struct(
+            ws.alias("ws_tokens"),
+            round6(
+                F.length("text").cast("double")
+                / F.greatest(ws.cast("double"), F.lit(1.0))
+            ).alias("cpt"),
+        ),
+    )
+    return fan_out_local_sorted(
+        docs.select("doc_id", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        row.alias("r"),
+        bpe.alias("bpe_tokens"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.col("r.ws_tokens").alias("ws_tokens"),
+        "bpe_tokens",
+        F.col("r.cpt").alias("chars_per_token"),
+    )
+
+
 # ---------------- q9 stage-profile probes ----------------
 
-def q9_two_level(spark, sf_dir):
-    """Two-level cumulative (VERDICT r12 #4, triggered by the fresh
-    profile showing the per-flag windows, not the aggregate, dominate):
-    the per-flag cumulative runs per (flag, price-bucket) — parallel
-    bounded sub-windows — with bucket offsets from a tiny per-flag
-    prefix window, broadcast back. cum/lo/n are sums of longs grouped
-    identically, so results are bit-identical to the registered
-    single-window form; bracket/interp unchanged."""
+def q9_single_window(spark, sf_dir):
+    """The PRE-r13 registered form: one cumulative window per flag
+    (each flag's whole price domain in a single task). Kept as the
+    A/B twin of the promoted two-level cumulative so the equality
+    gate checks the registered query against its predecessor — the
+    two-level body itself lives ONLY in the registered query (no
+    drifting copy here)."""
     from hadoop_and_spark_spark.operators.relational import Q9_PCTS
 
     li = load_table(spark, sf_dir, "lineitem")
     hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.count("*").alias("c")
     )
-    hist = hist.withColumn(
-        "b", F.floor(F.col("l_extendedprice") / F.lit(64.0))
-    )
-    btot = hist.groupBy("l_returnflag", "b").agg(F.sum("c").alias("bc"))
-    w_boff = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_ball = Window.partitionBy("l_returnflag")
-    boff = btot.select(
-        "l_returnflag",
-        "b",
-        F.coalesce(F.sum("bc").over(w_boff), F.lit(0).cast("long")).alias("off"),
-        F.sum("bc").over(w_ball).alias("n"),
-    )
     w_cum = (
-        Window.partitionBy("l_returnflag", "b")
+        Window.partitionBy("l_returnflag")
         .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_all = Window.partitionBy("l_returnflag")
     hist = (
-        hist.join(F.broadcast(boff), ["l_returnflag", "b"])
-        .withColumn("cum", F.col("off") + F.sum("c").over(w_cum))
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
         .withColumn("lo", F.col("cum") - F.col("c"))
     )
 
@@ -279,6 +340,14 @@ def run(which: str, n_passes: int = 5) -> None:
             "cc_r12_structure": _clusters_with(_cc_r12),
         }
         ref = "cc_r13_registered"
+    elif which == "sweep":
+        variants = {
+            "langid_registered": queries["langid_heuristic"],
+            "langid_let": langid_let,
+            "tstats_registered": queries["token_stats"],
+            "tstats_let": tstats_let,
+        }
+        ref = None  # pairwise gates below
     elif which == "q9prof":
         variants = {
             "q9_registered": queries["q9_price_percentiles"],
@@ -289,7 +358,7 @@ def run(which: str, n_passes: int = 5) -> None:
     elif which == "q9two":
         variants = {
             "q9_registered": queries["q9_price_percentiles"],
-            "q9_two_level": q9_two_level,
+            "q9_single_window": q9_single_window,
         }
         ref = "q9_registered"
     else:
@@ -307,14 +376,16 @@ def run(which: str, n_passes: int = 5) -> None:
     rows = {}
     for name, fn in variants.items():
         rows[name] = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
-    ref_rows = rows[ref]
     for name in variants:
         if name.endswith("_only"):
             continue
-        same = rows[name] == ref_rows
-        print(f"equal[{name} vs {ref}]: {same}", flush=True)
+        # ref=None → pairwise experiments: each <q>_<variant> gates
+        # against its own <q>_registered twin.
+        this_ref = ref if ref else name.split("_")[0] + "_registered"
+        same = rows[name] == rows[this_ref]
+        print(f"equal[{name} vs {this_ref}]: {same}", flush=True)
         if not same:
-            print("  REF ", ref_rows[:3])
+            print("  REF ", rows[this_ref][:3])
             print("  GOT ", rows[name][:3])
             raise SystemExit(f"variant {name} output differs — not timeable")
 
