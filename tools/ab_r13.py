@@ -243,6 +243,49 @@ def tstats_let(spark, sf_dir):
     )
 
 
+def ppx_nockpt(spark, sf_dir):
+    """doc_perplexity WITHOUT the bigram-stream localCheckpoint: the
+    LM build and the scoring join each run their own tokenize+explode
+    pass (two corpus scans, nothing corpus-sized materialized). The
+    registered form checkpoints the stream so tokenize runs once; at
+    10x/32c that materialization contends for the storage pool, so
+    this twin measures what the checkpoint is actually worth."""
+    from hadoop_and_spark_spark.operators.text import (
+        LM_K,
+        _bigram_pairs,
+    )
+    from hadoop_and_spark_spark.functions.portable import round6
+
+    def bigrams():
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        return docs.select(
+            "doc_id", F.explode(_bigram_pairs()).alias("p")
+        ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+    lm = bigrams().groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    lm_a = lm.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = lm.agg(F.count_distinct("b").alias("v"))
+    p = (F.col("c_ab") + F.lit(LM_K)) / (
+        F.col("c_a") + F.lit(LM_K) * F.col("v")
+    )
+    unit = F.floor(-F.log10(p) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        bigrams()
+        .join(lm, ["a", "b"])
+        .join(lm_a, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", unit.alias("u"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("u").alias("su"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            round6(F.col("su") / F.col("n_bigrams") / 1e6).alias("surprisal"),
+        )
+        .sortWithinPartitions("doc_id")
+    )
+
+
 # ---------------- q9 stage-profile probes ----------------
 
 def q9_single_window(spark, sf_dir):
@@ -340,6 +383,12 @@ def run(which: str, n_passes: int = 5) -> None:
             "cc_r12_structure": _clusters_with(_cc_r12),
         }
         ref = "cc_r13_registered"
+    elif which == "ppx":
+        variants = {
+            "ppx_registered": queries["doc_perplexity"],
+            "ppx_nockpt": ppx_nockpt,
+        }
+        ref = "ppx_registered"
     elif which == "sweep":
         variants = {
             "langid_registered": queries["langid_heuristic"],
